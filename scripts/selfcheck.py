@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local dev mirror of the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <outDir> [query ...]
+
+Reads each <outDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from <outDir>/oracle_sql.json in DuckDB over the same fixture
+parquet tables, sorts columns by name, and compares row-by-row values.
+Dev-only tooling — not part of the shipped library.
+"""
+import sys, json, glob, math, datetime, decimal
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, list):
+        return ("list", tuple(norm(x) for x in v))
+    return (type(v).__name__, v)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # events: TIMESTAMP_NS -> TIMESTAMP to match the Spark-side loader
+    con.execute(f"CREATE VIEW events AS SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
+                f"user_id, event_type, value, props FROM read_parquet('{sf_dir}/events.parquet')")
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"[MISS] {name}: no spark output");  n_bad += 1; continue
+        try:
+            got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            got_cols = list(got_rel.columns)
+            got = got_rel.fetchall()
+            exp_rel = con.sql(oracle[name])
+            exp_cols = list(exp_rel.columns)
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            print(f"[ERR ] {name}: {e}"); n_bad += 1; continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"[COLS] {name}: spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_bad += 1; continue
+        gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        eperm = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+        grows = [tuple(norm(r[i]) for i in gperm) for r in got]
+        erows = [tuple(norm(r[i]) for i in eperm) for r in exp]
+        if len(grows) != len(erows):
+            print(f"[ROWS] {name}: spark={len(grows)} oracle={len(erows)}")
+            n_bad += 1; continue
+        diff = next((i for i, (g, e) in enumerate(zip(grows, erows)) if g != e), None)
+        if diff is not None:
+            print(f"[DIFF] {name}: first diff at row {diff}")
+            print(f"   cols : {sorted(got_cols)}")
+            print(f"   spark: {grows[diff]}")
+            print(f"   duck : {erows[diff]}")
+            n_bad += 1; continue
+        print(f"[ OK ] {name}: {len(grows)} rows")
+        n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
