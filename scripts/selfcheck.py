@@ -12,7 +12,7 @@ import sys, json, glob, math, datetime, decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "documents", "embeddings"]
+          "lineitem", "documents", "embeddings", "events"]
 
 def norm(v):
     if isinstance(v, decimal.Decimal):
@@ -32,11 +32,10 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # NB: events is exposed RAW (ts = TIMESTAMP_NS), like the driver does;
+    # oracle SQL must CAST(ts AS TIMESTAMP) itself to match Spark's loader.
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    # events: TIMESTAMP_NS -> TIMESTAMP to match the Spark-side loader
-    con.execute(f"CREATE VIEW events AS SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
-                f"user_id, event_type, value, props FROM read_parquet('{sf_dir}/events.parquet')")
     n_ok = n_bad = 0
     for name in sorted(oracle):
         if only and name not in only:

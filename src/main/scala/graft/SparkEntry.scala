@@ -15,11 +15,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanQueries.queries ++
-    AggQueries.queries
+    JoinQueries.queries ++
+    AggQueries.queries ++
+    WindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanQueries.oracle ++
-    AggQueries.oracle
+    JoinQueries.oracle ++
+    AggQueries.oracle ++
+    WindowQueries.oracle
 }

@@ -40,6 +40,95 @@ object AggQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
+
+    "q15_agg_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("distinct_supp"),
+          sum_distinct(dec("l_quantity")).cast(D).as("sum_dist_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // SQL ROLLUP: the Dataset `rollup()` API trips Spark 4.1.2's
+    // ambiguous-self-join detector whenever the child contains a join
+    // (even after re-projection/renames); the parser path resolves by
+    // plan position and has no such issue.
+    "q16_agg_rollup" -> { (s, dir) =>
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .createOrReplaceTempView("region_nation_customer")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS cust_cnt,
+          |  CAST(grouping_id() AS INT) AS gid
+          |FROM region_nation_customer
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
+    "q17_agg_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Explicit GROUPING SETS through the SQL parser path.
+    "q18_agg_gsets" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+          |  CAST(grouping_id() AS INT) AS gid
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+          |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    "q19_agg_having" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(dec("l_quantity")).cast(D).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .filter(col("sum_qty") > lit(100).cast(D))
+        .orderBy("l_suppkey")
+    },
+
+    // Approx distinct (HLL++) — no oracle by design (D6): sketch results
+    // are implementation-defined; the exact twin is q15.
+    "q20_agg_hll" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    // Sample variance/stddev from exact decimal moments (n, Σx, Σx²) with
+    // one final double op — accumulation-order-free on both engines.
+    "q21_agg_stats" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast(D).as("sx"),
+          sum((dec("l_quantity") * dec("l_quantity")).cast(D)).cast(D)
+            .as("sxx"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(
+            (col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")
+                / col("n"))
+              / (col("n") - 1), 6).as("var_qty"),
+          round(
+            sqrt((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")
+                / col("n"))
+              / (col("n") - 1)), 6).as("stddev_qty"))
+        .orderBy("l_returnflag")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -63,5 +152,52 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q15_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_supp,
+        | CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_dist_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q16_agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cust_cnt,
+        | CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid
+        |FROM region
+        | JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q17_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q18_agg_gsets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q19_agg_having" ->
+      """SELECT l_suppkey,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | count(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) > 100
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q21_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sx,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 6) AS var_qty,
+        | ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6) AS stddev_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Joins (SURVEY.md §2b q03–q12).
+  *
+  * Scale notes: dimension joins (region/nation/supplier) broadcast —
+  * Catalyst picks broadcast-hash automatically under the default 10 MB
+  * threshold, q12 forces it with an explicit hint. The fact-fact join
+  * (orders⋈lineitem) shuffles on the join key; at 100 TB that is the
+  * intended sort-merge path (or bucketed co-location when both sides are
+  * written bucketed by orderkey). The as-of join (q11) deliberately avoids
+  * a per-row range join: it is the union + partitioned-window
+  * last-value-carry-forward pattern — one shuffle on user_id, linear work,
+  * no candidate explosion. */
+object JoinQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 5-table equi-join chain, revenue per nation (TPC-H Q5 shape).
+    "q03_join_inner" -> { (s, dir) =>
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    "q04_join_left" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"),
+          "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          coalesce(sum(dec("o_totalprice")), lit(0).cast(D)).cast(D)
+            .as("total_spend"))
+        .orderBy("c_custkey")
+    },
+
+    // Same semantics as q04, via the right_outer physical path.
+    "q05_join_right" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"),
+          "right_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          coalesce(sum(dec("o_totalprice")), lit(0).cast(D)).cast(D)
+            .as("total_spend"))
+        .orderBy("c_custkey")
+    },
+
+    "q06_join_full" -> { (s, dir) =>
+      val cc = t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("customer_cnt"))
+      val sc = t(s, dir, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("supplier_cnt"))
+      cc.join(sc, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("customer_cnt"), lit(0L)).as("customer_cnt"),
+          coalesce(col("supplier_cnt"), lit(0L)).as("supplier_cnt"))
+        .orderBy("nationkey")
+    },
+
+    "q07_join_semi" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // Anti against a filtered build side so the result is non-empty
+    // (every customer has ≥1 order in the fixtures, but not every one
+    // has an URGENT order).
+    "q08_join_anti" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    "q09_join_cross" -> { (s, dir) =>
+      t(s, dir, "region").select("r_name")
+        .crossJoin(
+          t(s, dir, "orders").select("o_orderpriority").distinct())
+        .orderBy("r_name", "o_orderpriority")
+    },
+
+    // Band (theta) join: customers within ±100 of each supplier's balance.
+    "q10_join_theta" -> { (s, dir) =>
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      sup.join(c,
+          col("c_acctbal") >= col("s_acctbal") - 100 &&
+          col("c_acctbal") <= col("s_acctbal") + 100)
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("cust_cnt"))
+        .orderBy("s_suppkey")
+    },
+
+    // As-of join: each purchase event matched to the latest click by the
+    // same user at or before it. Union + window LVCF: one shuffle on
+    // user_id, no range-join blowup — the 100 TB-safe as-of pattern.
+    "q11_join_asof" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+          col("ts").as("c_ts"), col("value").as("c_val"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+          lit(null).cast("timestamp").as("c_ts"),
+          lit(null).cast("double").as("c_val"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purch)
+        .withColumn("click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+        .withColumn("click_value",
+          last(col("c_val"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+        .orderBy("event_id")
+    },
+
+    // q03 semantics with the broadcast-hash path forced on the dims.
+    "q12_join_broadcast" -> { (s, dir) =>
+      broadcast(t(s, dir, "region"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+  )
+
+  private val q03Sql =
+    """SELECT r_name, n_name,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue,
+      | count(*) AS n_rows
+      |FROM region
+      | JOIN nation ON r_regionkey = n_regionkey
+      | JOIN customer ON c_nationkey = n_nationkey
+      | JOIN orders ON o_custkey = c_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY r_name, n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val q04Sql =
+    """SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
+      | CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DECIMAL(18,4)) AS total_spend
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q03_join_inner" -> q03Sql,
+    "q04_join_left" -> q04Sql,
+    "q05_join_right" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
+        | CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DECIMAL(18,4)) AS total_spend
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_join_full" ->
+      """WITH cc AS (SELECT c_nationkey, count(*) AS customer_cnt FROM customer GROUP BY c_nationkey),
+        |     sc AS (SELECT s_nationkey, count(*) AS supplier_cnt FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(customer_cnt, 0) AS customer_cnt,
+        |  COALESCE(supplier_cnt, 0) AS supplier_cnt
+        |FROM cc FULL OUTER JOIN sc ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q07_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_join_cross" ->
+      """SELECT r_name, o_orderpriority
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+        |ORDER BY r_name, o_orderpriority""".stripMargin,
+    "q10_join_theta" ->
+      """SELECT s_suppkey, s_name, count(*) AS cust_cnt
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
+    "q11_join_asof" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
+        |SELECT p.event_id, p.user_id, p.ts,
+        | (SELECT c.ts FROM e c WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_ts,
+        | (SELECT c.value FROM e c WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_value
+        |FROM e p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    "q12_join_broadcast" -> q03Sql,
+  )
+}
