@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §2b for the inventory.
   * Each category object contributes `queries` (Spark-side) and `oracle`
@@ -17,7 +18,9 @@ object SparkEntry {
     ScanQueries.queries ++
     JoinQueries.queries ++
     AggQueries.queries ++
-    WindowQueries.queries
+    WindowQueries.queries ++
+    SetQueries.queries ++
+    FnQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +28,7 @@ object SparkEntry {
     ScanQueries.oracle ++
     JoinQueries.oracle ++
     AggQueries.oracle ++
-    WindowQueries.oracle
+    WindowQueries.oracle ++
+    SetQueries.oracle ++
+    FnQueries.oracle
 }
