@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.functions._
+import graft.streaming.EventQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2b for the inventory.
   * Each category object contributes `queries` (Spark-side) and `oracle`
@@ -20,7 +21,8 @@ object SparkEntry {
     AggQueries.queries ++
     WindowQueries.queries ++
     SetQueries.queries ++
-    FnQueries.queries
+    FnQueries.queries ++
+    EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +32,6 @@ object SparkEntry {
     AggQueries.oracle ++
     WindowQueries.oracle ++
     SetQueries.oracle ++
-    FnQueries.oracle
+    FnQueries.oracle ++
+    EventQueries.oracle
 }

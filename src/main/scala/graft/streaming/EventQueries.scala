@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Streaming semantics, batch-equivalent + oracle-checkable
+  * (SURVEY.md §2b q39–q42). The same `window`/`session_window` expressions
+  * run incrementally under Structured Streaming in
+  * [[graft.streaming.StreamPipelines]]; here they run in batch mode so
+  * DuckDB can replay them (time_bucket / gaps-and-islands twins). */
+object EventQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1-hour tumbling windows: epoch-aligned on both engines.
+    "q39_tumble" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec("value")).cast(D).as("sum_value"))
+        .select(
+          col("window.start").as("win_start"),
+          col("window.end").as("win_end"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // 1h windows sliding 30min — every event lands in exactly 2 windows.
+    "q40_slide" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("window.start").as("win_start"),
+          col("window.end").as("win_end"),
+          col("event_type"), col("cnt"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // 30-min-gap sessions per user. Spark session end = last ts + gap
+    // (end-exclusive), so a gap of exactly 30min starts a NEW session —
+    // the oracle's gaps-and-islands uses >= to match.
+    "q41_session" -> { (s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("user_id"), col("cnt"))
+        .orderBy("user_id", "sess_start")
+    },
+
+    // Keep-earliest dedup per (user_id, event_type) — batch analog of
+    // dropDuplicatesWithinWatermark with a deterministic keep rule.
+    "q42_stream_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      loadEvents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .orderBy("user_id", "event_type")
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q39_tumble" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+        |SELECT date_trunc('hour', ts) AS win_start,
+        |  date_trunc('hour', ts) + INTERVAL '1 hour' AS win_end,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |FROM e GROUP BY 1, 2, 3
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q40_slide" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        | x AS (SELECT event_type,
+        |   unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |           time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS win_start
+        |  FROM e)
+        |SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+        |  event_type, count(*) AS cnt
+        |FROM x GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q41_session" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        | flagged AS (SELECT user_id, ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | sess AS (SELECT user_id, ts,
+        |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
+        |  user_id, count(*) AS cnt
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q42_stream_dedup" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+        | r AS (SELECT *, row_number() OVER
+        |   (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM e)
+        |SELECT event_id, user_id, event_type, ts, value
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+  )
+}

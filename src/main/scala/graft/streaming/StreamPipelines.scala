@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Structured Streaming pipelines (SURVEY.md §2b "true incremental" row).
+  *
+  * The reference's closest analogue is S3-prefix polling
+  * (`utils/utils/s3.py:16-23`); Spark-native that becomes a file-source
+  * `readStream` with incremental micro-batches, watermark-bounded state,
+  * and exactly-once file sinks. Every transform here is also valid on a
+  * batch DataFrame of the same schema — the batch twins are the
+  * oracle-checked q39–q42 keys in [[EventQueries]]. */
+object StreamPipelines {
+
+  /** Fixture events schema with ts already as TimestampType (the streaming
+    * reader can't use the nanos runtime conf trick on a schema-less
+    * stream, so streams declare the post-conversion schema). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Incremental file-source read of a directory of event parquet files. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts + decimal sums; append-mode emittable once the
+    * watermark passes window end. State is bounded by the watermark —
+    * at scale the state store holds only open windows per key. */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec("value")).cast(D).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Keep-first dedup on (user_id, event_type) with watermark-bounded
+    * dedup state (exactly the reference pipeline's idempotent-staging
+    * intent, incremental form). */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** 30-min-gap session windows per user (merging sessions, watermarked). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("cnt"))
+
+  /** Per-user running totals via explicit state — the
+    * mapGroupsWithState custom-state surface. */
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Write an append stream to parquet with checkpointing (exactly-once
+    * file sink). Returns the started query; caller awaits/ stops. */
+  def writeParquetStream(df: DataFrame, outDir: String, checkpoint: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+}

@@ -1,0 +1,168 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.StreamPipelines.UserEvent
+
+/** True incremental Structured Streaming semantics that the DuckDB oracle
+  * cannot replay (SURVEY.md §5 layer 2): watermark late-drop, session
+  * merge, dedup-within-watermark, custom state, file-source round-trip. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window + watermark: aggregates emit and late data is dropped") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamPipelines.windowedCounts(df)
+      .writeStream.format("memory").queryName("tumble_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:05:00"), "click", 1.5),
+        (ts("2024-01-01 00:20:00"), "click", 2.5),
+        (ts("2024-01-01 01:10:00"), "view", 3.0))
+      q.processAllAvailable()
+      // watermark = 01:10 - 1h = 00:10 → window [00:00,01:00) still open
+      assert(spark.sql("SELECT * FROM tumble_t").count() === 0)
+
+      // advance watermark past both window ends
+      input.addData((ts("2024-01-01 03:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 03:31:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT win_start, event_type, cnt, CAST(sum_value AS DOUBLE) FROM tumble_t ORDER BY win_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 4.0)))
+      assert(rows.contains(("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+
+      // late event far behind the watermark → dropped, no new emission
+      val before = spark.sql("SELECT count(*) FROM tumble_t").head().getLong(0)
+      input.addData((ts("2024-01-01 00:07:00"), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 06:00:00"), "flush", 0.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 06:01:00"), "flush", 0.0))
+      q.processAllAvailable()
+      val after = spark.sql(
+        "SELECT count(*) FROM tumble_t WHERE win_start = TIMESTAMP '2024-01-01 00:00:00'")
+        .head().getLong(0)
+      assert(after === 1, "late click must not re-emit or amend window 0")
+      assert(spark.sql(
+        "SELECT cnt FROM tumble_t WHERE win_start = TIMESTAMP '2024-01-01 00:00:00'")
+        .head().getLong(0) === 2)
+      assert(before >= 2)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps first (user_id, event_type)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamPipelines.dedupWithinWatermark(df)
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:10"), 7L, "click", 1.0),
+        (2L, ts("2024-01-01 00:00:20"), 7L, "click", 2.0), // dup key, dropped
+        (3L, ts("2024-01-01 00:00:30"), 7L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id FROM dedup_t ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap and split across it") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = StreamPipelines.sessionCounts(df)
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:10:00"), 1L),
+        (ts("2024-01-01 00:20:00"), 1L), // one session: [00:00, 00:50)
+        (ts("2024-01-01 00:00:00"), 2L),
+        (ts("2024-01-01 00:40:00"), 2L)) // two sessions (gap 40min ≥ 30)
+      q.processAllAvailable()
+      // flush: advance watermark far past all session ends
+      input.addData((ts("2024-01-01 09:00:00"), 99L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 09:01:00"), 99L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, sess_start, sess_end, cnt FROM sess_t WHERE user_id IN (1,2) ORDER BY user_id, sess_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(rows === Seq(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:50:00.0", 3L),
+        (2L, "2024-01-01 00:00:00.0", "2024-01-01 00:30:00.0", 1L),
+        (2L, "2024-01-01 00:40:00.0", "2024-01-01 01:10:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates running per-user totals") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamPipelines.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals_t")
+      .outputMode("update").start()
+    try {
+      input.addData(UserEvent(1L, 2.0), UserEvent(1L, 3.0), UserEvent(2L, 1.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, 5.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends each update; take the latest row
+      val latest = spark.sql(
+        """SELECT user_id, n, total FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC) rn
+          |  FROM totals_t) WHERE rn = 1 ORDER BY user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(latest === Seq((1L, 3L, 10.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("file-source stream round-trip: readStream parquet -> parquet sink") {
+    val sess = spark
+    import sess.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_in").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    Seq(
+      (1L, ts("2024-01-01 00:00:10"), 7L, "click", 1.0, """{"k": 1}"""),
+      (2L, ts("2024-01-01 00:00:20"), 8L, "view", 2.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(inDir)
+    val stream = StreamPipelines.readEventsStream(spark, inDir)
+      .filter("value > 0")
+    val q = stream.writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 2)
+    assert(out.columns.toSet === StreamPipelines.eventSchema.fieldNames.toSet)
+  }
+}
