@@ -22,7 +22,11 @@ object SparkEntry {
     WindowQueries.queries ++
     SetQueries.queries ++
     FnQueries.queries ++
-    EventQueries.queries
+    EventQueries.queries ++
+    LlmQueries.queries ++
+    TextQueries.queries ++
+    SimilarityQueries.queries ++
+    UdfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +37,9 @@ object SparkEntry {
     WindowQueries.oracle ++
     SetQueries.oracle ++
     FnQueries.oracle ++
-    EventQueries.oracle
+    EventQueries.oracle ++
+    LlmQueries.oracle ++
+    TextQueries.oracle ++
+    SimilarityQueries.oracle ++
+    UdfQueries.oracle
 }

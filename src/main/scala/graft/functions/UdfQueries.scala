@@ -1,0 +1,96 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, MathContext}
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** User-defined function surface (SURVEY.md §2b q47–q49): scalar UDF,
+  * typed Aggregator UDAF, and a generator (UDF-array + explode — the
+  * Catalyst-friendly UDTF form: the Generator stays a built-in `explode`,
+  * only element production is user code).
+  *
+  * UDFs are optimizer-opaque (no pushdown through them) — each is kept
+  * leaf-level over an already-pruned projection. */
+object UdfQueries {
+
+  /** Scalar UDF: whitespace-normalize text. */
+  val normalizeText: String => String =
+    s => if (s == null) null else s.toLowerCase.trim.replaceAll("\\s+", " ")
+
+  /** Typed UDAF: exact Σx² over quantities as BigDecimal — deterministic
+    * (decimal addition is associative/commutative, any accumulation order
+    * gives the same result). */
+  object SumSqAgg extends Aggregator[Double, JBigDecimal, JBigDecimal] {
+    override def zero: JBigDecimal = JBigDecimal.ZERO
+    override def reduce(b: JBigDecimal, x: Double): JBigDecimal = {
+      val d = JBigDecimal.valueOf(x)
+      b.add(d.multiply(d, MathContext.UNLIMITED))
+    }
+    override def merge(a: JBigDecimal, b: JBigDecimal): JBigDecimal = a.add(b)
+    override def finish(r: JBigDecimal): JBigDecimal =
+      r.setScale(4, java.math.RoundingMode.HALF_UP)
+    override def bufferEncoder: Encoder[JBigDecimal] = Encoders.DECIMAL
+    override def outputEncoder: Encoder[JBigDecimal] = Encoders.DECIMAL
+  }
+
+  /** Word bigrams — the element producer behind the q49 generator. */
+  val bigrams: String => Array[String] =
+    s => if (s == null) Array.empty
+      else s.split(" ").iterator.sliding(2).withPartial(false)
+        .map(_.mkString(" ")).toArray
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_udf_norm" -> { (s, dir) =>
+      val norm = udf(normalizeText)
+      t(s, dir, "documents")
+        .select(col("lang"), norm(col("text")).as("norm_text"))
+        .groupBy("lang")
+        .agg(countDistinct(col("norm_text")).as("n_norm"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
+    "q48_udaf_sumsq" -> { (s, dir) =>
+      val sumsq = udaf(SumSqAgg)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sumsq(col("l_quantity")).cast(D).as("sum_sq"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "q49_udtf_bigrams" -> { (s, dir) =>
+      val bg = udf(bigrams)
+      t(s, dir, "documents")
+        .select(explode(bg(col("text"))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("bigram"))
+        .limit(10)
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q47_udf_norm" ->
+      """SELECT lang,
+        | count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_norm,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q48_udaf_sumsq" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_sq,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q49_udtf_bigrams" ->
+      """SELECT bg AS bigram, count(*) AS cnt FROM (
+        | SELECT unnest(list_transform(range(0, len(sp) - 1),
+        |   i -> array_to_string(sp[i+1:i+2], ' '))) AS bg
+        | FROM (SELECT string_split(text, ' ') AS sp FROM documents) t) u
+        |GROUP BY bg ORDER BY cnt DESC, bg LIMIT 10""".stripMargin,
+  )
+}

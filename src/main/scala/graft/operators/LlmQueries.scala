@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** LLM-data-pipeline operators (SURVEY.md §2b q43–q46): exact dedup,
+  * MinHash near-dup, cosine top-k similarity, corpus text stats.
+  *
+  * Portability contract: every hash used here is engine-neutral —
+  * md5 (bit-identical everywhere) or an explicit char-fold polynomial
+  * hash — never Spark's internal `hash()`/xxhash64, so the DuckDB oracle
+  * can replay signatures value-for-value.
+  *
+  * Scale notes: MinHash is the classic shingle→signature→band→bucket-join
+  * pipeline — candidate generation is a hash-partitioned join on band
+  * keys, never an all-pairs product, so it survives 100 TB corpora. The
+  * brute-force cosine top-k is the *correctness baseline* over a bounded
+  * query set; the bucketed/ANN scale path is [[SimilarityQueries]]. */
+object LlmQueries {
+
+  /** Sequential char-fold polynomial hash, identical on both engines:
+    * h = fold(chars, 0, (a, c) -> (a*131 + ascii(c)) mod 2147483647).
+    * Spark's split(s, "") can emit a trailing "" (Java split limit -1),
+    * which DuckDB's string_split does not — filter it out. */
+  private def polyHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => (acc * 131 + ascii(ch)) % 2147483647L)
+
+  private val NumPerms = 32
+  private val NumBands = 8
+  private val RowsPerBand = NumPerms / NumBands
+
+  /** (a_i, b_i) affine "permutation" constants, mod 2^32. Quality needs
+    * only pairwise-independent-ish mixing; values are fixed so both
+    * engines compute identical signatures. */
+  private def permHash(h: Column, i: Int): Column =
+    (h * (1103515245L + 2L * i) + (12345L + 7L * i)) % 4294967296L
+
+  /** Distinct word k-shingles of `text`, joined with single spaces. */
+  private def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** doc_id → 32-wide MinHash signature array over word 3-shingles. */
+  def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .select(col("doc_id"), polyHash(col("s")).as("h"))
+    val aggs = (0 until NumPerms).map(i => min(permHash(col("h"), i)).as(s"mh$i"))
+    sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** LSH-banded candidate pairs + estimated Jaccard from signature
+    * agreement. Join is on (band index, band key) — hash-partitionable. */
+  def minhashPairs(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, k)
+    val bands = sig.select(col("doc_id"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("b"))
+      .join(sig, "doc_id")
+      .select(col("doc_id"), col("b"),
+        concat_ws(",", slice(col("sig"), col("b") * RowsPerBand + 1,
+          lit(RowsPerBand))).as("bkey"))
+    val ba = bands.toDF("doc_a", "b_a", "key_a")
+    val bb = bands.toDF("doc_b", "b_b", "key_b")
+    val cand = ba.join(bb,
+        col("b_a") === col("b_b") && col("key_a") === col("key_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sig.toDF("doc_a", "sig_a")
+    val sb = sig.toDF("doc_b", "sig_b")
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), p => p)).cast("long").as("match_cnt"))
+      .withColumn("est_jaccard", col("match_cnt") / 32.0)
+  }
+
+  /** Sequential-fold dot product of two float arrays (contract D7: products
+    * widened to double, then left-to-right double accumulation — identical
+    * op order to the DuckDB list_reduce twin). */
+  def seqDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: md5 grouping, min-doc_id survivor, per-lang report.
+    "q43_dedup_exact" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_unique"),
+          sum("dups").cast("long").as("n_docs"),
+          min("keep_id").as("min_keep_id"))
+        .orderBy("lang")
+    },
+
+    // MinHash near-dup: word 3-shingles → 32-perm signature → 8×4 bands
+    // → bucket join → est Jaccard ≥ 0.8 (match_cnt ≥ 26).
+    "q44_dedup_near" -> { (s, dir) =>
+      minhashPairs(t(s, dir, "documents"))
+        .filter(col("match_cnt") >= 26)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Brute-force cosine top-5 per query vector (vec_id % 50 = 0).
+    "q45_sim_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val v = emb.select(col("vec_id").as("nid"), col("embedding").as("ve"))
+      val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
+      q.crossJoin(v)
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          (seqDot(col("qe"), col("ve")) /
+            (sqrt(seqDot(col("qe"), col("qe"))) *
+             sqrt(seqDot(col("ve"), col("ve"))))).as("sim_raw"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid"),
+          round(col("sim_raw"), 6).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+
+    // Per-lang corpus stats.
+    "q46_text_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(dec("n_chars")) / count(lit(1))).cast(D).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .orderBy("lang")
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q43_dedup_exact" ->
+      """WITH s AS (SELECT lang, md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
+        |  FROM documents GROUP BY lang, md5(text))
+        |SELECT lang, count(*) AS n_unique, CAST(sum(dups) AS BIGINT) AS n_docs,
+        |  min(keep_id) AS min_keep_id
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q44_dedup_near" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+        |    (a,b) -> (a*131 + b) % 2147483647) AS h
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id, i,
+        |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
+        |  GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
+        |  FROM cand
+        |   JOIN sig sa ON sa.doc_id = doc_a
+        |   JOIN sig sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard
+        |FROM est WHERE match_cnt >= 26
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q45_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+        |p AS (
+        |  SELECT qid, vec_id AS nid,
+        |    list_reduce(list_transform(range(1,65), i -> CAST(qe[i]*embedding[i] AS DOUBLE)), (a,b)->a+b) AS dot,
+        |    list_reduce(list_transform(range(1,65), i -> CAST(qe[i]*qe[i] AS DOUBLE)), (a,b)->a+b) AS nq,
+        |    list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b) AS nv
+        |  FROM q CROSS JOIN embeddings WHERE vec_id != qid),
+        |s AS (SELECT qid, nid, dot/(sqrt(nq)*sqrt(nv)) AS sim_raw FROM p),
+        |r AS (SELECT qid, nid, sim_raw,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid) AS rnk FROM s)
+        |SELECT qid, rnk, nid, round(sim_raw, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q46_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CAST(n_chars AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS avg_chars,
+        | count(DISTINCT source) AS n_sources,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

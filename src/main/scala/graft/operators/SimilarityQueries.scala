@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.operators.LlmQueries.seqDot
+
+/** Similarity & fingerprint-family operators (beyond the q43–q46 core):
+  * SimHash near-dup, exact n-gram Jaccard via inverted-index pair join,
+  * blocked embedding near-dup, and IVF-bucketed approximate NN — the
+  * scale paths that complement the brute-force baselines.
+  *
+  * Scale notes: SimHash candidate generation joins on 15-bit chunks
+  * (pigeonhole: hamming ≤ 8 over 4 chunks guarantees ≥1 exact-match
+  * chunk... for ≤ 3 mismatched chunks; here candidates are a recall
+  * heuristic pinned by the oracle). The inverted-index Jaccard join is
+  * the standard shingle-posting-list pattern — at 100 TB you'd drop
+  * stop-shingles (document frequency cap) and salt hot keys; both are
+  * data-dependent config, not structural changes. IVF assigns vectors to
+  * their nearest centroid once (linear), then probes only the query's
+  * bucket — the candidate set shrinks by the centroid fan-out. */
+object SimilarityQueries {
+
+  private def tokens(text: Column) = split(text, " ")
+
+  /** Distinct word 3-shingles as (doc_id, s) rows. */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), explode(array_distinct(transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3))))).as("s"))
+  }
+
+  /** 60-bit SimHash per doc: two char-poly word hashes (bases 131/137)
+    * supply bits 0..29 / 30..59; bit votes weighted by term frequency. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("cnt"))
+    val polyB = (base: Int) => aggregate(
+      filter(split(col("tk"), ""), ch => length(ch) > 0),
+      lit(0L), (acc, ch) => (acc * base + ascii(ch)) % 2147483647L)
+    wc.select(col("doc_id"), col("cnt"),
+        polyB(131).as("h1"), polyB(137).as("h2"))
+      .select(col("doc_id"), col("cnt"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("bit", expr(
+        "CASE WHEN b < 30 THEN shiftright(h1, b) & 1 " +
+        "ELSE shiftright(h2, b - 30) & 1 END"))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .cast("long").as("simhash"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SimHash pairs: 4×15-bit chunk candidates, hamming ≤ 8.
+    "q54_simhash" -> { (s, dir) =>
+      val sh = simhash(t(s, dir, "documents"))
+      val chunks = sh
+        .select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("ck", expr("shiftright(simhash, c * 15) & 32767"))
+      val ca = chunks.toDF("doc_a", "sh_a", "c_a", "ck_a")
+      val cb = chunks.toDF("doc_b", "sh_b", "c_b", "ck_b")
+      val cand = ca.join(cb,
+          col("c_a") === col("c_b") && col("ck_a") === col("ck_b") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sa = sh.toDF("doc_a", "sha")
+      val sb = sh.toDF("doc_b", "shb")
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("hamming",
+          expr("CAST(bit_count(sha ^ shb) AS BIGINT)"))
+        .filter(col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Exact 3-gram Jaccard ≥ 0.5 via inverted-index pair generation.
+    "q55_ngram_jaccard" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sh = shingleRows(docs)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.toDF("doc_a", "s")
+        .join(sh.toDF("doc_b", "s2"), col("s") === col("s2") &&
+          col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+        .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+        .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+        .filter(col("inter").cast("double") / col("uni") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+          round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Blocked (per-label) embedding pair scan: the partition-then-compare
+    // dedup pattern; reports per-block pair stats.
+    "q56_dedup_embed" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("label").as("l_a"), col("vec_id").as("id_a"),
+        col("embedding").as("e_a"))
+      val b = e.select(col("label").as("l_b"), col("vec_id").as("id_b"),
+        col("embedding").as("e_b"))
+      a.join(b, col("l_a") === col("l_b") && col("id_a") < col("id_b"))
+        .select(col("l_a").as("label"),
+          (seqDot(col("e_a"), col("e_b")) /
+            (sqrt(seqDot(col("e_a"), col("e_a"))) *
+             sqrt(seqDot(col("e_b"), col("e_b"))))).as("sim"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("sim") >= 0.3, 1)).as("n_close"),
+          round(max(col("sim")), 6).as("max_cos"))
+        .orderBy("label")
+    },
+
+    // IVF ANN: centroids = vec_id % 100 = 0; assign all vectors to their
+    // nearest centroid; probe only the query's bucket, top-3.
+    "q57_ann_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val wAsgn = Window.partitionBy("vec_id")
+        .orderBy(desc("csim"), col("cid"))
+      val buckets = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cent)
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (seqDot(col("embedding"), col("ce")) /
+            (sqrt(seqDot(col("embedding"), col("embedding"))) *
+             sqrt(seqDot(col("ce"), col("ce"))))).as("csim"))
+        .withColumn("rn", row_number().over(wAsgn))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val q = e.join(buckets, "vec_id")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("cid").as("qcid"))
+      val members = e.join(buckets, "vec_id")
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("cid").as("ncid"))
+      val wTop = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
+      q.join(members, col("qcid") === col("ncid") &&
+          col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          (seqDot(col("qe"), col("ne")) /
+            (sqrt(seqDot(col("qe"), col("qe"))) *
+             sqrt(seqDot(col("ne"), col("ne"))))).as("sim_raw"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("nid"),
+          round(col("sim_raw"), 6).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q54_simhash" ->
+      """WITH wc AS (
+        |  SELECT doc_id, tk, count(*)::BIGINT AS cnt FROM
+        |    (SELECT doc_id, unnest(string_split(text,' ')) AS tk FROM documents) GROUP BY doc_id, tk),
+        |wh AS (
+        |  SELECT doc_id, cnt,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tk,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*131 + b) % 2147483647) AS h1,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tk,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*137 + b) % 2147483647) AS h2
+        |  FROM wc),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(cnt * (2 * (CASE WHEN b < 30 THEN (h1 >> b) & 1 ELSE (h2 >> (b - 30)) & 1 END) - 1)) AS w
+        |  FROM wh CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, c, (simhash >> (c * 15)) & 32767 AS ck
+        |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS c) cc),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id),
+        |ham AS (
+        |  SELECT doc_a, doc_b, bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q55_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(0, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS w
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   len(list_intersect(a.w, b.w))::BIGINT AS inter,
+        |   (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))::BIGINT AS uni
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter, uni, round(inter::DOUBLE / uni, 6) AS jaccard
+        |FROM p WHERE inter::DOUBLE / uni >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q56_dedup_embed" ->
+      """WITH p AS (
+        |  SELECT a.label,
+        |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y)
+        |     / (sqrt(list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*a.embedding[i] AS DOUBLE)), (x,y)->x+y))
+        |      * sqrt(list_reduce(list_transform(range(1,65), i -> CAST(b.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y))) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, count(*) AS n_pairs,
+        |  count(*) FILTER (sim >= 0.3) AS n_close,
+        |  round(max(sim), 6) AS max_cos
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
+    "q57_ann_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0),
+        |asgn AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b)
+        |       / (sqrt(list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b))
+        |        * sqrt(list_reduce(list_transform(range(1,65), i -> CAST(c.ce[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b))) AS sim
+        |    FROM embeddings e CROSS JOIN cent c)),
+        |buckets AS (SELECT vec_id, cid FROM asgn WHERE rn = 1),
+        |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.cid FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0),
+        |probe AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b)
+        |     / (sqrt(list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*q.qe[i] AS DOUBLE)), (a,b)->a+b))
+        |      * sqrt(list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b))) AS sim
+        |  FROM q JOIN buckets b ON b.cid = q.cid JOIN embeddings e ON e.vec_id = b.vec_id
+        |  WHERE e.vec_id != q.qid),
+        |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM probe)
+        |SELECT qid, rnk, nid, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+  )
+}

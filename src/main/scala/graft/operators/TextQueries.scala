@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextOps
+
+/** Text-analysis query keys over `documents` (q50–q53): language ID,
+  * quality scoring, token counting, fingerprinting. Thin consumers of
+  * [[graft.functions.TextOps]] — the reusable column functions are the
+  * library surface; these keys pin their semantics to the DuckDB oracle.
+  *
+  * NB the fixture corpus draws all langs from one shared vocab, so the
+  * lang-ID confusion matrix is degenerate by construction — the heuristic
+  * itself is exercised on genuinely multilingual text in TextOpsSpec. */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    "q51_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).as("n_tokens"),
+          round(TextOps.typeTokenRatio(col("text")), 6).as("ttr"),
+          round(TextOps.wordHitRatio(col("text"), TextOps.EnStopwords), 6)
+            .as("stop_ratio"),
+          round(TextOps.avgWordLen(col("text")), 6).as("avg_word_len"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "q52_token_count" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextOps.tokenCountWs(col("text")).as("ws"),
+          TextOps.tokenCountBpe(col("text")).as("bpe"))
+        .groupBy("lang")
+        .agg(sum("ws").cast("long").as("ws_tokens"),
+          sum("bpe").cast("long").as("bpe_tokens"),
+          min("ws").as("min_doc_tokens"),
+          max("ws").as("max_doc_tokens"))
+        .orderBy("lang")
+    },
+
+    "q53_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+  )
+
+  private def sqlHits(words: Seq[String]): String =
+    s"len(list_filter(string_split(text,' '), t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
+
+  private val langCase: String = {
+    val langs = TextOps.LangMarkers.map(_._1)
+    val hitExpr = TextOps.LangMarkers.map { case (l, ws) => l -> sqlHits(ws) }.toMap
+    val branches = langs.init.map { l =>
+      val conds = langs.filter(_ != l)
+        .map(o => s"${hitExpr(l)} >= ${hitExpr(o)}").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q50_lang_id" ->
+      s"""WITH p AS (SELECT lang, $langCase AS pred_lang FROM documents)
+         |SELECT lang, pred_lang, count(*) AS cnt FROM p
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q51_quality" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+        |SELECT doc_id,
+        | len(toks) AS n_tokens,
+        | round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,
+        | round(len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','a','it','that','for'], t)))::DOUBLE / len(toks), 6) AS stop_ratio,
+        | round(length(regexp_replace(text, ' ', '', 'g'))::DOUBLE / len(toks), 6) AS avg_word_len,
+        | round((len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+        |   + (len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','a','it','that','for'], t)))::DOUBLE / len(toks)) * 0.3
+        |   + least(1.0, len(toks) / 50.0) * 0.3, 6) AS quality
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q52_token_count" ->
+      """WITH d AS (SELECT lang,
+        |  len(string_split(text, ' ')) AS ws,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe
+        | FROM documents)
+        |SELECT lang, CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        | CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        | min(ws) AS min_doc_tokens, max(ws) AS max_doc_tokens
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q53_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,' '),
+        |   tok -> list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(string_split(tok,''), ch -> ascii(ch)::BIGINT)),
+        |     (a,b) -> (a*131 + b) % 2147483647))),
+        |   (acc, wh) -> (acc*131 + wh) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

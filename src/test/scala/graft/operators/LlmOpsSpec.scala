@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextOps
+
+/** Unit layer for the dedup/similarity operators: synthetic known
+  * duplicates (the fixtures' near-dups are only statistical), hash
+  * portability constants, and MinHash-vs-exact-Jaccard error bounds. */
+class LlmOpsSpec extends SparkSpec {
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("charPolyHash matches the cross-engine constant for 'hello'") {
+    val sess = spark
+    import sess.implicits._
+    // 792145564 = fold('hello', 0, (a,c) -> (a*131 + ascii(c)) % (2^31-1)),
+    // verified against DuckDB's list_reduce in the oracle prototype.
+    val got = Seq("hello").toDF("s")
+      .select(TextOps.charPolyHash(col("s"))).head().getLong(0)
+    assert(got === 792145564L)
+  }
+
+  test("minhash detects synthetic near-duplicates and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 38).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+    val pairs = LlmQueries.minhashPairs(
+        docsDF(Seq((1L, base), (2L, nearDup), (3L, unrelated))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 2L },
+      "near-dup pair must be banding candidates")
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L },
+      "unrelated doc must produce no candidate pair")
+    // exact 3-shingle Jaccard of (base, nearDup): 36 shared / 40 union
+    val est = pairs.collect { case (1L, 2L, cnt) => cnt / 32.0 }.head
+    val exact = 36.0 / 40.0
+    assert(math.abs(est - exact) < 0.25,
+      s"minhash estimate $est should approximate exact $exact")
+  }
+
+  test("identical texts give identical signatures and full agreement") {
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val pairs = LlmQueries.minhashPairs(docsDF(Seq((1L, text), (2L, text))))
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(2) === 32L, "all 32 minhashes must agree")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val sess = spark
+    import sess.implicits._
+    val fps = Seq("a b c", "a b c", "c b a").toDF("text")
+      .select(TextOps.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 38).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val unrelated = (1 to 40).map(i => s"q$i").mkString(" ")
+    val sh = SimilarityQueries.simhash(
+        docsDF(Seq((1L, base), (2L, nearDup), (3L, unrelated))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)),
+      "near-dup must be closer in hamming space than unrelated")
+    assert(hamming(sh(1L), sh(1L)) === 0)
+  }
+}
