@@ -28,6 +28,17 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Loader for tables feeding compute-heavy per-row work (shingling,
+    * vector folds, hashing). The fixture tables are single small parquet
+    * files → a single input partition → serial execution of everything
+    * before the first shuffle. On a real cluster the file count provides
+    * scan parallelism; here an explicit round-robin repartition restores
+    * it. The extra shuffle moves only the small source table — always
+    * cheaper than serializing the downstream CPU work. */
+  def tWide(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    t(spark, sfDir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1.2 throws
     * [PARQUET_TYPE_ILLEGAL] on it. Read nanos as long + floor-divide to
     * micros — identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast for

@@ -80,7 +80,7 @@ object FnQueries {
 
     "q35_fn_array" -> { (s, dir) =>
       val toks = split(col("text"), " ")
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           array_contains(toks, "data").as("has_data"),
@@ -91,7 +91,7 @@ object FnQueries {
     // Map construction from per-lang counts, projected back to scalars so
     // the oracle only has to reproduce values, not MapType itself.
     "q36_fn_map" -> { (s, dir) =>
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
         .agg(map_from_entries(
           sort_array(collect_list(struct(col("lang"), col("cnt"))))).as("m"))
@@ -119,7 +119,7 @@ object FnQueries {
     },
 
     "q38_explode" -> { (s, dir) =>
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
         .groupBy("token")
         .agg(count(lit(1)).as("cnt"), sum("pos").cast("long").as("sum_pos"))

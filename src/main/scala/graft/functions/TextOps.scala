@@ -85,12 +85,10 @@ object TextOps {
     }
   }
 
-  /** Char-fold polynomial hash (base 131, mod 2^31-1) — engine-portable. */
+  /** Char-fold polynomial hash (base 131, mod 2^31-1) — engine-portable,
+    * implemented as a codegen'd Catalyst expression (hot path). */
   def charPolyHash(c: Column): Column =
-    aggregate(
-      filter(split(c, ""), ch => length(ch) > 0),
-      lit(0L),
-      (acc, ch) => (acc * 131 + ascii(ch)) % 2147483647L)
+    graft.plans.GraftExpressions.poly_hash(c)
 
   /** Document fingerprint: rolling hash folding per-token char-poly
     * hashes — order-sensitive, whitespace-normalization-insensitive. */

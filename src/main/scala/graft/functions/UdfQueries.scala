@@ -45,7 +45,7 @@ object UdfQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_udf_norm" -> { (s, dir) =>
       val norm = udf(normalizeText)
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(col("lang"), norm(col("text")).as("norm_text"))
         .groupBy("lang")
         .agg(countDistinct(col("norm_text")).as("n_norm"),
@@ -64,7 +64,7 @@ object UdfQueries {
 
     "q49_udtf_bigrams" -> { (s, dir) =>
       val bg = udf(bigrams)
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(explode(bg(col("text"))).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))

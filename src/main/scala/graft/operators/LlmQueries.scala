@@ -22,13 +22,9 @@ object LlmQueries {
 
   /** Sequential char-fold polynomial hash, identical on both engines:
     * h = fold(chars, 0, (a, c) -> (a*131 + ascii(c)) mod 2147483647).
-    * Spark's split(s, "") can emit a trailing "" (Java split limit -1),
-    * which DuckDB's string_split does not — filter it out. */
+    * Codegen'd Catalyst expression — see [[graft.plans.PolyHash]]. */
   private def polyHash(c: Column): Column =
-    aggregate(
-      filter(split(c, ""), ch => length(ch) > 0),
-      lit(0L),
-      (acc, ch) => (acc * 131 + ascii(ch)) % 2147483647L)
+    graft.plans.GraftExpressions.poly_hash(c)
 
   private val NumPerms = 32
   private val NumBands = 8
@@ -63,7 +59,9 @@ object LlmQueries {
   /** LSH-banded candidate pairs + estimated Jaccard from signature
     * agreement. Join is on (band index, band key) — hash-partitionable. */
   def minhashPairs(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sig = minhashSignatures(docs, k)
+    // consumed three times (band explode + both sides of the pair join);
+    // cache avoids recomputing the shingle scan per consumer
+    val sig = minhashSignatures(docs, k).cache()
     val bands = sig.select(col("doc_id"),
         explode(sequence(lit(0), lit(NumBands - 1))).as("b"))
       .join(sig, "doc_id")
@@ -85,17 +83,16 @@ object LlmQueries {
       .withColumn("est_jaccard", col("match_cnt") / 32.0)
   }
 
-  /** Sequential-fold dot product of two float arrays (contract D7: products
-    * widened to double, then left-to-right double accumulation — identical
-    * op order to the DuckDB list_reduce twin). */
+  /** Sequential-fold dot product of two float arrays (contract D7: float32
+    * products, left-to-right double accumulation — identical op order to
+    * the DuckDB list_reduce twin). Codegen'd: [[graft.plans.SeqDotProduct]]. */
   def seqDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.GraftExpressions.seq_dot(a, b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5 grouping, min-doc_id survivor, per-lang report.
     "q43_dedup_exact" -> { (s, dir) =>
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .groupBy(col("lang"), md5(col("text")).as("h"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
         .groupBy("lang")
@@ -108,14 +105,14 @@ object LlmQueries {
     // MinHash near-dup: word 3-shingles → 32-perm signature → 8×4 bands
     // → bucket join → est Jaccard ≥ 0.8 (match_cnt ≥ 26).
     "q44_dedup_near" -> { (s, dir) =>
-      minhashPairs(t(s, dir, "documents"))
+      minhashPairs(tWide(s, dir, "documents"))
         .filter(col("match_cnt") >= 26)
         .orderBy("doc_a", "doc_b")
     },
 
     // Brute-force cosine top-5 per query vector (vec_id % 50 = 0).
     "q45_sim_topk" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = tWide(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val v = emb.select(col("vec_id").as("nid"), col("embedding").as("ve"))
@@ -135,7 +132,7 @@ object LlmQueries {
 
     // Per-lang corpus stats.
     "q46_text_stats" -> { (s, dir) =>
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           (sum(dec("n_chars")) / count(lit(1))).cast(D).as("avg_chars"),

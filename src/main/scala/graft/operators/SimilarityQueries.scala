@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.operators.LlmQueries.seqDot
+import graft.plans.GraftExpressions.poly_hash
 
 /** Similarity & fingerprint-family operators (beyond the q43–q46 core):
   * SimHash near-dup, exact n-gram Jaccard via inverted-index pair join,
@@ -39,11 +40,8 @@ object SimilarityQueries {
     val wc = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
       .groupBy("doc_id", "tk").agg(count(lit(1)).as("cnt"))
-    val polyB = (base: Int) => aggregate(
-      filter(split(col("tk"), ""), ch => length(ch) > 0),
-      lit(0L), (acc, ch) => (acc * base + ascii(ch)) % 2147483647L)
     wc.select(col("doc_id"), col("cnt"),
-        polyB(131).as("h1"), polyB(137).as("h2"))
+        poly_hash(col("tk"), 131).as("h1"), poly_hash(col("tk"), 137).as("h2"))
       .select(col("doc_id"), col("cnt"), col("h1"), col("h2"),
         explode(sequence(lit(0), lit(59))).as("b"))
       .withColumn("bit", expr(
@@ -60,7 +58,7 @@ object SimilarityQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SimHash pairs: 4×15-bit chunk candidates, hamming ≤ 8.
     "q54_simhash" -> { (s, dir) =>
-      val sh = simhash(t(s, dir, "documents"))
+      val sh = simhash(tWide(s, dir, "documents"))
       val chunks = sh
         .select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("c"))
@@ -81,19 +79,45 @@ object SimilarityQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // Exact 3-gram Jaccard ≥ 0.5 via inverted-index pair generation.
+    // Exact 3-gram Jaccard ≥ 0.5 with PPJoin-style prefix filtering
+    // (Xiao et al., WWW'08): shingles globally ordered by rarity; a pair
+    // with J ≥ t must share one of each doc's floor((1-t)·|d|)+1 rarest
+    // shingles, so only those generate candidates — hot shingles never
+    // drive the join. Exact: no false negatives at the threshold.
+    // All plumbing runs on 62-bit long shingle hashes (two char-poly
+    // folds, bases 131/137, combined h1·2^31 + h2) instead of shingle
+    // strings: long shuffles/joins are far cheaper, and because the DuckDB
+    // twin computes the *same* hashes, oracle parity is exact even in the
+    // (astronomically unlikely) event of a collision.
     "q55_ngram_jaccard" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val sh = shingleRows(docs)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.toDF("doc_a", "s")
-        .join(sh.toDF("doc_b", "s2"), col("s") === col("s2") &&
+      val docs = tWide(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val h62 = (c: Column) =>
+        poly_hash(c, 131) * 2147483648L + poly_hash(c, 137)
+      val arrs = docs.select(col("doc_id"),
+        transform(array_distinct(transform(
+          sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3)))), sg => h62(sg)).as("arr")).cache()
+      val sh = arrs.select(col("doc_id"), explode(col("arr")).as("h"))
+      val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")
+      val prefix = sh.join(dfreq, "h")
+        .withColumn("rn", row_number().over(wDoc))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(col("rn") <= floor(col("n") * 0.5) + 1)
+        .select("doc_id", "h")
+      val cand = prefix.toDF("doc_a", "h")
+        .join(prefix.toDF("doc_b", "h2"), col("h") === col("h2") &&
           col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("doc_a", "n_a"), "doc_a")
-        .join(sizes.toDF("doc_b", "n_b"), "doc_b")
-        .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(arrs.toDF("doc_a", "arr_a"), "doc_a")
+        .join(arrs.toDF("doc_b", "arr_b"), "doc_b")
+        .withColumn("inter",
+          size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+        .withColumn("uni",
+          (size(col("arr_a")) + size(col("arr_b"))).cast("long") - col("inter"))
         .filter(col("inter").cast("double") / col("uni") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
           round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
@@ -103,7 +127,7 @@ object SimilarityQueries {
     // Blocked (per-label) embedding pair scan: the partition-then-compare
     // dedup pattern; reports per-block pair stats.
     "q56_dedup_embed" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = tWide(s, dir, "embeddings")
       val a = e.select(col("label").as("l_a"), col("vec_id").as("id_a"),
         col("embedding").as("e_a"))
       val b = e.select(col("label").as("l_b"), col("vec_id").as("id_b"),
@@ -123,7 +147,7 @@ object SimilarityQueries {
     // IVF ANN: centroids = vec_id % 100 = 0; assign all vectors to their
     // nearest centroid; probe only the query's bucket, top-3.
     "q57_ann_ivf" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = tWide(s, dir, "embeddings")
       val cent = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val wAsgn = Window.partitionBy("vec_id")
@@ -190,14 +214,17 @@ object SimilarityQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q55_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(0, len(string_split(text,' ')) - 2),
-        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS w
+      """WITH arrs AS (
+        |  SELECT doc_id, list_transform(list_distinct(list_transform(
+        |      range(0, len(string_split(text,' ')) - 2),
+        |      i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))),
+        |    sg -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sg,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*131 + b) % 2147483647) * 2147483648
+        |        + list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sg,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*137 + b) % 2147483647)) AS arr
         |  FROM documents),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |   len(list_intersect(a.w, b.w))::BIGINT AS inter,
-        |   (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))::BIGINT AS uni
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |   len(list_intersect(a.arr, b.arr))::BIGINT AS inter,
+        |   (len(a.arr) + len(b.arr) - len(list_intersect(a.arr, b.arr)))::BIGINT AS uni
+        |  FROM arrs a JOIN arrs b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, inter, uni, round(inter::DOUBLE / uni, 6) AS jaccard
         |FROM p WHERE inter::DOUBLE / uni >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,

@@ -17,7 +17,7 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_lang_id" -> { (s, dir) =>
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("cnt"))
@@ -25,7 +25,7 @@ object TextQueries {
     },
 
     "q51_quality" -> { (s, dir) =>
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(col("doc_id"),
           TextOps.tokenCountWs(col("text")).as("n_tokens"),
           round(TextOps.typeTokenRatio(col("text")), 6).as("ttr"),
@@ -37,7 +37,7 @@ object TextQueries {
     },
 
     "q52_token_count" -> { (s, dir) =>
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(col("lang"),
           TextOps.tokenCountWs(col("text")).as("ws"),
           TextOps.tokenCountBpe(col("text")).as("bpe"))
@@ -50,7 +50,7 @@ object TextQueries {
     },
 
     "q53_fingerprint" -> { (s, dir) =>
-      t(s, dir, "documents")
+      tWide(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression
+  * converters (Spark 4 split Column off the catalyst Expression; the
+  * public API offers no constructor from an Expression). This is the
+  * only file that lives inside the org.apache.spark.sql namespace. */
+package object graftbridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}
