@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the graft expressions, two ways:
+  *
+  *  - [[GraftFunctions.register]]: imperative, on an existing session —
+  *    `graft_poly_hash(s [, base])` and `graft_seq_dot(a, b)` become
+  *    callable from `spark.sql(...)`.
+  *  - [[GraftExtensions]]: declarative, via
+  *    `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  *    time — the deployment path for clusters where user code can't touch
+  *    session internals. */
+object GraftFunctions {
+
+  private def polyBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(s) => PolyHash(s, 131, 2147483647L)
+    case Seq(s, b) => PolyHash(s,
+      b.eval().asInstanceOf[Number].intValue(), 2147483647L)
+    case _ => throw new IllegalArgumentException(
+      "graft_poly_hash(str[, base]) takes 1 or 2 arguments")
+  }
+
+  private def dotBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => SeqDotProduct(a, b)
+    case _ => throw new IllegalArgumentException(
+      "graft_seq_dot(a, b) takes 2 arguments")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+      polyBuilder),
+    (FunctionIdentifier("graft_seq_dot"),
+      new ExpressionInfo(classOf[SeqDotProduct].getName, "graft_seq_dot"),
+      dotBuilder))
+
+  /** Register on a live session (temp functions, session-scoped). */
+  def register(spark: SparkSession): Unit = functions.foreach {
+    case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Spark-native staging layer — the direct heir of the reference's S3
+  * helper surface (santoroc/appstore-aws-etl `utils/utils/s3.py`):
+  *
+  *  - `BucketPath.store(body, key)` (s3.py:26-30)  → [[Staging.store]]
+  *  - `BucketPath.keys_list`        (s3.py:16-23)  → [[Staging.keysList]]
+  *  - `BucketPath.vacuum()`         (s3.py:33-43)  → [[Staging.vacuum]]
+  *
+  * Differences by design: listings paginate via Hadoop's RemoteIterator
+  * (the reference reads one `list_objects_v2` page — capped at 1000 keys,
+  * s3.py:18-20); writes are datasets, not opaque byte blobs; everything
+  * works against any Hadoop filesystem — `file://` here, `s3a://` in
+  * production with only `spark.hadoop.fs.s3a.*` config changes. */
+object Staging {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stage a dataset under `path`; returns the fully-qualified URI
+    * (the reference returns `s3://bucket/key`, s3.py:28-30). */
+  def store(df: DataFrame, path: String, format: String = "parquet",
+      mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil): String = {
+    val w = df.write.mode(mode).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(path)
+    fs(df.sparkSession, path).makeQualified(new Path(path)).toString
+  }
+
+  /** All file keys under a prefix, recursively, fully paginated. */
+  def keysList(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) return Nil
+    val it = f.listFiles(p, true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) buf += it.next().getPath.toString
+    buf.result()
+  }
+
+  /** Truncate the staging prefix (reference: delete_objects of every key,
+    * with a no-op on empty — s3.py:33-43). Returns true if deleted. */
+  def vacuum(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    f.exists(p) && f.delete(p, true)
+  }
+}
+
+/** JSON configuration parsing — heir of `get_secret(..., 'JSON')`
+  * (`utils/utils/secrets.py:41-46`, json.loads of a fetched secret
+  * string). Credential *fetching* is deliberately out of engine scope
+  * (SURVEY.md §2a row 5): Spark-native provisioning is `spark.conf` /
+  * Hadoop credential providers, not code. */
+object JsonConfig {
+  /** Parse a flat JSON object into a string→string map.
+    * (PLAIN TEXT secrets — secrets.py:45-46 — are just the raw string.) */
+  def parse(spark: SparkSession, json: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, explode, from_json, lit}
+    import spark.implicits._
+    Seq(json).toDF("j")
+      .select(explode(from_json(col("j"), lit("map<string,string>"))))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+  }
+}

@@ -1,0 +1,27 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate like their Column twins") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_poly_hash('hello') AS h,
+        |       graft_poly_hash('hello', 137) AS h137,
+        |       graft_seq_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                     array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+        |""".stripMargin).head()
+    assert(r.getLong(0) === 792145564L)
+    assert(r.getLong(1) !== r.getLong(0))
+    assert(r.getDouble(2) === 11.0)
+  }
+
+  test("extensions class injects both functions") {
+    // construct the injection point directly; a cluster reaches this via
+    // spark.sql.extensions=graft.plans.GraftExtensions at builder time
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)   // must not throw
+  }
+}

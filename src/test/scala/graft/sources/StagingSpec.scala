@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class StagingSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft_staging").toString
+
+  test("store -> keysList -> vacuum round trip (the reference's staging cycle)") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp() + "/stage"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+
+    val uri = Staging.store(df, dir)
+    assert(uri.startsWith("file:"), s"qualified URI expected, got $uri")
+
+    val keys = Staging.keysList(spark, dir)
+    assert(keys.exists(_.endsWith(".parquet")), s"parquet files expected in $keys")
+    assert(spark.read.parquet(dir).count() === 2)
+
+    assert(Staging.vacuum(spark, dir))
+    assert(Staging.keysList(spark, dir).isEmpty)
+    assert(!Staging.vacuum(spark, dir), "vacuum of missing prefix is a no-op")
+  }
+
+  test("csv and json staging round-trips preserve data") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmp()
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "score")
+    Staging.store(df, s"$base/csv", format = "csv")
+    Staging.store(df, s"$base/json", format = "json")
+    val csv = spark.read.schema(df.schema).csv(s"$base/csv")
+    val json = spark.read.schema(df.schema).json(s"$base/json")
+    assert(csv.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    assert(json.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
+  test("partitioned store lays out hive-style directories") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp() + "/part"
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+    Staging.store(df, dir, partitionBy = Seq("lang"))
+    val keys = Staging.keysList(spark, dir)
+    assert(keys.exists(_.contains("lang=en")) && keys.exists(_.contains("lang=de")))
+    // partition pruning: only lang=en files are read
+    val pruned = spark.read.parquet(dir).filter("lang = 'en'")
+    assert(pruned.count() === 2)
+    val scanned = pruned.queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters"), "expect partition filters in scan")
+  }
+
+  test("JsonConfig parses flat JSON objects (get_secret JSON analog)") {
+    val cfg = JsonConfig.parse(spark, """{"user": "etl", "region": "us-east-1"}""")
+    assert(cfg === Map("user" -> "etl", "region" -> "us-east-1"))
+  }
+}
