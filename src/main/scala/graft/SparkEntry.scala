@@ -26,6 +26,7 @@ object SparkEntry {
     LlmQueries.queries ++
     TextQueries.queries ++
     SimilarityQueries.queries ++
+    ExtraQueries.queries ++
     UdfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
     LlmQueries.oracle ++
     TextQueries.oracle ++
     SimilarityQueries.oracle ++
+    ExtraQueries.oracle ++
     UdfQueries.oracle
 }
