@@ -39,6 +39,25 @@ object ExtraQueries {
       s.sql(q59Sql)
     },
 
+    // q11's as-of semantics through the NATIVE operator
+    // (graft.plans.AsOfJoinPlan: LogicalPlan + Strategy + SparkPlan) —
+    // same oracle as q11, different physical path (co-partitioned
+    // sort-merge instead of union + window).
+    "q61_asof_native" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      AsOfJoin.asof(purchases, clicks, "user_id", "c_user", "ts", "c_ts",
+          rightTieBreak = Seq("c_event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("c_ts").as("click_ts"), col("c_value").as("click_value"))
+        .orderBy("event_id")
+    },
+
     // Exact linear-interpolation percentiles from decimal-sorted doubles.
     "q60_percentile" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -61,6 +80,16 @@ object ExtraQueries {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q59_subquery" -> q59Sql,
+
+    "q61_asof_native" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
+        |SELECT p.event_id, p.user_id, p.ts,
+        | (SELECT c.ts FROM e c WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_ts,
+        | (SELECT c.value FROM e c WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_value
+        |FROM e p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
 
     "q60_percentile" ->
       """SELECT l_returnflag,

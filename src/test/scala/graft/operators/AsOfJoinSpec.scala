@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native as-of join: latest right row at or before each left row") {
+    val sess = spark
+    import sess.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:30"), "t2"),
+      (2L, ts("2024-01-01 10:00:10"), "t3"), // user 2 has no quotes at all
+      (3L, ts("2024-01-01 09:59:59"), "t4")) // before any quote for user 3
+      .toDF("user", "trade_ts", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:05"), 101.0), // tie with t1 → included (<=)
+      (1L, ts("2024-01-01 10:00:20"), 102.0),
+      (3L, ts("2024-01-01 10:00:00"), 300.0))
+      .toDF("q_user", "q_ts", "price")
+
+    val out = AsOfJoin.asof(trades, quotes,
+        "user", "q_user", "trade_ts", "q_ts")
+      .select("trade_id", "price")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+
+    assert(out === Map(
+      "t1" -> 101.0, // equal-ts quote wins over the earlier one
+      "t2" -> 102.0,
+      "t3" -> null,
+      "t4" -> null))
+  }
+
+  test("matches the window-based q11 formulation on fixture events") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.loadEvents(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("value").as("c_value"))
+
+    val native = AsOfJoin.asof(purchases, clicks,
+        "user_id", "c_user", "ts", "c_ts", rightTieBreak = Seq("c_event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("c_ts").as("click_ts"), col("c_value").as("click_value"))
+      .orderBy("event_id")
+    val windowed = graft.operators.JoinQueries
+      .queries("q11_join_asof")(spark, dir)
+
+    val a = native.collect().map(_.toSeq).toSeq
+    val b = windowed.collect().map(_.toSeq).toSeq
+    assert(a.size === b.size)
+    assert(a === b)
+  }
+}
