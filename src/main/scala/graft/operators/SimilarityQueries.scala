@@ -35,24 +35,19 @@ object SimilarityQueries {
   }
 
   /** 60-bit SimHash per doc: two char-poly word hashes (bases 131/137)
-    * supply bits 0..29 / 30..59; bit votes weighted by term frequency. */
+    * supply bits 0..29 / 30..59; bit votes weighted by term frequency.
+    * Aggregated in one pass by [[graft.plans.SimHashAgg]] (a
+    * TypedImperativeAggregate with a long[60] vote buffer) — no ×60 bit
+    * explode, one shuffle, map-side combine. */
   def simhash(docs: DataFrame): DataFrame = {
-    val wc = docs
+    import graft.plans.SimHashAgg.simhash_agg
+    docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
       .groupBy("doc_id", "tk").agg(count(lit(1)).as("cnt"))
-    wc.select(col("doc_id"), col("cnt"),
+      .select(col("doc_id"), col("cnt"),
         poly_hash(col("tk"), 131).as("h1"), poly_hash(col("tk"), 137).as("h2"))
-      .select(col("doc_id"), col("cnt"), col("h1"), col("h2"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("bit", expr(
-        "CASE WHEN b < 30 THEN shiftright(h1, b) & 1 " +
-        "ELSE shiftright(h2, b - 30) & 1 END"))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("w"))
       .groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .cast("long").as("simhash"))
+      .agg(simhash_agg(col("h1"), col("h2"), col("cnt")).as("simhash"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -49,6 +49,18 @@ object Staging {
     val p = new Path(path)
     f.exists(p) && f.delete(p, true)
   }
+
+  /** Persist a catalog table bucketed + sorted on `keys`. Two tables
+    * bucketed the same way join with NO shuffle and NO sort — the
+    * co-located fact-fact join that makes orderkey-grain joins viable at
+    * 100 TB (each of the n buckets pairs off directly). */
+  def storeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }
 
 /** JSON configuration parsing — heir of `get_secret(..., 'JSON')`

@@ -18,6 +18,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 11.0)
   }
 
+  test("poly_hash of a literal is constant-folded by Catalyst") {
+    GraftFunctions.register(spark)
+    val opt = spark.sql("SELECT graft_poly_hash('hello') AS h")
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("792145564"),
+      s"expected folded literal in optimized plan:\n$opt")
+  }
+
   test("extensions class injects both functions") {
     // construct the injection point directly; a cluster reaches this via
     // spark.sql.extensions=graft.plans.GraftExtensions at builder time

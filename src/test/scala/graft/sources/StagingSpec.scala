@@ -54,6 +54,22 @@ class StagingSpec extends SparkSpec {
     assert(scanned.contains("PartitionFilters"), "expect partition filters in scan")
   }
 
+  test("co-bucketed tables join without exchange or sort") {
+    val sess = spark
+    import sess.implicits._
+    val fact = (1 to 2000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    val dim = (0 to 99).map(i => (i.toLong, s"d$i")).toDF("k2", "name")
+    Staging.storeBucketed(fact, "fact_b", Seq("k"), 8)
+    Staging.storeBucketed(dim, "dim_b", Seq("k2"), 8)
+    val joined = spark.table("fact_b")
+      .join(spark.table("dim_b").hint("merge"), $"k" === $"k2")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed join must not shuffle:\n$plan")
+    assert(joined.count() === 2000)
+    spark.sql("DROP TABLE fact_b"); spark.sql("DROP TABLE dim_b")
+  }
+
   test("JsonConfig parses flat JSON objects (get_secret JSON analog)") {
     val cfg = JsonConfig.parse(spark, """{"user": "etl", "region": "us-east-1"}""")
     assert(cfg === Map("user" -> "etl", "region" -> "us-east-1"))

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -139,6 +140,35 @@ class StreamingSpec extends SparkSpec {
           |  FROM totals_t) WHERE rn = 1 ORDER BY user_id""".stripMargin)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(latest === Seq((1L, 3L, 10.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: clicks attribute to impressions") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imp = impressions.toDF().toDF("imp_id", "imp_ts")
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks.toDF().toDF("click_imp_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val joined = imp.join(clk, expr(
+      """imp_id = click_imp_id AND
+        |click_ts >= imp_ts AND
+        |click_ts <= imp_ts + interval 5 minutes""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("attrib_t")
+      .outputMode("append").start()
+    try {
+      impressions.addData((1L, ts("2024-01-01 00:00:00")),
+        (2L, ts("2024-01-01 00:01:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 00:03:00")),  // within 5 min → joins
+        (2L, ts("2024-01-01 00:30:00")))  // 29 min later → outside window
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT imp_id FROM attrib_t")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows === Seq(1L), "only the in-window click must join")
     } finally q.stop()
   }
 
