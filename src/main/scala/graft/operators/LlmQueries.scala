@@ -130,6 +130,27 @@ object LlmQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Composite cleaning pipeline — the canonical training-data flow:
+    // exact-dedup survivors → quality gate → per-lang corpus report.
+    "q62_clean_pipeline" -> { (s, dir) =>
+      val docs = tWide(s, dir, "documents")
+      val survivors = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val toks = split(col("text"), " ")
+      docs.join(survivors, "doc_id")
+        .withColumn("ttr",
+          size(array_distinct(toks)).cast("double") / size(toks))
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .filter(col("ttr") >= 0.2 && col("n_tokens") >= 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum("n_tokens").cast("long").as("kept_tokens"),
+          round(min("ttr"), 6).as("min_ttr"))
+        .orderBy("lang")
+    },
+
     // Per-lang corpus stats.
     "q46_text_stats" -> { (s, dir) =>
       tWide(s, dir, "documents")
@@ -197,6 +218,18 @@ object LlmQueries {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid) AS rnk FROM s)
         |SELECT qid, rnk, nid, round(sim_raw, 6) AS sim
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q62_clean_pipeline" ->
+      """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d AS (SELECT doc_id, lang,
+        |   len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' ')) AS ttr,
+        |   len(string_split(text,' '))::BIGINT AS n_tokens
+        |  FROM documents JOIN surv USING (doc_id))
+        |SELECT lang, count(*) AS kept_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+        |  round(min(ttr), 6) AS min_ttr
+        |FROM d WHERE ttr >= 0.2 AND n_tokens >= 10
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q46_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

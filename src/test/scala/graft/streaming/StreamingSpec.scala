@@ -172,6 +172,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch lands deduped micro-batches in the staging layer") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft_febatch").toString + "/stage"
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamPipelines.dedupWithinWatermark(df)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Staging.store(batch, s"$outDir/batch_$id")
+          ()
+        }
+      }
+      .start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:10"), 7L, "click", 1.0),
+        (2L, ts("2024-01-01 00:00:20"), 7L, "click", 2.0)) // dup, dropped
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-01 00:00:30"), 8L, "view", 3.0))
+      q.processAllAvailable()
+      val staged = spark.read.parquet(s"$outDir/batch_*")
+      assert(staged.select("event_id").collect().map(_.getLong(0)).sorted
+        === Array(1L, 3L))
+    } finally q.stop()
+  }
+
   test("file-source stream round-trip: readStream parquet -> parquet sink") {
     val sess = spark
     import sess.implicits._
