@@ -50,6 +50,21 @@ object Staging {
     f.exists(p) && f.delete(p, true)
   }
 
+  /** Key-based upsert — the load-stage analog of the reference's
+    * declared Redshift target (`README.md:2`): rows from `updates`
+    * replace same-key rows in `existing`; new keys append. Pure
+    * DataFrame merge (anti-join + union), so it composes with any sink;
+    * at warehouse scale the same shape backs MERGE INTO on a
+    * transactional table format. */
+  def upsert(existing: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(existing.columns.sameElements(updates.columns),
+      "upsert requires identical schemas")
+    existing.join(updates.select(keys.head, keys.tail: _*)
+        .dropDuplicates(keys), keys, "left_anti")
+      .unionByName(updates)
+  }
+
   /** Persist a catalog table bucketed + sorted on `keys`. Two tables
     * bucketed the same way join with NO shuffle and NO sort — the
     * co-located fact-fact join that makes orderkey-grain joins viable at

@@ -70,6 +70,19 @@ class StagingSpec extends SparkSpec {
     spark.sql("DROP TABLE fact_b"); spark.sql("DROP TABLE dim_b")
   }
 
+  test("upsert replaces matching keys and appends new ones") {
+    val sess = spark
+    import sess.implicits._
+    val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+    val updates = Seq((2L, "b2", 21.0), (4L, "d", 40.0))
+      .toDF("id", "name", "score")
+    val merged = Staging.upsert(existing, updates, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(merged.toSeq === Seq(
+      (1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
   test("JsonConfig parses flat JSON objects (get_secret JSON analog)") {
     val cfg = JsonConfig.parse(spark, """{"user": "etl", "region": "us-east-1"}""")
     assert(cfg === Map("user" -> "etl", "region" -> "us-east-1"))
