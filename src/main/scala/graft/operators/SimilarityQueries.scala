@@ -25,15 +25,6 @@ object SimilarityQueries {
 
   private def tokens(text: Column) = split(text, " ")
 
-  /** Distinct word 3-shingles as (doc_id, s) rows. */
-  private def shingleRows(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(col("doc_id"), explode(array_distinct(transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-        element_at(toks, i + 3))))).as("s"))
-  }
-
   /** 60-bit SimHash per doc: two char-poly word hashes (bases 131/137)
     * supply bits 0..29 / 30..59; bit votes weighted by term frequency.
     * Aggregated in one pass by [[graft.plans.SimHashAgg]] (a

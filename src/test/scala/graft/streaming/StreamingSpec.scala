@@ -143,6 +143,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits only on threshold crossings") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val input = MemoryStream[(Long, Double)]
+    // alert once per user each time the running total crosses a 10-multiple
+    val alerts = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          var total = state.getOption.getOrElse(0.0)
+          val out = Seq.newBuilder[(Long, Double)]
+          rows.foreach { case (_, v) =>
+            val prev = total
+            total += v
+            if ((total / 10).toInt > (prev / 10).toInt) out += ((uid, total))
+          }
+          state.update(total)
+          out.result().iterator
+      }.toDF("user_id", "total_at_alert")
+    val q = alerts.writeStream.format("memory").queryName("alerts_t")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 6.0), (1L, 3.0))   // total 9 → no alert
+      q.processAllAvailable()
+      input.addData((1L, 2.0), (2L, 12.0))  // 11 → alert; 12 → alert
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, total_at_alert FROM alerts_t ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows === Seq((1L, 11.0), (2L, 12.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks attribute to impressions") {
     val sess = spark
     import sess.implicits._
