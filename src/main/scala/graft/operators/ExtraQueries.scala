@@ -58,6 +58,21 @@ object ExtraQueries {
         .orderBy("event_id")
     },
 
+    // Time-interval RANGE frame: per-user trailing-1-hour event count and
+    // decimal value sum at every event — the per-entity sliding aggregate
+    // that tumbling windows (q39) can't express.
+    "q63_win_range" -> { (s, dir) =>
+      loadEvents(s, dir).createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_id, user_id, ts,
+          |  COUNT(*) OVER w AS cnt_1h,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_1h
+          |FROM events_v
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    },
+
     // Exact linear-interpolation percentiles from decimal-sorted doubles.
     "q60_percentile" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -90,6 +105,16 @@ object ExtraQueries {
         |    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_value
         |FROM e p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "q63_win_range" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS cnt_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q60_percentile" ->
       """SELECT l_returnflag,
