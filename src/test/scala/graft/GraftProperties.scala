@@ -52,4 +52,25 @@ object GraftProperties extends Properties("graft") {
     Prop.forAll(moneyGen, moneyGen) { (a, b) =>
       df(a).unionAll(df(b)).count() == a.size + b.size
     }
+
+  // MinHash estimate vs exact Jaccard: generate doc pairs with a
+  // controlled shared prefix; a 32-perm signature is a binomial(32, J)
+  // estimator, so |est - J| < 0.35 is a ~4σ bound.
+  property("minhash signature agreement tracks exact shingle Jaccard") =
+    Prop.forAll(Gen.chooseNum(5, 35)) { shared =>
+      val sess = spark
+      import sess.implicits._
+      val a = (1 to 40).map(i => s"w$i")
+      val b = (1 to shared).map(i => s"w$i") ++
+        ((shared + 1) to 40).map(i => s"x$i")
+      val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+        .toDF("doc_id", "text")
+      def shingles(t: Seq[String]) =
+        t.sliding(3).map(_.mkString(" ")).toSet
+      val (sa, sb) = (shingles(a), shingles(b))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val pairs = graft.operators.LlmQueries.minhashPairs(docs).collect()
+      if (pairs.isEmpty) exact < 0.55  // banding may miss low-sim pairs
+      else math.abs(pairs.head.getLong(2) / 32.0 - exact) < 0.35
+    }
 }
