@@ -12,13 +12,11 @@ import graft.plans.GraftExpressions.poly_hash
   * blocked embedding near-dup, and IVF-bucketed approximate NN — the
   * scale paths that complement the brute-force baselines.
   *
-  * Scale notes: SimHash candidate generation joins on 15-bit chunks
-  * (pigeonhole: hamming ≤ 8 over 4 chunks guarantees ≥1 exact-match
-  * chunk... for ≤ 3 mismatched chunks; here candidates are a recall
-  * heuristic pinned by the oracle). The inverted-index Jaccard join is
-  * the standard shingle-posting-list pattern — at 100 TB you'd drop
-  * stop-shingles (document frequency cap) and salt hot keys; both are
-  * data-dependent config, not structural changes. IVF assigns vectors to
+  * Scale notes: SimHash candidate generation joins on 15-bit chunks —
+  * a recall heuristic (candidates pinned by the oracle), hash-
+  * partitionable like any LSH band join. Exact Jaccard (q55) avoids the
+  * naive posting-list blowup with PPJoin prefix filtering, so hot
+  * shingles never drive the candidate join. IVF assigns vectors to
   * their nearest centroid once (linear), then probes only the query's
   * bucket — the candidate set shrinks by the centroid fan-out. */
 object SimilarityQueries {
