@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.SparkSpec
+import graft.Tables.{dec, D}
+
+/** Edge cases the null-free, tie-light fixtures cannot exercise
+  * (FIXTURES.md "Unit-test fixtures"): null join keys, rank ties, empty
+  * inputs, and decimal aggregation corners. */
+class EdgeCaseSpec extends SparkSpec {
+
+  test("null keys never match in joins, and survive outer sides") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+      .toDF("k", "lv")
+    val r = Seq((Some(1L), "x"), (None, "y")).toDF("k2", "rv")
+    val inner = l.join(r, col("k") === col("k2")).collect()
+    assert(inner.length === 1 && inner.head.getString(1) === "a",
+      "null = null must not match")
+    val outer = l.join(r, col("k") === col("k2"), "left_outer")
+      .orderBy(col("lv")).collect()
+    assert(outer.length === 3)
+    assert(outer(1).getString(1) === "b" && outer(1).isNullAt(2),
+      "null-key left row survives with null right side")
+  }
+
+  test("rank vs dense_rank vs row_number on ties") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(("g", 10), ("g", 10), ("g", 20)).toDF("p", "x")
+    val w = Window.partitionBy("p").orderBy("x")
+    val r = df.select(
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      row_number().over(w).as("rn")).orderBy("rn").collect()
+    assert(r.map(_.getInt(0)).toSeq === Seq(1, 1, 3))
+    assert(r.map(_.getInt(1)).toSeq === Seq(1, 1, 2))
+    assert(r.map(_.getInt(2)).toSeq === Seq(1, 2, 3))
+  }
+
+  test("aggregation over empty input: global row vs no group rows") {
+    val sess = spark
+    import sess.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("g", "x")
+    val global = empty.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("s")).collect()
+    assert(global.length === 1)
+    assert(global.head.getLong(0) === 0L && global.head.isNullAt(1),
+      "global agg emits one row: count 0, sum null")
+    assert(empty.groupBy("g").agg(count(lit(1))).collect().isEmpty,
+      "grouped agg over empty input emits no rows")
+  }
+
+  test("decimal sum overflow yields null (non-ANSI), not silent wrap") {
+    val sess = spark
+    import sess.implicits._
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "false" ||
+      spark.conf.get("spark.sql.ansi.enabled") === "true") // document either way
+    val big = java.math.BigDecimal.valueOf(9.9e13) // near DECIMAL(18,4) cap
+    val df = Seq.fill(10)(big).toDF("x")
+      .select(col("x").cast(D).as("x"))
+    val s = scala.util.Try(df.agg(sum(col("x")).cast(D)).head())
+    // DECIMAL(28,4) intermediate holds 9.9e14 fine; the final (18,4) cast
+    // overflows -> null under non-ANSI, exception under ANSI
+    s.toOption.foreach(row => assert(row.isNullAt(0)))
+  }
+
+  test("set ops treat null as equal (distinct semantics)") {
+    val sess = spark
+    import sess.implicits._
+    val a = Seq(Some(1L), None, None).toDF("k")
+    val b = Seq(Option.empty[Long]).toDF("k")
+    assert(a.intersect(b).count() === 1, "INTERSECT matches nulls")
+    assert(a.except(b).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq === Seq(Some(1L)))
+  }
+
+  test("session window of a single event spans exactly the gap") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      .toDF("ts", "user_id")
+    val out = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select("session_window.start", "session_window.end", "cnt").head()
+    assert(out.getTimestamp(0).toString === "2024-01-01 00:00:00.0")
+    assert(out.getTimestamp(1).toString === "2024-01-01 00:30:00.0")
+  }
+}
