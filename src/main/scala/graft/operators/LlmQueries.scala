@@ -30,10 +30,11 @@ object LlmQueries {
   private val NumBands = 8
   private val RowsPerBand = NumPerms / NumBands
 
-  /** (a_i, b_i) affine "permutation" constants, mod 2^32. Quality needs
-    * only pairwise-independent-ish mixing; values are fixed so both
-    * engines compute identical signatures. */
-  private def permHash(h: Column, i: Int): Column =
+  /** (a_i, b_i) affine "permutation" constants, mod 2^32 — the published
+    * values [[graft.plans.MinHashAgg]] bakes into its update loop.
+    * Quality needs only pairwise-independent-ish mixing; values are
+    * fixed so both engines compute identical signatures. */
+  def permHash(h: Column, i: Int): Column =
     (h * (1103515245L + 2L * i) + (12345L + 7L * i)) % 4294967296L
 
   /** Distinct word k-shingles of `text`, joined with single spaces. */
@@ -44,16 +45,16 @@ object LlmQueries {
       i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
   }
 
-  /** doc_id → 32-wide MinHash signature array over word 3-shingles. */
+  /** doc_id → 32-wide MinHash signature array over word 3-shingles,
+    * aggregated by [[graft.plans.MinHashAgg]] (single long[32]
+    * running-min buffer instead of 32 separate min expressions). */
   def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = docs
+    import graft.plans.MinHashAgg.minhash_agg
+    docs
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
       .select(col("doc_id"), polyHash(col("s")).as("h"))
-    val aggs = (0 until NumPerms).map(i => min(permHash(col("h"), i)).as(s"mh$i"))
-    sh.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"mh$i")): _*).as("sig"))
+      .groupBy("doc_id")
+      .agg(minhash_agg(col("h")).as("sig"))
   }
 
   /** LSH-banded candidate pairs + estimated Jaccard from signature

@@ -1,0 +1,93 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.types._
+
+/** 32-permutation MinHash signature as one TypedImperativeAggregate:
+  * a long[32] running-minimum buffer updated with all 32 affine
+  * "permutations" of each shingle hash in a single pass.
+  *
+  * Replaces 32 separate `min((h*a_i + b_i) % 2^32)` aggregate
+  * expressions — one buffer, one codegen'd update loop, map-side
+  * combine ships 256 bytes per (partition, doc). The permutation
+  * constants match [[graft.operators.LlmQueries.permHash]]'s published
+  * values exactly, so signatures are bit-identical to the declarative
+  * form and to the DuckDB oracle. */
+case class MinHashAgg(
+    h: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  import MinHashAgg.NumPerms
+
+  override def children: Seq[Expression] = Seq(h)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(NumPerms)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = h.eval(input)
+    if (v != null) {
+      val hv = v.asInstanceOf[Number].longValue()
+      var i = 0
+      while (i < NumPerms) {
+        val p = (hv * (1103515245L + 2L * i) + (12345L + 7L * i)) % 4294967296L
+        if (p < buf(i)) buf(i) = p
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < NumPerms) {
+      if (other(i) < buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(NumPerms * 8)
+    var i = 0
+    while (i < NumPerms) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](NumPerms)
+    var i = 0
+    while (i < NumPerms) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashAgg =
+    copy(h = newChildren(0))
+}
+
+object MinHashAgg {
+  val NumPerms = 32
+
+  def minhash_agg(h: Column): Column =
+    toColumn(MinHashAgg(toExpression(h)).toAggregateExpression())
+}
