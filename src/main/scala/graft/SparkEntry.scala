@@ -22,6 +22,7 @@ object SparkEntry {
     WindowQueries.queries ++
     SetQueries.queries ++
     FnQueries.queries ++
+    FnQueries2.queries ++
     EventQueries.queries ++
     LlmQueries.queries ++
     TextQueries.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
     WindowQueries.oracle ++
     SetQueries.oracle ++
     FnQueries.oracle ++
+    FnQueries2.oracle ++
     EventQueries.oracle ++
     LlmQueries.oracle ++
     TextQueries.oracle ++

@@ -32,6 +32,21 @@ object ExtraQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Unpivot (melt): q58's pivot output folded back to long form.
+    "q68_unpivot" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("f_cnt"), col("o_cnt"), col("p_cnt")), "status", "cnt")
+        .orderBy("o_orderpriority", "status")
+    },
+
     // Correlated scalar subquery, decorrelated by Catalyst into an
     // aggregate + join — identical SQL text runs on both engines.
     "q59_subquery" -> { (s, dir) =>
@@ -95,6 +110,20 @@ object ExtraQueries {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q59_subquery" -> q59Sql,
+
+    "q68_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |   count(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+        |   count(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+        |   count(*) FILTER (o_orderstatus = 'P') AS p_cnt
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'f_cnt' AS status, f_cnt AS cnt FROM w
+        |UNION ALL
+        |SELECT o_orderpriority, 'o_cnt', o_cnt FROM w
+        |UNION ALL
+        |SELECT o_orderpriority, 'p_cnt', p_cnt FROM w
+        |ORDER BY o_orderpriority, status""".stripMargin,
 
     "q61_asof_native" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
