@@ -17,9 +17,11 @@ object Bench {
     // any per-query caches so one query's cached RDDs don't tax the next
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val secs = (System.nanoTime() - t0) / 1e9  // cache teardown untimed
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -1.0)           // -1 marks a failed query
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -97,7 +97,9 @@ object FnQueries {
           sort_array(collect_list(struct(col("lang"), col("cnt"))))).as("m"))
         .select(
           concat_ws(",", map_keys(col("m"))).as("langs"),
-          element_at(col("m"), "en").as("en_cnt"),
+          // try_: ANSI element_at throws on a missing key, the oracle's
+          // scalar subquery yields NULL — match the oracle
+          expr("try_element_at(m, 'en')").as("en_cnt"),
           size(col("m")).cast("long").as("n_langs"))
     },
 

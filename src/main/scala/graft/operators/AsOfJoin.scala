@@ -30,6 +30,15 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    // the physical merge compares keys/timestamps as longs
+    import org.apache.spark.sql.types._
+    val mergeComparable: Set[DataType] = Set(ByteType, ShortType,
+      IntegerType, LongType, DateType, TimestampType, TimestampNTZType)
+    Seq(attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTs),
+      attr(rp, rightTs)).foreach { a =>
+      require(mergeComparable.contains(a.dataType),
+        s"as-of join requires integral/timestamp columns; ${a.name} is ${a.dataType}")
+    }
     planToDF(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
       attr(lp, leftTs), attr(rp, rightTs),

@@ -19,29 +19,26 @@ object ExtraQueries {
       |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Shared by q58 (wide form) and q68 (melted back): per-priority
+    * status counts pivoted to columns. */
+  private def statusPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_pivot" -> { (s, dir) =>
-      t(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(count(lit(1)))
-        .select(col("o_orderpriority"),
-          coalesce(col("F"), lit(0L)).as("f_cnt"),
-          coalesce(col("O"), lit(0L)).as("o_cnt"),
-          coalesce(col("P"), lit(0L)).as("p_cnt"))
-        .orderBy("o_orderpriority")
+      statusPivot(s, dir).orderBy("o_orderpriority")
     },
 
     // Unpivot (melt): q58's pivot output folded back to long form.
     "q68_unpivot" -> { (s, dir) =>
-      t(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(count(lit(1)))
-        .select(col("o_orderpriority"),
-          coalesce(col("F"), lit(0L)).as("f_cnt"),
-          coalesce(col("O"), lit(0L)).as("o_cnt"),
-          coalesce(col("P"), lit(0L)).as("p_cnt"))
+      statusPivot(s, dir)
         .unpivot(Array(col("o_orderpriority")),
           Array(col("f_cnt"), col("o_cnt"), col("p_cnt")), "status", "cnt")
         .orderBy("o_orderpriority", "status")

@@ -37,12 +37,18 @@ object LlmQueries {
   def permHash(h: Column, i: Int): Column =
     (h * (1103515245L + 2L * i) + (12345L + 7L * i)) % 4294967296L
 
-  /** Distinct word k-shingles of `text`, joined with single spaces. */
+  /** Distinct word k-shingles of `text`, joined with single spaces.
+    * Docs shorter than k tokens yield an empty array — without the
+    * guard, sequence(0, size-k) would DESCEND for short docs and
+    * element_at(toks, 0) throws. */
   private def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** doc_id → 32-wide MinHash signature array over word 3-shingles,
@@ -63,9 +69,9 @@ object LlmQueries {
     // consumed three times (band explode + both sides of the pair join);
     // cache avoids recomputing the shingle scan per consumer
     val sig = minhashSignatures(docs, k).cache()
-    val bands = sig.select(col("doc_id"),
+    val bands = sig
+      .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(NumBands - 1))).as("b"))
-      .join(sig, "doc_id")
       .select(col("doc_id"), col("b"),
         concat_ws(",", slice(col("sig"), col("b") * RowsPerBand + 1,
           lit(RowsPerBand))).as("bkey"))

@@ -83,6 +83,6 @@ object MultimodalOps {
     df.withColumn("frame_offsets_ms",
       when(col("duration_ms") > 0,
         transform(sequence(lit(0), lit(n - 1)),
-          i => (i * col("duration_ms")) / n))
-        .otherwise(array()))
+          i => floor((i * col("duration_ms")) / n).cast("long")))
+        .otherwise(array().cast("array<long>")))
 }

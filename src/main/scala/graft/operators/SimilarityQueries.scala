@@ -78,11 +78,15 @@ object SimilarityQueries {
       val toks = tokens(col("text"))
       val h62 = (c: Column) =>
         poly_hash(c, 131) * 2147483648L + poly_hash(c, 137)
+      // short-doc guard: sequence(0, size-3) descends below 3 tokens
       val arrs = docs.select(col("doc_id"),
-        transform(array_distinct(transform(
-          sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-            element_at(toks, i + 3)))), sg => h62(sg)).as("arr")).cache()
+        when(size(toks) >= 3,
+          transform(array_distinct(transform(
+            sequence(lit(0), size(toks) - 3),
+            i => concat_ws(" ", element_at(toks, i + 1),
+              element_at(toks, i + 2), element_at(toks, i + 3)))),
+            sg => h62(sg)))
+          .otherwise(array().cast("array<bigint>")).as("arr")).cache()
       val sh = arrs.select(col("doc_id"), explode(col("arr")).as("h"))
       val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")

@@ -81,25 +81,38 @@ case class AsOfJoinExec(
       var haveMatch = false
 
       lIter.map { lRow =>
-        val k = lkB.eval(lRow).asInstanceOf[Number].longValue()
-        val t = tsMicros(ltsB.eval(lRow))
-        if (haveMatch && lastMatchKey != k) { haveMatch = false; lastMatch = null }
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val rk = rkB.eval(head).asInstanceOf[Number].longValue()
-          val rt = tsMicros(rtsB.eval(head))
-          if (rk < k || (rk == k && rt <= t)) {
-            val consumed = rBuf.next()
-            if (rk == k) {
-              lastMatch = consumed.copy()
-              lastMatchKey = k
-              haveMatch = true
+        val kv = lkB.eval(lRow)
+        val tv = ltsB.eval(lRow)
+        if (kv == null || tv == null) {
+          // SQL join semantics: null keys/timestamps never match
+          toUnsafe(joined(lRow, nullRight))
+        } else {
+          val k = kv.asInstanceOf[Number].longValue()
+          val t = tsMicros(tv)
+          if (haveMatch && lastMatchKey != k) { haveMatch = false; lastMatch = null }
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rkv = rkB.eval(head)
+            val rtv = rtsB.eval(head)
+            if (rkv == null || rtv == null) {
+              rBuf.next() // null-keyed right rows (sorted first) can't match
+            } else {
+              val rk = rkv.asInstanceOf[Number].longValue()
+              val rt = tsMicros(rtv)
+              if (rk < k || (rk == k && rt <= t)) {
+                val consumed = rBuf.next()
+                if (rk == k) {
+                  lastMatch = consumed.copy()
+                  lastMatchKey = k
+                  haveMatch = true
+                }
+              } else advancing = false
             }
-          } else advancing = false
+          }
+          val r = if (haveMatch && lastMatchKey == k) lastMatch else nullRight
+          toUnsafe(joined(lRow, r))
         }
-        val r = if (haveMatch && lastMatchKey == k) lastMatch else nullRight
-        toUnsafe(joined(lRow, r))
       }
     }
   }

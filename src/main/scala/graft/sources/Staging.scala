@@ -60,8 +60,12 @@ object Staging {
       keys: Seq[String]): DataFrame = {
     require(existing.columns.sameElements(updates.columns),
       "upsert requires identical schemas")
-    existing.join(updates.select(keys.head, keys.tail: _*)
-        .dropDuplicates(keys), keys, "left_anti")
+    val dupKeys = updates.groupBy(keys.head, keys.tail: _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+    require(dupKeys.isEmpty,
+      "upsert requires key-unique updates; duplicate keys: " +
+        dupKeys.limit(5).collect().mkString(", "))
+    existing.join(updates.select(keys.head, keys.tail: _*), keys, "left_anti")
       .unionByName(updates)
   }
 
@@ -87,12 +91,13 @@ object JsonConfig {
   /** Parse a flat JSON object into a string→string map.
     * (PLAIN TEXT secrets — secrets.py:45-46 — are just the raw string.) */
   def parse(spark: SparkSession, json: String): Map[String, String] = {
-    import org.apache.spark.sql.functions.{col, explode, from_json, lit}
+    import org.apache.spark.sql.functions.{col, from_json, lit}
     import spark.implicits._
-    Seq(json).toDF("j")
-      .select(explode(from_json(col("j"), lit("map<string,string>"))))
-      .collect()
-      .map(r => r.getString(0) -> r.getString(1))
-      .toMap
+    val parsed = Seq(json).toDF("j")
+      .select(from_json(col("j"), lit("map<string,string>")).as("m"))
+      .head().getMap[String, String](0)
+    // fail at the parse site (json.loads analog), not rows later
+    require(parsed != null, s"malformed JSON config: ${json.take(80)}")
+    parsed.toMap
   }
 }

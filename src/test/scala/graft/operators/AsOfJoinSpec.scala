@@ -39,6 +39,34 @@ class AsOfJoinSpec extends SparkSpec {
       "t4" -> null))
   }
 
+  test("null keys and timestamps yield null matches, no crash") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq((Some(1L), Some(ts("2024-01-01 10:00:10")), "a"),
+      (None, Some(ts("2024-01-01 10:00:10")), "b"),
+      (Some(1L), None, "c"))
+      .toDF("user", "trade_ts", "trade_id")
+    val right = Seq((Some(1L), Some(ts("2024-01-01 10:00:00")), 1.0),
+      (None, Some(ts("2024-01-01 10:00:01")), 2.0))
+      .toDF("q_user", "q_ts", "price")
+    val out = AsOfJoin.asof(left, right, "user", "q_user", "trade_ts", "q_ts")
+      .select("trade_id", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out === Map("a" -> 1.0, "b" -> null, "c" -> null))
+  }
+
+  test("rejects non-comparable key types with a clear error") {
+    val sess = spark
+    import sess.implicits._
+    val l = Seq(("u1", ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val r = Seq(("u1", ts("2024-01-01 09:00:00"), 1.0)).toDF("k2", "t2", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "k", "k2", "t", "t2")
+    }
+    assert(e.getMessage.contains("integral/timestamp"))
+  }
+
   test("matches the window-based q11 formulation on fixture events") {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.loadEvents(spark, dir)

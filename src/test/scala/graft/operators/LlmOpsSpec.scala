@@ -43,6 +43,13 @@ class LlmOpsSpec extends SparkSpec {
       s"minhash estimate $est should approximate exact $exact")
   }
 
+  test("docs shorter than the shingle size produce no pairs and no crash") {
+    val pairs = LlmQueries.minhashPairs(
+      docsDF(Seq((1L, "one two"), (2L, "one two"), (3L, "a"))))
+    assert(pairs.collect().isEmpty,
+      "sub-shingle docs have no signatures, hence no candidate pairs")
+  }
+
   test("identical texts give identical signatures and full agreement") {
     val text = (1 to 30).map(i => s"t$i").mkString(" ")
     val pairs = LlmQueries.minhashPairs(docsDF(Seq((1L, text), (2L, text))))

@@ -51,6 +51,9 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
     assert(out(1L) === Seq(0L, 250L, 500L, 750L))
     assert(out(2L) === Seq.empty)
+    val odd = withFrameOffsets(df, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(odd(1L) === Seq(0L, 333L, 666L), "non-divisible durations floor to long ms")
   }
 
   test("round-trips through parquet with the declared media schema") {

@@ -83,6 +83,24 @@ class StagingSpec extends SparkSpec {
       (1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("upsert rejects duplicate keys in updates") {
+    val sess = spark
+    import sess.implicits._
+    val existing = Seq((1L, "a")).toDF("id", "v")
+    val dupUpdates = Seq((2L, "x"), (2L, "y")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Staging.upsert(existing, dupUpdates, Seq("id"))
+    }
+    assert(e.getMessage.contains("key-unique"))
+  }
+
+  test("JsonConfig rejects malformed JSON instead of returning empty") {
+    val e = intercept[IllegalArgumentException] {
+      JsonConfig.parse(spark, "definitely not json")
+    }
+    assert(e.getMessage.contains("malformed"))
+  }
+
   test("JsonConfig parses flat JSON objects (get_secret JSON analog)") {
     val cfg = JsonConfig.parse(spark, """{"user": "etl", "region": "us-east-1"}""")
     assert(cfg === Map("user" -> "etl", "region" -> "us-east-1"))
