@@ -39,6 +39,16 @@ object AsOfJoin {
       require(mergeComparable.contains(a.dataType),
         s"as-of join requires integral/timestamp columns; ${a.name} is ${a.dataType}")
     }
+    // same-type requirement on each pair: hash partitioning is not
+    // value-aligned across types (Murmur3Hash(7: Int) != Murmur3Hash(7L)),
+    // and Date stores days while Timestamp stores micros — either mismatch
+    // would silently mis-join rather than error
+    require(attr(lp, leftKey).dataType == attr(rp, rightKey).dataType,
+      s"as-of join key types must match: ${attr(lp, leftKey).dataType} vs " +
+        s"${attr(rp, rightKey).dataType}")
+    require(attr(lp, leftTs).dataType == attr(rp, rightTs).dataType,
+      s"as-of join timestamp types must match: ${attr(lp, leftTs).dataType} " +
+        s"vs ${attr(rp, rightTs).dataType}")
     planToDF(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
       attr(lp, leftTs), attr(rp, rightTs),

@@ -30,12 +30,13 @@ object LlmQueries {
   private val NumBands = 8
   private val RowsPerBand = NumPerms / NumBands
 
-  /** (a_i, b_i) affine "permutation" constants, mod 2^32 — the published
-    * values [[graft.plans.MinHashAgg]] bakes into its update loop.
-    * Quality needs only pairwise-independent-ish mixing; values are
-    * fixed so both engines compute identical signatures. */
-  def permHash(h: Column, i: Int): Column =
-    (h * (1103515245L + 2L * i) + (12345L + 7L * i)) % 4294967296L
+  /** Declarative form of the affine "permutation" — constants come from
+    * [[graft.plans.MinHashAgg]], the single source of truth shared with
+    * the imperative aggregate and the DuckDB oracle SQL. */
+  def permHash(h: Column, i: Int): Column = {
+    import graft.plans.MinHashAgg.{permA, permB, PermMod}
+    (h * permA(i) + permB(i)) % PermMod
+  }
 
   /** Distinct word k-shingles of `text`, joined with single spaces.
     * Docs shorter than k tokens yield an empty array — without the

@@ -63,6 +63,11 @@ case class AsOfJoinExec(
     (Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
       rightTieBreak.map(SortOrder(_, Ascending))) :: Nil
 
+  // preserve the properties the exchanges+sorts just established, so a
+  // downstream groupBy/join on the same key doesn't re-shuffle
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltsB = BindReferences.bindReference(leftTs, left.output)
@@ -70,6 +75,9 @@ case class AsOfJoinExec(
     val rtsB = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.size
     val outAttrs = output
+    // local, not a member method: a member reference would drag `this`
+    // (the whole plan tree) into every task closure
+    def tsMicros(v: Any): Long = v.asInstanceOf[Number].longValue()
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered
@@ -116,8 +124,6 @@ case class AsOfJoinExec(
       }
     }
   }
-
-  private def tsMicros(v: Any): Long = v.asInstanceOf[Number].longValue()
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =

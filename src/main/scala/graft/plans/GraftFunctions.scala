@@ -18,8 +18,16 @@ object GraftFunctions {
 
   private def polyBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(s) => PolyHash(s, 131, 2147483647L)
-    case Seq(s, b) => PolyHash(s,
-      b.eval().asInstanceOf[Number].intValue(), 2147483647L)
+    case Seq(s, b) =>
+      // the base must be a compile-time constant — eval() on a column
+      // reference here would throw an opaque internal error
+      val base = b match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
+            if v != null => v.intValue()
+        case _ => throw new IllegalArgumentException(
+          "graft_poly_hash base must be a non-null integer literal")
+      }
+      PolyHash(s, base, 2147483647L)
     case _ => throw new IllegalArgumentException(
       "graft_poly_hash(str[, base]) takes 1 or 2 arguments")
   }

@@ -42,7 +42,8 @@ case class MinHashAgg(
       val hv = v.asInstanceOf[Number].longValue()
       var i = 0
       while (i < NumPerms) {
-        val p = (hv * (1103515245L + 2L * i) + (12345L + 7L * i)) % 4294967296L
+        val p = (hv * MinHashAgg.permA(i) + MinHashAgg.permB(i)) %
+          MinHashAgg.PermMod
         if (p < buf(i)) buf(i) = p
         i += 1
       }
@@ -61,20 +62,11 @@ case class MinHashAgg(
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(NumPerms * 8)
-    var i = 0
-    while (i < NumPerms) { bb.putLong(buf(i)); i += 1 }
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    LongArrayCodec.ser(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](NumPerms)
-    var i = 0
-    while (i < NumPerms) { buf(i) = bb.getLong(); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    LongArrayCodec.deser(bytes, NumPerms)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -88,6 +80,33 @@ case class MinHashAgg(
 object MinHashAgg {
   val NumPerms = 32
 
+  /** The single source of truth for the affine "permutation" constants —
+    * referenced by both this aggregate and the declarative
+    * LlmQueries.permHash / the DuckDB oracle SQL. */
+  val PermMod = 4294967296L
+  def permA(i: Int): Long = 1103515245L + 2L * i
+  def permB(i: Int): Long = 12345L + 7L * i
+
   def minhash_agg(h: Column): Column =
     toColumn(MinHashAgg(toExpression(h)).toAggregateExpression())
+}
+
+/** Shared fixed-width long[] buffer codec for the imperative aggregates. */
+private[plans] object LongArrayCodec {
+  def ser(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  def deser(bytes: Array[Byte], n: Int): Array[Long] = {
+    require(bytes.length == n * 8,
+      s"corrupt aggregation buffer: ${bytes.length} bytes for $n longs")
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
 }

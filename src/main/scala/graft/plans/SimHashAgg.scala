@@ -63,20 +63,11 @@ case class SimHashAgg(
     sh
   }
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(60 * 8)
-    var i = 0
-    while (i < 60) { bb.putLong(buf(i)); i += 1 }
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    LongArrayCodec.ser(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](60)
-    var i = 0
-    while (i < 60) { buf(i) = bb.getLong(); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    LongArrayCodec.deser(bytes, 60)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
     copy(mutableAggBufferOffset = newOffset)
