@@ -15,9 +15,17 @@ object VectorOps {
   /** L2 norm (sequential fold — D7 determinism). */
   def l2Norm(v: Column): Column = sqrt(seq_dot(v, v))
 
-  /** Cosine similarity of two float vectors. */
-  def cosine(a: Column, b: Column): Column =
-    seq_dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two float vectors — the single formulation every
+    * similarity operator uses. Zero-norm vectors yield NULL on BOTH
+    * engines (the oracle twins carry the same CASE guard); without it
+    * Spark's non-ANSI x/0 gives NULL while DuckDB's float division gives
+    * NaN, which sorts and filters differently. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = seq_dot(a, a)
+    val nb = seq_dot(b, b)
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(seq_dot(a, b) / (sqrt(na) * sqrt(nb)))
+  }
 
   /** Unit-normalize into a float vector (zero vectors pass through). */
   def normalize(v: Column): Column = {

@@ -18,20 +18,26 @@ import graft.Tables._
   * no candidate explosion. */
 object JoinQueries {
 
+  /** 5-table equi-join chain, revenue per nation (TPC-H Q5 shape);
+    * `wrapDim` lets q12 force the broadcast path on the dims. */
+  private def revenueByNation(s: SparkSession, dir: String,
+      wrapDim: DataFrame => DataFrame): DataFrame =
+    wrapDim(t(s, dir, "region"))
+      .join(wrapDim(t(s, dir, "nation")),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
+          .as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(desc("revenue"), col("n_name"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // 5-table equi-join chain, revenue per nation (TPC-H Q5 shape).
     "q03_join_inner" -> { (s, dir) =>
-      t(s, dir, "region")
-        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
-        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
-        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("r_name", "n_name")
-        .agg(
-          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
-            .as("revenue"),
-          count(lit(1)).as("n_rows"))
-        .orderBy(desc("revenue"), col("n_name"))
+      revenueByNation(s, dir, identity)
     },
 
     "q04_join_left" -> { (s, dir) =>
@@ -137,18 +143,7 @@ object JoinQueries {
 
     // q03 semantics with the broadcast-hash path forced on the dims.
     "q12_join_broadcast" -> { (s, dir) =>
-      broadcast(t(s, dir, "region"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("r_regionkey") === col("n_regionkey"))
-        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
-        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("r_name", "n_name")
-        .agg(
-          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
-            .as("revenue"),
-          count(lit(1)).as("n_rows"))
-        .orderBy(desc("revenue"), col("n_name"))
+      revenueByNation(s, dir, broadcast)
     },
   )
 

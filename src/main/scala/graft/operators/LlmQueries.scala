@@ -26,9 +26,12 @@ object LlmQueries {
   private def polyHash(c: Column): Column =
     graft.plans.GraftExpressions.poly_hash(c)
 
-  private val NumPerms = 32
+  private val NumPerms = graft.plans.MinHashAgg.NumPerms
   private val NumBands = 8
   private val RowsPerBand = NumPerms / NumBands
+
+  /** q44's near-dup cutoff: est Jaccard ≥ 0.8 ⇔ match_cnt ≥ this. */
+  val NearDupMinMatches: Int = math.ceil(0.8 * NumPerms).toInt
 
   /** Declarative form of the affine "permutation" — constants come from
     * [[graft.plans.MinHashAgg]], the single source of truth shared with
@@ -42,7 +45,7 @@ object LlmQueries {
     * Docs shorter than k tokens yield an empty array — without the
     * guard, sequence(0, size-k) would DESCEND for short docs and
     * element_at(toks, 0) throws. */
-  private def shingles(text: Column, k: Int): Column = {
+  def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
     when(size(toks) >= k,
       array_distinct(transform(
@@ -68,7 +71,9 @@ object LlmQueries {
     * agreement. Join is on (band index, band key) — hash-partitionable. */
   def minhashPairs(docs: DataFrame, k: Int = 3): DataFrame = {
     // consumed three times (band explode + both sides of the pair join);
-    // cache avoids recomputing the shingle scan per consumer
+    // cache avoids recomputing the shingle scan per consumer. NB callers
+    // running many corpora in one session should clearCache()/unpersist
+    // between runs (Verify and Bench both do)
     val sig = minhashSignatures(docs, k).cache()
     val bands = sig
       .select(col("doc_id"), col("sig"),
@@ -88,7 +93,7 @@ object LlmQueries {
       .select(col("doc_a"), col("doc_b"),
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), p => p)).cast("long").as("match_cnt"))
-      .withColumn("est_jaccard", col("match_cnt") / 32.0)
+      .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
   }
 
   /** Sequential-fold dot product of two float arrays (contract D7: float32
@@ -96,6 +101,7 @@ object LlmQueries {
     * the DuckDB list_reduce twin). Codegen'd: [[graft.plans.SeqDotProduct]]. */
   def seqDot(a: Column, b: Column): Column =
     graft.plans.GraftExpressions.seq_dot(a, b)
+
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5 grouping, min-doc_id survivor, per-lang report.
@@ -114,7 +120,7 @@ object LlmQueries {
     // → bucket join → est Jaccard ≥ 0.8 (match_cnt ≥ 26).
     "q44_dedup_near" -> { (s, dir) =>
       minhashPairs(tWide(s, dir, "documents"))
-        .filter(col("match_cnt") >= 26)
+        .filter(col("match_cnt") >= NearDupMinMatches)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -128,9 +134,8 @@ object LlmQueries {
       q.crossJoin(v)
         .filter(col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"),
-          (seqDot(col("qe"), col("ve")) /
-            (sqrt(seqDot(col("qe"), col("qe"))) *
-             sqrt(seqDot(col("ve"), col("ve"))))).as("sim_raw"))
+          graft.functions.VectorOps.cosine(col("qe"), col("ve"))
+            .as("sim_raw"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("nid"),
@@ -221,7 +226,8 @@ object LlmQueries {
         |    list_reduce(list_transform(range(1,65), i -> CAST(qe[i]*qe[i] AS DOUBLE)), (a,b)->a+b) AS nq,
         |    list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b) AS nv
         |  FROM q CROSS JOIN embeddings WHERE vec_id != qid),
-        |s AS (SELECT qid, nid, dot/(sqrt(nq)*sqrt(nv)) AS sim_raw FROM p),
+        |s AS (SELECT qid, nid,
+        |  CASE WHEN nq = 0 OR nv = 0 THEN NULL ELSE dot/(sqrt(nq)*sqrt(nv)) END AS sim_raw FROM p),
         |r AS (SELECT qid, nid, sim_raw,
         |  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid) AS rnk FROM s)
         |SELECT qid, rnk, nid, round(sim_raw, 6) AS sim

@@ -79,10 +79,12 @@ object MultimodalOps {
   /** Evenly-spaced frame-sample offsets (ms) for video rows: `n` offsets
     * in [0, duration_ms), built with `sequence` — stays in codegen, and
     * explodes downstream without touching the binary payload. */
-  def withFrameOffsets(df: DataFrame, n: Int): DataFrame =
+  def withFrameOffsets(df: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"frame count must be positive, got $n")
     df.withColumn("frame_offsets_ms",
       when(col("duration_ms") > 0,
         transform(sequence(lit(0), lit(n - 1)),
           i => floor((i * col("duration_ms")) / n).cast("long")))
         .otherwise(array().cast("array<long>")))
+  }
 }

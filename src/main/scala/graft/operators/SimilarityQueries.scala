@@ -75,18 +75,12 @@ object SimilarityQueries {
     // (astronomically unlikely) event of a collision.
     "q55_ngram_jaccard" -> { (s, dir) =>
       val docs = tWide(s, dir, "documents")
-      val toks = tokens(col("text"))
       val h62 = (c: Column) =>
         poly_hash(c, 131) * 2147483648L + poly_hash(c, 137)
-      // short-doc guard: sequence(0, size-3) descends below 3 tokens
+      // same shingle definition as q44 (incl. its short-doc guard)
       val arrs = docs.select(col("doc_id"),
-        when(size(toks) >= 3,
-          transform(array_distinct(transform(
-            sequence(lit(0), size(toks) - 3),
-            i => concat_ws(" ", element_at(toks, i + 1),
-              element_at(toks, i + 2), element_at(toks, i + 3)))),
-            sg => h62(sg)))
-          .otherwise(array().cast("array<bigint>")).as("arr")).cache()
+        transform(LlmQueries.shingles(col("text"), 3), sg => h62(sg))
+          .as("arr")).cache()
       val sh = arrs.select(col("doc_id"), explode(col("arr")).as("h"))
       val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")
@@ -122,9 +116,7 @@ object SimilarityQueries {
         col("embedding").as("e_b"))
       a.join(b, col("l_a") === col("l_b") && col("id_a") < col("id_b"))
         .select(col("l_a").as("label"),
-          (seqDot(col("e_a"), col("e_b")) /
-            (sqrt(seqDot(col("e_a"), col("e_a"))) *
-             sqrt(seqDot(col("e_b"), col("e_b"))))).as("sim"))
+          graft.functions.VectorOps.cosine(col("e_a"), col("e_b")).as("sim"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_pairs"),
           count(when(col("sim") >= 0.3, 1)).as("n_close"),
@@ -143,9 +135,8 @@ object SimilarityQueries {
       val buckets = e.select(col("vec_id"), col("embedding"))
         .crossJoin(cent)
         .select(col("vec_id"), col("embedding"), col("cid"),
-          (seqDot(col("embedding"), col("ce")) /
-            (sqrt(seqDot(col("embedding"), col("embedding"))) *
-             sqrt(seqDot(col("ce"), col("ce"))))).as("csim"))
+          graft.functions.VectorOps.cosine(col("embedding"), col("ce"))
+            .as("csim"))
         .withColumn("rn", row_number().over(wAsgn))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"))
@@ -160,9 +151,8 @@ object SimilarityQueries {
       q.join(members, col("qcid") === col("ncid") &&
           col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"),
-          (seqDot(col("qe"), col("ne")) /
-            (sqrt(seqDot(col("qe"), col("qe"))) *
-             sqrt(seqDot(col("ne"), col("ne"))))).as("sim_raw"))
+          graft.functions.VectorOps.cosine(col("qe"), col("ne"))
+            .as("sim_raw"))
         .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("qid"), col("rnk"), col("nid"),
@@ -218,13 +208,15 @@ object SimilarityQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q56_dedup_embed" ->
-      """WITH p AS (
+      """WITH p0 AS (
         |  SELECT a.label,
-        |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y)
-        |     / (sqrt(list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*a.embedding[i] AS DOUBLE)), (x,y)->x+y))
-        |      * sqrt(list_reduce(list_transform(range(1,65), i -> CAST(b.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y))) AS sim
+        |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y) AS dot,
+        |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*a.embedding[i] AS DOUBLE)), (x,y)->x+y) AS na,
+        |    list_reduce(list_transform(range(1,65), i -> CAST(b.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y) AS nb
         |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |p AS (SELECT label,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(sqrt(na)*sqrt(nb)) END AS sim FROM p0)
         |SELECT label, count(*) AS n_pairs,
         |  count(*) FILTER (sim >= 0.3) AS n_close,
         |  round(max(sim), 6) AS max_cos
@@ -234,20 +226,22 @@ object SimilarityQueries {
       """WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0),
         |asgn AS (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b)
-        |       / (sqrt(list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b))
-        |        * sqrt(list_reduce(list_transform(range(1,65), i -> CAST(c.ce[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b))) AS sim
-        |    FROM embeddings e CROSS JOIN cent c)),
+        |    SELECT vec_id, cid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(sqrt(na)*sqrt(nb)) END AS sim FROM (
+        |      SELECT e.vec_id, c.cid,
+        |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS dot,
+        |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) AS na,
+        |        list_reduce(list_transform(range(1,65), i -> CAST(c.ce[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS nb
+        |      FROM embeddings e CROSS JOIN cent c))),
         |buckets AS (SELECT vec_id, cid FROM asgn WHERE rn = 1),
         |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.cid FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0),
         |probe AS (
-        |  SELECT q.qid, e.vec_id AS nid,
-        |    list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b)
-        |     / (sqrt(list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*q.qe[i] AS DOUBLE)), (a,b)->a+b))
-        |      * sqrt(list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b))) AS sim
-        |  FROM q JOIN buckets b ON b.cid = q.cid JOIN embeddings e ON e.vec_id = b.vec_id
-        |  WHERE e.vec_id != q.qid),
+        |  SELECT qid, nid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(sqrt(na)*sqrt(nb)) END AS sim FROM (
+        |    SELECT q.qid, e.vec_id AS nid,
+        |      list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) AS dot,
+        |      list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*q.qe[i] AS DOUBLE)), (a,b)->a+b) AS na,
+        |      list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) AS nb
+        |    FROM q JOIN buckets b ON b.cid = q.cid JOIN embeddings e ON e.vec_id = b.vec_id
+        |    WHERE e.vec_id != q.qid)),
         |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM probe)
         |SELECT qid, rnk, nid, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,

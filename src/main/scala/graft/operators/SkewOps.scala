@@ -19,6 +19,8 @@ object SkewOps {
     * spread over `salts`× more reducer keys. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
       dimKey: Column, factUnique: Column, salts: Int): DataFrame = {
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs must not already contain a __salt column")
     val salted = fact.withColumn("__salt", pmod(hash(factUnique), lit(salts)))
     val fanned = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
@@ -31,10 +33,13 @@ object SkewOps {
     * count/sum-style partial aggregates computed per (key, salt), then
     * combined per key. Decimal/long inputs keep exactness. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
-      unique: Column, salts: Int): DataFrame =
+      unique: Column, salts: Int): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "input must not already contain a __salt column")
     df.withColumn("__salt", pmod(hash(unique), lit(salts)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(sum(value).as("__s"), count(lit(1)).as("__c"))
       .groupBy("k")
       .agg(sum("__s").as("sum_value"), sum("__c").cast("long").as("cnt"))
+  }
 }

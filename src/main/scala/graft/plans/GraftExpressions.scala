@@ -90,7 +90,13 @@ case class SeqDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      // fail loudly: silently dotting a truncated prefix would rank a
+      // corrupt vector with a plausible-looking similarity
+      throw new IllegalArgumentException(
+        s"graft_seq_dot: length mismatch ($n vs ${b.numElements()})")
+    }
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getFloat(i) * b.getFloat(i); i += 1 }
@@ -103,7 +109,11 @@ case class SeqDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_seq_dot: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getFloat($i) * $b.getFloat($i);

@@ -62,22 +62,35 @@ object StreamPipelines {
         col("user_id"), col("cnt"))
 
   /** Per-user running totals via explicit state — the
-    * mapGroupsWithState custom-state surface. */
+    * mapGroupsWithState custom-state surface. `idleTimeout` bounds the
+    * state store on unbounded key spaces: a user idle longer than the
+    * timeout has its state evicted (totals restart on next activity).
+    * None keeps state forever — only sane for bounded key sets. */
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotal(user_id: Long, n: Long, total: Double)
 
-  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+  def runningUserTotals(events: Dataset[UserEvent],
+      idleTimeout: Option[String] = None): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserTotal, UserTotal](timeoutConf) {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
-          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
-          var n = prev.n
-          var tot = prev.total
-          rows.foreach { e => n += 1; tot += e.value }
-          val next = UserTotal(uid, n, tot)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+            var n = prev.n
+            var tot = prev.total
+            rows.foreach { e => n += 1; tot += e.value }
+            val next = UserTotal(uid, n, tot)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
 
