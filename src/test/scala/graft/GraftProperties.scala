@@ -53,6 +53,41 @@ object GraftProperties extends Properties("graft") {
       df(a).unionAll(df(b)).count() == a.size + b.size
     }
 
+  // native as-of join ≡ windowed last-value formulation on random events
+  property("native as-of join matches the window formulation") =
+    Prop.forAll(Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(0, 1000), Gen.oneOf(0, 1)))) { evs =>
+      val sess = spark
+      import sess.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val df = evs.zipWithIndex.map { case ((u, t, kind), id) =>
+        (id.toLong, u.toLong, t.toLong, kind)
+      }.toDF("event_id", "user_id", "ts", "kind")
+      val left = df.filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = df.filter(col("kind") === 0)
+        .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+          col("ts").as("r_ts"))
+      val native = graft.operators.AsOfJoin.asof(left, right,
+          "user_id", "r_user", "ts", "r_ts", rightTieBreak = Seq("r_id"))
+        .select(col("event_id"), col("r_id")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val windowed = df
+        .withColumn("r_id_c",
+          when(col("kind") === 0, col("event_id")))
+        .withColumn("last_r", last(col("r_id_c"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("last_r")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      native == windowed
+    }
+
   // MinHash estimate vs exact Jaccard: generate doc pairs with a
   // controlled shared prefix; a 32-perm signature is a binomial(32, J)
   // estimator, so |est - J| < 0.35 is a ~4σ bound.

@@ -26,6 +26,31 @@ class GraftFunctionsSpec extends SparkSpec {
       s"expected folded literal in optimized plan:\n$opt")
   }
 
+  test("wrong input types are rejected at analysis, not mid-job") {
+    GraftFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_poly_hash(123)").head()
+    }
+    assert(e1.getMessage.toLowerCase.contains("string"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_seq_dot(array(1.0, 2.0), array(3.0, 4.0))").head()
+    }
+    assert(e2.getMessage.toLowerCase.contains("float"))
+  }
+
+  test("seq_dot fails loudly on ragged arrays") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftExpressions.seq_dot(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"))).head()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("length mismatch"))
+  }
+
   test("extensions class injects both functions") {
     // construct the injection point directly; a cluster reaches this via
     // spark.sql.extensions=graft.plans.GraftExtensions at builder time
