@@ -90,7 +90,7 @@ object FnQueries2 {
         | CAST(hour(ts) AS BIGINT) AS hh,
         | CAST(minute(ts) AS BIGINT) AS mi,
         | CAST(floor(second(ts)) AS BIGINT) AS ss,
-        | to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))::TIMESTAMP AS ts_rt
+        | make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS ts_rt
         |FROM e ORDER BY event_id""".stripMargin,
 
     "q66_fn_hof" ->

@@ -69,14 +69,22 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
     "zh" -> Seq("的", "是", "不", "了", "在", "有", "我"))
 
-  /** Predicted language: argmax marker hits, ties broken alphabetically
+  /** Marker-hit counts per language, in [[LangMarkers]] order, as one
+    * array column. Materialize this behind a projection (withColumn)
+    * before [[langIdFromHits]] on hot paths: the CASE chain references
+    * every count up to 4 times, and higher-order filter expressions are
+    * interpreted — an inline form would re-tokenize per reference. */
+  def langIdHits(text: Column): Column =
+    array(LangMarkers.map { case (_, words) => wordHits(text, words) }: _*)
+
+  /** Argmax over a [[langIdHits]] array; ties break alphabetically
     * (the CASE chain checks langs in sorted order with >=). */
-  def langId(text: Column): Column = {
-    val hits = LangMarkers.map { case (lang, words) =>
-      lang -> wordHits(text, words)
+  def langIdFromHits(hits: Column): Column = {
+    val byLang = LangMarkers.map(_._1).zipWithIndex.map {
+      case (lang, i) => lang -> element_at(hits, i + 1)
     }
-    val branches = hits.map { case (lang, h) =>
-      val geAll = hits.filter(_._1 != lang).map(o => h >= o._2)
+    val branches = byLang.map { case (lang, h) =>
+      val geAll = byLang.filter(_._1 != lang).map(o => h >= o._2)
         .reduce(_ && _)
       (lang, geAll)
     }
@@ -85,16 +93,22 @@ object TextOps {
     }
   }
 
+  /** Predicted language in one expression — convenient for single rows;
+    * prefer the two-step langIdHits/langIdFromHits on large scans. */
+  def langId(text: Column): Column = langIdFromHits(langIdHits(text))
+
   /** Char-fold polynomial hash (base 131, mod 2^31-1) — engine-portable,
     * implemented as a codegen'd Catalyst expression (hot path). */
   def charPolyHash(c: Column): Column =
     graft.plans.GraftExpressions.poly_hash(c)
 
   /** Document fingerprint: rolling hash folding per-token char-poly
-    * hashes — order-sensitive, whitespace-normalization-insensitive. */
+    * hashes — order-sensitive, whitespace-normalization-insensitive
+    * (empty tokens from repeated separators are skipped so "a b" and
+    * "a  b" fingerprint identically). */
   def fingerprint(text: Column): Column =
     aggregate(
-      wsTokens(text),
+      filter(wsTokens(text), t => length(t) > 0),
       lit(0L),
       (acc, tok) => (acc * 131 + charPolyHash(tok)) % 2147483647L)
 }

@@ -18,7 +18,10 @@ object UdfQueries {
 
   /** Scalar UDF: whitespace-normalize text. */
   val normalizeText: String => String =
-    s => if (s == null) null else s.toLowerCase.trim.replaceAll("\\s+", " ")
+    s => if (s == null) null
+      // Locale.ROOT: default-locale toLowerCase diverges from DuckDB's
+      // lower() under e.g. tr-TR (dotless i)
+      else s.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
 
   /** Typed UDAF: exact Σx² over quantities as BigDecimal — deterministic
     * (decimal addition is associative/commutative, any accumulation order
@@ -39,7 +42,9 @@ object UdfQueries {
   /** Word bigrams — the element producer behind the q49 generator. */
   val bigrams: String => Array[String] =
     s => if (s == null) Array.empty
-      else s.split(" ").iterator.sliding(2).withPartial(false)
+      // limit -1 keeps trailing empty tokens, matching Spark's split()
+      // and DuckDB's string_split on trailing whitespace
+      else s.split(" ", -1).iterator.sliding(2).withPartial(false)
         .map(_.mkString(" ")).toArray
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -38,8 +38,13 @@ object VectorOps {
     * clamped to [-127, 127]. `scale` should be the corpus max-abs. */
   def quantizeInt8(v: Column, scale: Double): Column =
     transform(v, x =>
-      greatest(lit(-127), least(lit(127),
-        round(x * (127.0 / scale)))).cast("tinyint"))
+      // explicit null guard: least/greatest SKIP nulls, so an unguarded
+      // null element would clamp to the literal bound (127) instead of
+      // staying null
+      when(x.isNotNull,
+        greatest(lit(-127), least(lit(127),
+          round(x * (127.0 / scale)))).cast("tinyint"))
+        .otherwise(lit(null).cast("tinyint")))
 
   /** Dequantize back to float. */
   def dequantizeInt8(q: Column, scale: Double): Column =

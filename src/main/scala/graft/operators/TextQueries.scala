@@ -18,7 +18,10 @@ object TextQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_lang_id" -> { (s, dir) =>
       tWide(s, dir, "documents")
-        .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        // two-step: hits materialized once per row behind the projection
+        .withColumn("hits", TextOps.langIdHits(col("text")))
+        .select(col("lang"),
+          TextOps.langIdFromHits(col("hits")).as("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "pred_lang")
@@ -100,7 +103,8 @@ object TextQueries {
 
     "q53_fingerprint" ->
       """SELECT doc_id,
-        | list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,' '),
+        | list_reduce(list_prepend(0::BIGINT, list_transform(
+        |   list_filter(string_split(text,' '), t -> length(t) > 0),
         |   tok -> list_reduce(list_prepend(0::BIGINT,
         |     list_transform(string_split(tok,''), ch -> ascii(ch)::BIGINT)),
         |     (a,b) -> (a*131 + b) % 2147483647))),

@@ -60,13 +60,18 @@ object Staging {
       keys: Seq[String]): DataFrame = {
     require(existing.columns.sameElements(updates.columns),
       "upsert requires identical schemas")
-    val dupKeys = updates.groupBy(keys.head, keys.tail: _*)
+    // cache before the uniqueness check: the merged plan must see the
+    // SAME rows the check validated (a nondeterministic `updates` could
+    // otherwise sneak duplicates past it), and the check's job would
+    // otherwise recompute the updates lineage a second time at sink time
+    val u = updates.cache()
+    val dupKeys = u.groupBy(keys.head, keys.tail: _*)
       .count().filter(org.apache.spark.sql.functions.col("count") > 1)
     require(dupKeys.isEmpty,
       "upsert requires key-unique updates; duplicate keys: " +
         dupKeys.limit(5).collect().mkString(", "))
-    existing.join(updates.select(keys.head, keys.tail: _*), keys, "left_anti")
-      .unionByName(updates)
+    existing.join(u.select(keys.head, keys.tail: _*), keys, "left_anti")
+      .unionByName(u)
   }
 
   /** Persist a catalog table bucketed + sorted on `keys`. Two tables
@@ -91,6 +96,7 @@ object JsonConfig {
   /** Parse a flat JSON object into a string→string map.
     * (PLAIN TEXT secrets — secrets.py:45-46 — are just the raw string.) */
   def parse(spark: SparkSession, json: String): Map[String, String] = {
+    require(json != null, "null JSON config")
     import org.apache.spark.sql.functions.{col, from_json, lit}
     import spark.implicits._
     val parsed = Seq(json).toDF("j")

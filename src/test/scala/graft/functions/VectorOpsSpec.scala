@@ -37,6 +37,14 @@ class VectorOpsSpec extends SparkSpec {
       assert(math.abs(orig - rt) <= 1.0 / 127.0 + 1e-6,
         s"$orig -> $rt exceeds quantization error bound")
     }
+    // null elements stay null (least/greatest would otherwise clamp
+    // them to the bound)
+    val sess2 = spark
+    import sess2.implicits._
+    val withNull = Seq(Seq(Some(0.5f), None)).toDF("v")
+      .select(VectorOps.quantizeInt8($"v".cast("array<float>"), 1.0))
+      .head().getSeq[Any](0)
+    assert(withNull(0) != null && withNull(1) == null)
     // clamp check: out-of-scale values saturate
     val sat = vdf(Seq(5f, -5f))
       .select(VectorOps.quantizeInt8(col("v"), scale = 1.0))

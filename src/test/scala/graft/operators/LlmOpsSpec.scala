@@ -61,10 +61,11 @@ class LlmOpsSpec extends SparkSpec {
   test("fingerprint is order-sensitive and deterministic") {
     val sess = spark
     import sess.implicits._
-    val fps = Seq("a b c", "a b c", "c b a").toDF("text")
+    val fps = Seq("a b c", "a b c", "c b a", "a  b   c").toDF("text")
       .select(TextOps.fingerprint(col("text"))).collect().map(_.getLong(0))
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
+    assert(fps(0) === fps(3), "repeated separators must not change the fingerprint")
   }
 
   test("simhash: near-identical docs have small hamming distance") {
