@@ -15,8 +15,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "embeddings", "events"]
 
 def norm(v):
+    # STRICT: no Decimal.normalize() — the driver's hasher sees the raw
+    # per-engine decimal representation, and normalize() erased exactly the
+    # differences that hash-failed 17 round-1 queries. A Decimal anywhere in
+    # a final output schema is now itself a defect (Verify enforces this on
+    # the Spark side; str(v) keeps it visible here on the oracle side too).
     if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
@@ -55,6 +60,22 @@ def main():
         if sorted(got_cols) != sorted(exp_cols):
             print(f"[COLS] {name}: spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
             n_bad += 1; continue
+        # Declared result types: a DECIMAL anywhere (either side, matching
+        # or not) is a hard failure — the driver's hasher canonicalizes
+        # decimals differently per engine, and value equality alone can't
+        # see a decimal column whose values are all NULL. Other type diffs
+        # (e.g. TIMESTAMP vs TIMESTAMPTZ from parquet UTC adjustment) are
+        # canonicalized by the driver's hasher, so warn only.
+        gtypes = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
+        etypes = {c: str(t) for c, t in zip(exp_cols, exp_rel.types)}
+        decs = {c: (gtypes[c], etypes[c]) for c in gtypes
+                if "DECIMAL" in gtypes[c] or "DECIMAL" in etypes[c]}
+        if decs:
+            print(f"[TYPE] {name}: DECIMAL in result surface {decs}")
+            n_bad += 1; continue
+        tdiff = {c: (gtypes[c], etypes[c]) for c in gtypes if gtypes[c] != etypes[c]}
+        if tdiff:
+            print(f"[warn] {name}: type diff (driver canonicalizes): {tdiff}")
         gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         eperm = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
         grows = [tuple(norm(r[i]) for i in gperm) for r in got]

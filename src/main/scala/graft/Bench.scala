@@ -25,8 +25,15 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries (-1 sentinel) are excluded from the total and counted
+    // separately — a failure must never *shrink* the reported wall-clock
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.values.count(_ < 0)
+    // record machine load: this box is shared, and load swings totals 2× —
+    // round-over-round comparisons need the context
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg":$load,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,9 +16,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Hard gate: DECIMAL in a final output schema hash-fails the
+        // driver's cross-engine compare (engines canonicalize decimals
+        // differently). Accumulate in decimal, final-cast to double.
+        val decCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[
+            org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(decCols.isEmpty,
+          s"$name ships DECIMAL output column(s) ${decCols.mkString(",")}; " +
+          "cast to double (see graft-spark-duckdb-gotchas)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may cache internally; don't let one query's cache tax the rest

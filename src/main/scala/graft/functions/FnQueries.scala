@@ -51,7 +51,7 @@ object FnQueries {
           ceil(col("l_extendedprice")).as("ceil_price"),
           floor(col("l_extendedprice")).as("floor_price"),
           round(dec("l_extendedprice") * dec("l_discount"), 2).cast(D)
-            .as("disc_amt"),
+            .cast("double").as("disc_amt"),
           pow(lit(2.0), col("l_linenumber")).as("pow2"),
           round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
           (col("l_partkey") % 7).as("mod7"),
@@ -73,7 +73,7 @@ object FnQueries {
             .as("size_class"),
           col("o_orderkey").cast("string").as("key_str"),
           col("o_orderkey").cast("string").cast("long").as("key_rt"),
-          dec("o_totalprice").as("price_dec"),
+          dec("o_totalprice").cast("double").as("price_dec"),
           col("o_orderdate").cast("date").as("order_date"))
         .orderBy("o_orderkey")
     },
@@ -158,7 +158,7 @@ object FnQueries {
         | abs(-1 * l_quantity) AS abs_qty,
         | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
         | CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
-        | CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)), 2) AS DECIMAL(18,4)) AS disc_amt,
+        | CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)), 2) AS DECIMAL(18,4)) AS DOUBLE) AS disc_amt,
         | power(2.0, l_linenumber) AS pow2,
         | round(sqrt(l_quantity), 6) AS sqrt_qty,
         | l_partkey % 7 AS mod7,
@@ -176,7 +176,7 @@ object FnQueries {
         | CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
         | CAST(o_orderkey AS VARCHAR) AS key_str,
         | CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
-        | CAST(o_totalprice AS DECIMAL(18,4)) AS price_dec,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price_dec,
         | CAST(o_orderdate AS DATE) AS order_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 

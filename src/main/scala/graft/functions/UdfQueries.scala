@@ -62,7 +62,7 @@ object UdfQueries {
       val sumsq = udaf(SumSqAgg)
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(sumsq(col("l_quantity")).cast(D).as("sum_sq"),
+        .agg(sumsq(col("l_quantity")).cast(D).cast("double").as("sum_sq"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
@@ -87,7 +87,7 @@ object UdfQueries {
 
     "q48_udaf_sumsq" ->
       """SELECT l_returnflag,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_sq,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_sq,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -18,8 +18,9 @@ object AggQueries {
         count(col("l_quantity")).as("cnt_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        sum(dec("l_quantity")).cast(D).as("sum_qty"),
-        (sum(dec("l_quantity")) / count(lit(1))).cast(D).as("avg_qty"))
+        sum(dec("l_quantity")).cast(D).cast("double").as("sum_qty"),
+        (sum(dec("l_quantity")) / count(lit(1))).cast(D).cast("double")
+          .as("avg_qty"))
     },
 
     // Flagship: TPC-H Q1 pricing-summary shape over the fixture lineitem.
@@ -27,16 +28,20 @@ object AggQueries {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec("l_quantity")).cast(D).as("sum_qty"),
-          sum(dec("l_extendedprice")).cast(D).as("sum_base_price"),
+          sum(dec("l_quantity")).cast(D).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(D).cast("double")
+            .as("sum_base_price"),
           sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           sum((dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D6)
               * (lit(1) + dec("l_tax"))).cast(D6)
-            .as("sum_charge"),
-          (sum(dec("l_quantity")) / count(lit(1))).cast(D).as("avg_qty"),
-          (sum(dec("l_extendedprice")) / count(lit(1))).cast(D).as("avg_price"),
-          (sum(dec("l_discount")) / count(lit(1))).cast(D).as("avg_disc"),
+            .cast("double").as("sum_charge"),
+          (sum(dec("l_quantity")) / count(lit(1))).cast(D).cast("double")
+            .as("avg_qty"),
+          (sum(dec("l_extendedprice")) / count(lit(1))).cast(D).cast("double")
+            .as("avg_price"),
+          (sum(dec("l_discount")) / count(lit(1))).cast(D).cast("double")
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -46,7 +51,8 @@ object AggQueries {
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_suppkey")).as("distinct_supp"),
-          sum_distinct(dec("l_quantity")).cast(D).as("sum_dist_qty"))
+          sum_distinct(dec("l_quantity")).cast(D).cast("double")
+            .as("sum_dist_qty"))
         .orderBy("l_returnflag")
     },
 
@@ -93,6 +99,7 @@ object AggQueries {
         .agg(sum(dec("l_quantity")).cast(D).as("sum_qty"),
           count(lit(1)).as("n_items"))
         .filter(col("sum_qty") > lit(100).cast(D))
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
         .orderBy("l_suppkey")
     },
 
@@ -135,19 +142,19 @@ object AggQueries {
     "q13_agg_global" ->
       """SELECT count(*) AS cnt_all, count(l_quantity) AS cnt_qty,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS avg_qty
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty
         |FROM lineitem""".stripMargin,
 
     "q14_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price,
-        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS sum_charge,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS avg_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS avg_price,
-        | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS avg_disc,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_qty,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_price,
+        | CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -155,7 +162,7 @@ object AggQueries {
 
     "q15_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_supp,
-        | CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_dist_qty
+        | CAST(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_dist_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q16_agg_rollup" ->
@@ -183,7 +190,7 @@ object AggQueries {
 
     "q19_agg_having" ->
       """SELECT l_suppkey,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
         | count(*) AS n_items
         |FROM lineitem GROUP BY l_suppkey
         |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) > 100

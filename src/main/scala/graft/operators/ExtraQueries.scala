@@ -12,7 +12,7 @@ object ExtraQueries {
   /** Shared SQL for q59 — runs verbatim on Spark *and* DuckDB (temp view
     * `customer` on the Spark side, the parquet view on the oracle side). */
   private val q59Sql =
-    """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+    """SELECT c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS bal
       |FROM customer c
       |WHERE CAST(c_acctbal AS DECIMAL(18,4)) >
       |  (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,4))
@@ -78,7 +78,7 @@ object ExtraQueries {
       s.sql(
         """SELECT event_id, user_id, ts,
           |  COUNT(*) OVER w AS cnt_1h,
-          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_1h
+          |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS DOUBLE) AS sum_1h
           |FROM events_v
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts
           |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
@@ -136,7 +136,7 @@ object ExtraQueries {
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
         |SELECT event_id, user_id, ts,
         |  COUNT(*) OVER w AS cnt_1h,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_1h
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS DOUBLE) AS sum_1h
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)

@@ -31,7 +31,7 @@ object JoinQueries {
       .groupBy("r_name", "n_name")
       .agg(
         sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
-          .as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
       .orderBy(desc("revenue"), col("n_name"))
 
@@ -48,7 +48,7 @@ object JoinQueries {
         .agg(
           count(col("o_orderkey")).as("order_cnt"),
           coalesce(sum(dec("o_totalprice")), lit(0).cast(D)).cast(D)
-            .as("total_spend"))
+            .cast("double").as("total_spend"))
         .orderBy("c_custkey")
     },
 
@@ -61,7 +61,7 @@ object JoinQueries {
         .agg(
           count(col("o_orderkey")).as("order_cnt"),
           coalesce(sum(dec("o_totalprice")), lit(0).cast(D)).cast(D)
-            .as("total_spend"))
+            .cast("double").as("total_spend"))
         .orderBy("c_custkey")
     },
 
@@ -145,11 +145,36 @@ object JoinQueries {
     "q12_join_broadcast" -> { (s, dir) =>
       revenueByNation(s, dir, broadcast)
     },
+
+    // Bucketed co-located fact-fact join — the Staging.storeBucketed path
+    // under the oracle gate. Both facts are written bucketed+sorted on the
+    // join key (repartitioned to the bucket count first so each bucket is
+    // ONE file and reads come back bucket-sorted), then joined from the
+    // catalog: the join subtree needs no Exchange and no Sort — the
+    // co-location that makes orderkey-grain joins viable at 100 TB. Only
+    // the final 5-group agg shuffles. Exchange-freedom pinned by PlanSpec.
+    "q69_join_bucketed" -> { (s, dir) =>
+      val B = 8
+      graft.sources.Staging.storeBucketed(
+        t(s, dir, "lineitem").repartition(B, col("l_orderkey")),
+        "graft_lineitem_bkt", Seq("l_orderkey"), B)
+      graft.sources.Staging.storeBucketed(
+        t(s, dir, "orders").repartition(B, col("o_orderkey")),
+        "graft_orders_bkt", Seq("o_orderkey"), B)
+      s.table("graft_lineitem_bkt")
+        .join(s.table("graft_orders_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
   )
 
   private val q03Sql =
     """SELECT r_name, n_name,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue,
+      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       | count(*) AS n_rows
       |FROM region
       | JOIN nation ON r_regionkey = n_regionkey
@@ -161,7 +186,7 @@ object JoinQueries {
 
   private val q04Sql =
     """SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
-      | CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DECIMAL(18,4)) AS total_spend
+      | CAST(CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DECIMAL(18,4)) AS DOUBLE) AS total_spend
       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
       |GROUP BY c_custkey, c_name
       |ORDER BY c_custkey""".stripMargin
@@ -171,7 +196,7 @@ object JoinQueries {
     "q04_join_left" -> q04Sql,
     "q05_join_right" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
-        | CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DECIMAL(18,4)) AS total_spend
+        | CAST(CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DECIMAL(18,4)) AS DOUBLE) AS total_spend
         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY c_custkey""".stripMargin,
@@ -212,5 +237,11 @@ object JoinQueries {
         |FROM e p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
     "q12_join_broadcast" -> q03Sql,
+    "q69_join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -169,7 +169,8 @@ object LlmQueries {
       tWide(s, dir, "documents")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          (sum(dec("n_chars")) / count(lit(1))).cast(D).as("avg_chars"),
+          (sum(dec("n_chars")) / count(lit(1))).cast(D).cast("double")
+            .as("avg_chars"),
           countDistinct(col("source")).as("n_sources"),
           sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
         .orderBy("lang")
@@ -247,7 +248,7 @@ object LlmQueries {
 
     "q46_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        | CAST(sum(CAST(n_chars AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS avg_chars,
+        | CAST(CAST(sum(CAST(n_chars AS DECIMAL(18,4))) / count(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_chars,
         | count(DISTINCT source) AS n_sources,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

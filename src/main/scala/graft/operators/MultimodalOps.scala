@@ -8,24 +8,27 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The decode step is a clearly-marked STUB — this container has no
-  * codec libraries, so `decodeFeatures` derives deterministic fake
-  * features (byte histogram) instead of running a real decoder. Everything
-  * around it — schema, Dataset typing, per-partition batch shape,
-  * partitioning — is real and is what a production decoder would plug
-  * into: swap the histogram loop for JNI/codec calls and nothing else
-  * changes. `mapPartitions` is the Scala analog of arrow-batched
-  * `mapInPandas`: user code sees an iterator per partition, so per-batch
-  * decoder init is amortized. */
+  * The decode step is REAL for image payloads the JDK can read
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — no external codec needed):
+  * it produces the decoded pixel dimensions and a luminance histogram.
+  * Audio/video kinds and undecodable payloads fall back to a
+  * clearly-marked deterministic byte-histogram STUB (this container has
+  * no audio/video codecs). Everything around the decode — schema, Dataset
+  * typing, per-partition batch shape, partitioning — is what any further
+  * codec would plug into. `mapPartitions` is the Scala analog of
+  * arrow-batched `mapInPandas`: user code sees an iterator per partition,
+  * so per-batch decoder init is amortized. */
 object MultimodalOps {
 
   case class MediaRow(
       media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int, duration_ms: Long)
 
+  /** `decoded_width`/`decoded_height` are the REAL dimensions read from
+    * the pixel data (0 when the payload wasn't decodable as an image). */
   case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
-      features: Array[Float])
+      decoded_width: Int, decoded_height: Int, features: Array[Float])
 
   /** Storage schema for a media table: opaque binary + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -37,30 +40,69 @@ object MultimodalOps {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
 
-  /** STUB decode + feature extraction. Deterministic fake: `dim`-bin byte
-    * histogram normalized by payload length, plus byte checksum. A real
-    * implementation replaces the while-loop with a codec call; the
-    * Dataset-in/Dataset-out contract and batching are unchanged. */
+  /** Decode + feature extraction. Image payloads are REALLY decoded with
+    * `javax.imageio` (PNG/BMP/GIF/JPEG ship with the JDK): features =
+    * `dim`-bin luminance histogram normalized by pixel count, plus the
+    * decoded width/height. Non-image kinds and undecodable payloads take
+    * the deterministic byte-histogram fallback (STUB for audio/video —
+    * no codecs in this container). Checksum is always over the raw bytes,
+    * so it is decode-independent and stable across codec versions. */
   def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // per-partition scope = where a real decoder would init its context
+      // per-partition scope: decoder context init amortized across the
+      // batch. No ImageIO disk cache — executors shouldn't touch /tmp
+      // for per-row decodes.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { m =>
         val payload = if (m.payload == null) Array.empty[Byte] else m.payload
-        val hist = new Array[Float](dim)
         var checksum = 0L
         var i = 0
         while (i < payload.length) {
-          val b = payload(i) & 0xff
-          hist(b % dim) += 1f
-          checksum = (checksum * 131 + b) % 2147483647L
+          checksum = (checksum * 131 + (payload(i) & 0xff)) % 2147483647L
           i += 1
         }
-        if (payload.nonEmpty) {
-          var j = 0
-          while (j < dim) { hist(j) /= payload.length; j += 1 }
+        val img =
+          if (m.kind == "image" && payload.nonEmpty)
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload)))
+            catch { case _: java.io.IOException => None }
+          else None
+        val hist = new Array[Float](dim)
+        img match {
+          case Some(bi) =>
+            val (w, h) = (bi.getWidth, bi.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = bi.getRGB(x, y)
+                // integer Rec.601 luma; bins cover [0, 256)
+                val luma = (((rgb >> 16 & 0xff) * 299 +
+                  (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000)
+                hist(luma * dim / 256) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toFloat
+            var j = 0
+            while (j < dim) { hist(j) /= n; j += 1 }
+            MediaFeatures(m.media_id, m.kind, payload.length.toLong,
+              checksum, w, h, hist)
+          case None =>
+            i = 0
+            while (i < payload.length) {
+              hist((payload(i) & 0xff) % dim) += 1f
+              i += 1
+            }
+            if (payload.nonEmpty) {
+              var j = 0
+              while (j < dim) { hist(j) /= payload.length; j += 1 }
+            }
+            MediaFeatures(m.media_id, m.kind, payload.length.toLong,
+              checksum, 0, 0, hist)
         }
-        MediaFeatures(m.media_id, m.kind, payload.length.toLong, checksum, hist)
       }
     }
   }

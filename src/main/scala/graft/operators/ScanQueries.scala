@@ -17,7 +17,7 @@ object ScanQueries {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
-            .as("revenue"))
+            .cast("double").as("revenue"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -40,7 +40,7 @@ object ScanQueries {
   def oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
-        | CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        | CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q02_filter" ->

@@ -107,14 +107,27 @@ object SimilarityQueries {
     },
 
     // Blocked (per-label) embedding pair scan: the partition-then-compare
-    // dedup pattern; reports per-block pair stats.
+    // dedup pattern; reports per-label pair stats. The output semantics
+    // cover EVERY within-label pair, so O(n²) comparisons are inherent —
+    // the scale problem is that a label-keyed self-join lands each label's
+    // whole n² on ONE reducer. Fix: block-partitioned pair join (the
+    // MR theta-join partitioning of Okcan & Riedewald, SIGMOD'11): salt
+    // each side into B=16 id-blocks and join on (label, partner-block), so
+    // a hot label's work spreads across B keys (n²/B per task, B× shuffle
+    // replication of one side) with a pair set identical to the naive join.
     "q56_dedup_embed" -> { (s, dir) =>
+      val B = 16
       val e = tWide(s, dir, "embeddings")
+      // A-side: replicated once per partner block pb.
       val a = e.select(col("label").as("l_a"), col("vec_id").as("id_a"),
-        col("embedding").as("e_a"))
+          col("embedding").as("e_a"))
+        .withColumn("pb", explode(sequence(lit(0), lit(B - 1))))
+      // B-side: tagged with its own block.
       val b = e.select(col("label").as("l_b"), col("vec_id").as("id_b"),
-        col("embedding").as("e_b"))
-      a.join(b, col("l_a") === col("l_b") && col("id_a") < col("id_b"))
+        col("embedding").as("e_b"), pmod(col("vec_id"), lit(B)).as("blk_b"))
+      a.join(b,
+          col("l_a") === col("l_b") && col("pb") === col("blk_b") &&
+          col("id_a") < col("id_b"))
         .select(col("l_a").as("label"),
           graft.functions.VectorOps.cosine(col("e_a"), col("e_b")).as("sim"))
         .groupBy("label")

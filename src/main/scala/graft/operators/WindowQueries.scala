@@ -36,9 +36,10 @@ object WindowQueries {
       val w3 = w.rowsBetween(-2, 0)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(dec("o_totalprice")).over(run).cast(D).as("running_spend"),
+          sum(dec("o_totalprice")).over(run).cast(D).cast("double")
+            .as("running_spend"),
           (sum(dec("o_totalprice")).over(w3) / count(lit(1)).over(w3))
-            .cast(D).as("mov_avg3"))
+            .cast(D).cast("double").as("mov_avg3"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
 
@@ -76,11 +77,11 @@ object WindowQueries {
 
     "q23_win_frame" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
         |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_spend,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w3
-        |   / COUNT(*) OVER w3 AS DECIMAL(18,4)) AS mov_avg3
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS running_spend,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w3
+        |   / COUNT(*) OVER w3 AS DECIMAL(18,4)) AS DOUBLE) AS mov_avg3
         |FROM orders
         |WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

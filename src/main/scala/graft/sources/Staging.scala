@@ -57,19 +57,26 @@ object Staging {
     * at warehouse scale the same shape backs MERGE INTO on a
     * transactional table format. */
   def upsert(existing: DataFrame, updates: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], validate: Boolean = true): DataFrame = {
     require(existing.columns.sameElements(updates.columns),
       "upsert requires identical schemas")
-    // cache before the uniqueness check: the merged plan must see the
-    // SAME rows the check validated (a nondeterministic `updates` could
-    // otherwise sneak duplicates past it), and the check's job would
-    // otherwise recompute the updates lineage a second time at sink time
-    val u = updates.cache()
-    val dupKeys = u.groupBy(keys.head, keys.tail: _*)
-      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
-    require(dupKeys.isEmpty,
-      "upsert requires key-unique updates; duplicate keys: " +
-        dupKeys.limit(5).collect().mkString(", "))
+    // With validation on, pin `updates` via an eager localCheckpoint: the
+    // merged plan must see the SAME rows the uniqueness check validated
+    // (a nondeterministic `updates` could otherwise sneak duplicates past
+    // it). localCheckpoint — not cache() — because cache entries sit in
+    // the session CacheManager until an explicit unpersist, which a
+    // returned lazy plan can never schedule; checkpoint blocks are freed
+    // by the ContextCleaner once the plan is unreachable. `validate=false`
+    // skips the extra pass for callers who already guarantee key-unique
+    // updates (at 100 TB the guard pass is a real cost).
+    val u = if (validate) updates.localCheckpoint(true) else updates
+    if (validate) {
+      val dupKeys = u.groupBy(keys.head, keys.tail: _*)
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      require(dupKeys.isEmpty,
+        "upsert requires key-unique updates; duplicate keys: " +
+          dupKeys.limit(5).collect().mkString(", "))
+    }
     existing.join(u.select(keys.head, keys.tail: _*), keys, "left_anti")
       .unionByName(u)
   }
@@ -79,12 +86,62 @@ object Staging {
     * co-located fact-fact join that makes orderkey-grain joins viable at
     * 100 TB (each of the n buckets pairs off directly). */
   def storeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // Re-creation must survive a NEW session whose (in-memory) catalog has
+    // no entry for `table` but whose warehouse still holds a previous
+    // session's files — Spark refuses to create a managed table over a
+    // non-empty location, so drop the entry AND vacuum the default
+    // location (warehouse/<table> for the default database).
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    vacuum(spark,
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${table.toLowerCase}")
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+}
+
+/** Named-config provisioning — Spark-native heir of the reference's
+  * Secrets Manager fetch (`utils/utils/secrets.py:10-46`,
+  * `get_sm_api_response` + `get_secret`). Instead of an AWS SDK client,
+  * configs resolve from `spark.conf` (cluster-provisioned via
+  * `--conf spark.graft.config.<name>=…` or a secret-injecting launcher)
+  * with an environment-variable fallback — the idiomatic Spark credential
+  * path; executor code never talks to a secrets API directly.
+  *
+  * The reference's `region_name` intent maps to an optional `scope` that
+  * namespaces the lookup key. Unlike the reference — whose `get_secret`
+  * accepts a region and then ignores it (secrets.py:41 hardcodes
+  * `us-east-1`) — the scope passed is the scope used. */
+object ConfigProvider {
+  val ConfPrefix = "spark.graft.config."
+
+  private def key(name: String, scope: Option[String]): String =
+    scope.fold(name)(sc => s"$sc.$name")
+
+  /** Raw config string (`string_format='PLAIN TEXT'`, secrets.py:45-46).
+    * Resolution order: spark.conf, then env var GRAFT_CONFIG_<KEY>
+    * (uppercased, dots→underscores). Fails with the looked-up name —
+    * the analog of the reference's ResourceNotFoundException branch. */
+  def getPlain(spark: SparkSession, name: String,
+      scope: Option[String] = None,
+      env: Map[String, String] = sys.env): String = {
+    val k = key(name, scope)
+    spark.conf.getOption(ConfPrefix + k)
+      .orElse(env.get("GRAFT_CONFIG_" +
+        k.toUpperCase(java.util.Locale.ROOT).replaceAll("[.-]", "_")))
+      .getOrElse(throw new NoSuchElementException(
+        s"config '$k' not found in spark.conf ('$ConfPrefix$k') or environment"))
+  }
+
+  /** Parsed JSON config map (`string_format='JSON'`, secrets.py:43-44). */
+  def getJson(spark: SparkSession, name: String,
+      scope: Option[String] = None,
+      env: Map[String, String] = sys.env): Map[String, String] =
+    JsonConfig.parse(spark, getPlain(spark, name, scope, env))
 }
 
 /** JSON configuration parsing — heir of `get_secret(..., 'JSON')`

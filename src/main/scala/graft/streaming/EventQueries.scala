@@ -18,7 +18,7 @@ object EventQueries {
       loadEvents(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(dec("value")).cast(D).as("sum_value"))
+          sum(dec("value")).cast(D).cast("double").as("sum_value"))
         .select(
           col("window.start").as("win_start"),
           col("window.end").as("win_end"),
@@ -71,7 +71,7 @@ object EventQueries {
         |SELECT date_trunc('hour', ts) AS win_start,
         |  date_trunc('hour', ts) + INTERVAL '1 hour' AS win_end,
         |  event_type, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
         |FROM e GROUP BY 1, 2, 3
         |ORDER BY win_start, event_type""".stripMargin,
 

@@ -32,6 +32,32 @@ class PlanSpec extends SparkSpec {
     assert(plan("q10_join_theta").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q69 bucketed fact-fact join needs no exchange and no sort") {
+    // the query itself never shuffles for the join (at fixture scale
+    // Catalyst rightly broadcasts the small side — also exchange-free)
+    val p = plan("q69_join_bucketed")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"only the final agg may shuffle:\n$p")
+    // pin the at-scale shape: when neither side is broadcastable the join
+    // must be a sort-merge over co-located buckets — no Exchange, and no
+    // Sort once the scan is allowed to report bucket order (SPARK-28595
+    // turned scan output ordering off by default because buckets MAY span
+    // multiple files; storeBucketed writes exactly one file per bucket, so
+    // opting back in is sound and proves the layout)
+    import org.apache.spark.sql.functions.col
+    val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(orderingConf, "true")
+    try {
+      val smj = spark.table("graft_lineitem_bkt")
+        .join(spark.table("graft_orders_bkt").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+      val sp = smj.queryExecution.executedPlan.toString
+      assert(sp.contains("SortMergeJoin"), s"expected sort-merge join:\n$sp")
+      assert(!sp.contains("Exchange"), s"bucketed join must not shuffle:\n$sp")
+      assert(!sp.contains("Sort ["), s"bucketed join must not re-sort:\n$sp")
+    } finally spark.conf.unset(orderingConf)
+  }
+
   test("q61 native as-of join plans AsOfJoinExec with two exchanges") {
     val p = plan("q61_asof_native")
     assert(p.contains("AsOfJoin"))

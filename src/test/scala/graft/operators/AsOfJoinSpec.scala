@@ -67,6 +67,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("integral/timestamp"))
   }
 
+  test("hot key: one user owning half the rows is correct (single-partition bound)") {
+    // Skew documentation-as-test: as-of matching is key-clustered, so ALL
+    // rows of one key land on ONE partition — AQE cannot split a custom
+    // exec node. With user 0 owning 50% of both sides, the join still
+    // returns exact results; the per-key work is O(n_left + n_right) after
+    // the sort, so the hot partition's bound is the hot key's row count,
+    // not its square. See AsOfJoinPlan scaladoc for the 100 TB guidance.
+    val sess = spark
+    import sess.implicits._
+    val n = 2000
+    val base = ts("2024-01-01 00:00:00").getTime
+    val left = (0 until n).map { i =>
+      val u = if (i % 2 == 0) 0L else (i % 7 + 1).toLong // user 0: 50%
+      (u, new Timestamp(base + i * 1000L), i.toLong)
+    }.toDF("user", "trade_ts", "trade_id").repartition(4)
+    val right = (0 until n).map { i =>
+      val u = if (i % 2 == 0) 0L else (i % 7 + 1).toLong
+      (u, new Timestamp(base + i * 1000L - 500L), i.toLong * 10)
+    }.toDF("q_user", "q_ts", "quote_id").repartition(4)
+
+    val out = AsOfJoin.asof(left, right, "user", "q_user", "trade_ts", "q_ts",
+        rightTieBreak = Seq("quote_id"))
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out.size === n)
+    // every left row's match is the right row 500ms earlier with the same
+    // parity/user stream: for user 0 (even i), latest q_ts <= base+i*1000
+    // is the even quote at i*1000-500 → quote_id = i*10
+    val hotWrong = (0 until n by 2).filter(i => out(i.toLong) != i * 10L)
+    assert(hotWrong.isEmpty, s"hot-key mismatches at $hotWrong")
+  }
+
   test("matches the window-based q11 formulation on fixture events") {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.loadEvents(spark, dir)

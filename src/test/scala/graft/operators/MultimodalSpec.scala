@@ -11,6 +11,22 @@ class MultimodalSpec extends SparkSpec {
     sess.createDataset(rows)
   }
 
+  test("decodeFeatures really decodes a PNG payload (width/height/luminance)") {
+    val bi = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      bi.setRGB(x, y, if (x < 3) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val rows = mediaDS(Seq(MediaRow(9L, "image", bos.toByteArray, 0, 0, 0, 0L)))
+    val f = decodeFeatures(rows, dim = 16).collect().head
+    assert(f.decoded_width === 6 && f.decoded_height === 4,
+      "dimensions must come from the decoded pixels, not metadata")
+    assert(math.abs(f.features(0) - 0.5f) < 1e-6, "half the pixels are black")
+    assert(math.abs(f.features(15) - 0.5f) < 1e-6, "half the pixels are white")
+    assert(f.features.slice(1, 15).forall(_ === 0f))
+  }
+
   test("decodeFeatures: deterministic histogram features + checksum") {
     val payload = Array.tabulate(64)(i => i.toByte) // bytes 0..63
     val rows = mediaDS(Seq(
@@ -20,6 +36,8 @@ class MultimodalSpec extends SparkSpec {
       .map(f => f.media_id -> f).toMap
     val img = out(1L)
     assert(img.n_bytes === 64L)
+    assert(img.decoded_width === 0,
+      "non-image bytes under an image kind take the fallback path")
     // bytes 0..63 over 16 bins → every bin gets exactly 4/64
     assert(img.features.forall(f => math.abs(f - 4f / 64f) < 1e-6))
     val img2 = decodeFeatures(rows, dim = 16).collect()

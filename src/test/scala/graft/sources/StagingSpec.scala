@@ -105,4 +105,31 @@ class StagingSpec extends SparkSpec {
     val cfg = JsonConfig.parse(spark, """{"user": "etl", "region": "us-east-1"}""")
     assert(cfg === Map("user" -> "etl", "region" -> "us-east-1"))
   }
+
+  test("ConfigProvider resolves JSON and plain-text configs from spark.conf") {
+    spark.conf.set("spark.graft.config.db_creds", """{"user":"etl","pw":"x"}""")
+    spark.conf.set("spark.graft.config.api_token", "tok-123")
+    assert(ConfigProvider.getJson(spark, "db_creds") ===
+      Map("user" -> "etl", "pw" -> "x"))
+    assert(ConfigProvider.getPlain(spark, "api_token") === "tok-123")
+  }
+
+  test("ConfigProvider honors the scope it is given (unlike secrets.py:41)") {
+    // two scopes, two different values — the reference's get_secret would
+    // have returned the hardcoded default scope's value for both
+    spark.conf.set("spark.graft.config.us-east-1.db", "east")
+    spark.conf.set("spark.graft.config.eu-west-1.db", "west")
+    assert(ConfigProvider.getPlain(spark, "db", Some("us-east-1")) === "east")
+    assert(ConfigProvider.getPlain(spark, "db", Some("eu-west-1")) === "west")
+  }
+
+  test("ConfigProvider falls back to environment and fails with the key name") {
+    val env = Map("GRAFT_CONFIG_EU_WEST_1_FALLBACK" -> "from-env")
+    assert(ConfigProvider.getPlain(spark, "fallback", Some("eu-west-1"), env)
+      === "from-env")
+    val e = intercept[NoSuchElementException] {
+      ConfigProvider.getPlain(spark, "nope", None, Map.empty)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
 }
