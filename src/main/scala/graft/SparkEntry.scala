@@ -28,6 +28,7 @@ object SparkEntry {
     TextQueries.queries ++
     SimilarityQueries.queries ++
     ExtraQueries.queries ++
+    CorpusQueries.queries ++
     UdfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
     TextQueries.oracle ++
     SimilarityQueries.oracle ++
     ExtraQueries.oracle ++
+    CorpusQueries.oracle ++
     UdfQueries.oracle
 }

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Corpus-management operators for training-data pipelines (q70–q74):
+  * deterministic sampling (whole-corpus and stratified), log-free TF-IDF
+  * term ranking, multi-band sign-LSH embedding near-dup, and the salted
+  * skew join under the oracle gate.
+  *
+  * Determinism contract: every sampling decision is a pure function of
+  * row keys (hash/modulus arithmetic on BIGINT, overflow-free for any
+  * int64 doc_id — bit-identical on any engine), never `rand()`. The term
+  * score is the log-free rarity weight `tf·N/df`: `ln` is avoided because
+  * libm results differ in the last ulp across engines, and a single IEEE
+  * division of exact small integers is correctly rounded and identical
+  * everywhere. NB this is a TF-IDF *variant*, not order-equivalent to
+  * `tf·ln(N/df)` (linear rarity weighting boosts very rare terms harder
+  * than the log form does).
+  */
+object CorpusQueries {
+
+  /** Multiplicative hash sample: keep doc when
+    * (doc_id·2654435761) mod 100 < pct — computed as
+    * ((doc_id mod 100)·61) mod 100, which is mathematically identical
+    * (2654435761 ≡ 61 (mod 100)) and can never overflow int64, so it
+    * holds under ANSI mode for ANY doc_id — the 100 TB answer to
+    * "give me 10%": reproducible and embarrassingly parallel. */
+  private def hashSampled(docs: DataFrame, pct: Int): DataFrame =
+    docs.filter(pmod(pmod(col("doc_id"), lit(100)) * 61L, lit(100)) < pct)
+
+  /** 16 fixed ±1 hyperplanes for sign-LSH over 64-dim embeddings;
+    * component i (1-based), plane j: +1 iff ((i·73 + j·179) mod 7) is
+    * even. The SAME array literals are embedded in the DuckDB oracle SQL
+    * (generated below from this function — one source of truth). */
+  private def planeSign(i: Int, j: Int): Float =
+    if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0f else -1.0f
+
+  private val Dims = 64
+  private val Planes = 16
+  private val Bands = 4 // 4 bands × 4 bits
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic 10% corpus sample.
+    "q70_sample_hash" -> { (s, dir) =>
+      hashSampled(t(s, dir, "documents"), 10)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // Stratified sample: exactly ≤20 docs per lang, chosen by a
+    // deterministic per-row shuffle key (LCG on doc_id) — rank inside
+    // each stratum, keep k. One shuffle on lang.
+    "q71_sample_stratified" -> { (s, dir) =>
+      // reduce doc_id mod p BEFORE the LCG multiply: ≡ identical mod p,
+      // and (p-1)·1103515245 ≈ 2.4e18 stays inside int64 for any doc_id
+      // (the unreduced multiply would overflow — and ANSI-throw — at
+      // doc_id ≥ ~8.4e9)
+      val shuffleKey = pmod(
+        pmod(col("doc_id"), lit(2147483647L)) * 1103515245L + 12345L,
+        lit(2147483647L))
+      val w = Window.partitionBy("lang").orderBy(shuffleKey, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select("lang", "rn", "doc_id")
+        .orderBy("lang", "rn")
+    },
+
+    // Top-3 characteristic terms per sampled doc by the rarity weight
+    // tf·N/df (log-free TF-IDF variant; see object scaladoc). df comes
+    // from the FULL corpus; only the bounded query set (doc_id % 100 = 0)
+    // is ranked.
+    "q72_tfidf_top" -> { (s, dir) =>
+      val docs = tWide(s, dir, "documents")
+      // consumed twice (full-corpus df + query-set tf) — cache so the
+      // tokenize+explode scan, the dominant stage, runs once (Verify and
+      // Bench clearCache() between queries)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token")).cache()
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = toks.filter(col("doc_id") % 100 === 0)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("score"), col("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    // Embedding near-dup via multi-band sign-LSH: 16 fixed ±1
+    // hyperplanes → 16 sign bits → 4×4-bit band keys → candidate pairs
+    // from same-band buckets (hash-partitionable join, no all-pairs) →
+    // exact cosine verify at 0.4. The embedding-space twin of q44's
+    // MinHash banding. Band width scales with corpus size (buckets per
+    // band = 2^bits must exceed n/desired-bucket-size): 4 bits suits the
+    // fixture corpora; a 100 TB corpus raises Planes/band bits (e.g.
+    // 64 planes, 8×8-bit bands) — the plan shape is unchanged.
+    "q73_embed_lsh" -> { (s, dir) =>
+      val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
+      val dots = (0 until Planes).map { j =>
+        val plane = array((1 to Dims).map(i => lit(planeSign(i, j))): _*)
+        when(graft.operators.LlmQueries.seqDot(col("embedding"), plane) > 0, 1)
+          .otherwise(0).as(s"bit$j")
+      }
+      val coded = emb.select(col("vec_id") +: dots: _*)
+      val bandKeys = (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          (col(s"bit${4 * b}") * 8 + col(s"bit${4 * b + 1}") * 4 +
+            col(s"bit${4 * b + 2}") * 2 + col(s"bit${4 * b + 3}"))
+            .as("key"))
+      }
+      val banded = coded
+        .select(col("vec_id"), explode(array(bandKeys: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+      val pa = banded.toDF("id_a", "band_a", "key_a")
+      val pb = banded.toDF("id_b", "band_b", "key_b")
+      val pairs = pa.join(pb,
+          col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+          col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val ea = emb.toDF("id_a", "e_a")
+      val eb = emb.toDF("id_b", "e_b")
+      pairs.join(ea, "id_a").join(eb, "id_b")
+        .withColumn("sim",
+          graft.functions.VectorOps.cosine(col("e_a"), col("e_b")))
+        .filter(col("sim") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // SkewOps.saltedJoin under the oracle gate: result must equal the
+    // plain join exactly, with the hot-key shuffle spread over 8 salts.
+    "q74_skew_salted" -> { (s, dir) =>
+      SkewOps.saltedJoin(
+          t(s, dir, "orders"), t(s, dir, "customer"),
+          col("o_custkey"), col("c_custkey"), col("o_orderkey"), 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast(D).cast("double").as("total_spend"))
+        .orderBy("c_mktsegment")
+    },
+  )
+
+  /** DuckDB-side dot product of `embedding` with plane j — the q45 D7
+    * pattern (element products cast to double, left-fold accumulation)
+    * with the plane constants inlined from [[planeSign]]. ±1 products
+    * are exact in every float width, so the float-vs-double product
+    * distinction can't matter. */
+  private def planeDotSql(j: Int): String = {
+    val consts = (1 to Dims).map(i =>
+      if (planeSign(i, j) > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"list_reduce(list_transform(range(1,${Dims + 1}), " +
+      s"i -> CAST(embedding[i] AS DOUBLE) * ($consts::DOUBLE[])[i]), (a,b)->a+b)"
+  }
+
+  private val q73Sql: String = {
+    val bitCols = (0 until Planes).map(j =>
+      s"CASE WHEN ${planeDotSql(j)} > 0 THEN 1 ELSE 0 END AS bit$j")
+      .mkString(",\n    ")
+    val bandKey = (0 until Bands).map(b =>
+      s"WHEN $b THEN bit${4 * b}*8 + bit${4 * b + 1}*4 + " +
+        s"bit${4 * b + 2}*2 + bit${4 * b + 3}").mkString(" ")
+    s"""WITH c AS (
+       |  SELECT vec_id, $bitCols
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, b, CASE b $bandKey END AS key
+       |  FROM c CROSS JOIN (SELECT unnest(range($Bands)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id),
+       |p0 AS (
+       |  SELECT id_a, id_b,
+       |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y) AS dot,
+       |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*a.embedding[i] AS DOUBLE)), (x,y)->x+y) AS na,
+       |    list_reduce(list_transform(range(1,65), i -> CAST(b.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y) AS nb
+       |  FROM cand JOIN embeddings a ON a.vec_id = id_a
+       |            JOIN embeddings b ON b.vec_id = id_b),
+       |p AS (SELECT id_a, id_b,
+       |  CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(sqrt(na)*sqrt(nb)) END AS sim FROM p0)
+       |SELECT id_a, id_b, round(sim, 6) AS sim
+       |FROM p WHERE sim >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q70_sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE ((doc_id % 100) * 61) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "q71_sample_stratified" ->
+      """SELECT lang, rn, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647, doc_id) AS rn
+        |  FROM documents) r
+        |WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
+
+    "q72_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dfreq AS (
+        |  SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) d
+        |  GROUP BY token),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE doc_id % 100 = 0 GROUP BY doc_id, token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE) / dfreq.df AS score
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token),
+        |ranked AS (
+        |  SELECT doc_id, token, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, token, round(score, 6) AS score
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q73_embed_lsh" -> q73Sql,
+
+    "q74_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+  )
+}

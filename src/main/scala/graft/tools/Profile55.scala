@@ -41,24 +41,31 @@ object Profile55 {
     val arrs = docs.select(col("doc_id"),
       transform(LlmQueries.shingles(col("text"), 3), sg => h62(sg)).as("arr"))
     time("arrs materialize")(arrs.cache().count())
-    val sh = arrs.select(col("doc_id"), explode(col("arr")).as("h"))
+    val sh = arrs.select(col("doc_id"),
+      size(col("arr")).cast("long").as("n"), explode(col("arr")).as("h"))
     time("explode+dfreq")(sh.groupBy("h").agg(count(lit(1)).as("df")).count())
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "h")
     val prefix = sh.join(dfreq, "h")
-      .withColumn("rn", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(wDoc).cast("long"))
       .filter(col("rn") <= floor(col("n") * 0.5) + 1)
-      .select("doc_id", "h")
-    time("prefix (2 windows)")(prefix.count())
-    val cand = prefix.toDF("doc_a", "h")
-      .join(prefix.toDF("doc_b", "h2"), col("h") === col("h2") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    time("cand distinct")(cand.count())
-    time("pair verify")(cand
+      .select("doc_id", "h", "rn", "n")
+    time("prefix (1 window)")(prefix.count())
+    val pa = prefix.toDF("doc_a", "h", "rn_a", "n_a")
+    val pb = prefix.toDF("doc_b", "h2", "rn_b", "n_b")
+    val candRaw = pa.join(pb,
+      col("h") === col("h2") && col("doc_a") < col("doc_b") &&
+      col("n_b") * 2 >= col("n_a") && col("n_b") <= col("n_a") * 2)
+      .filter(lit(1L) +
+        least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
+        ceil((col("n_a") + col("n_b")) / lit(3.0)))
+    time("cand rows post-filter")(candRaw.count())
+    // counterfactual only — production q55 does NOT dedup before verify
+    time("cand distinct (counterfactual)")(
+      candRaw.select("doc_a", "doc_b").distinct().count())
+    // production shape: verify every candidate occurrence
+    time("pair verify (occurrences)")(candRaw.select("doc_a", "doc_b")
       .join(arrs.toDF("doc_a", "arr_a"), "doc_a")
       .join(arrs.toDF("doc_b", "arr_b"), "doc_b")
       .withColumn("inter",

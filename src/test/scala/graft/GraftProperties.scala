@@ -90,9 +90,12 @@ object GraftProperties extends Properties("graft") {
 
   // MinHash estimate vs exact Jaccard: generate doc pairs with a
   // controlled shared prefix; a 32-perm signature is a binomial(32, J)
-  // estimator, so |est - J| < 0.35 is a ~4σ bound.
+  // estimator, so |est - J| < 0.35 is a ~4σ bound. Tested on the
+  // SIGNATURES directly (deterministic given the fixed permutations) —
+  // the earlier formulation went through the banded pair join, whose
+  // ~50% recall at borderline J made the property flaky by design.
   property("minhash signature agreement tracks exact shingle Jaccard") =
-    Prop.forAll(Gen.chooseNum(5, 35)) { shared =>
+    Prop.forAll(Gen.chooseNum(5, 38)) { shared =>
       val sess = spark
       import sess.implicits._
       val a = (1 to 40).map(i => s"w$i")
@@ -104,8 +107,9 @@ object GraftProperties extends Properties("graft") {
         t.sliding(3).map(_.mkString(" ")).toSet
       val (sa, sb) = (shingles(a), shingles(b))
       val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
-      val pairs = graft.operators.LlmQueries.minhashPairs(docs).collect()
-      if (pairs.isEmpty) exact < 0.55  // banding may miss low-sim pairs
-      else math.abs(pairs.head.getLong(2) / 32.0 - exact) < 0.35
+      val sigs = graft.operators.LlmQueries.minhashSignatures(docs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 32.0
+      math.abs(est - exact) < 0.35
     }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+
+  test("q70/q71 sampling arithmetic never overflows int64 (ANSI mode)") {
+    val sess = spark
+    import sess.implicits._
+    // doc_ids at the top of the int64 range: the unreduced multiply
+    // (doc_id * 2654435761) would ANSI-throw here; the mod-first form
+    // must not
+    val docs = Seq(Long.MaxValue - 1, Long.MaxValue - 101, 3L)
+      .toDF("doc_id")
+    val sampled = docs
+      .filter(pmod(pmod(col("doc_id"), lit(100)) * 61L, lit(100)) < 10)
+      .collect() // must not throw
+    assert(sampled.length <= 3)
+    val key = pmod(
+      pmod(col("doc_id"), lit(2147483647L)) * 1103515245L + 12345L,
+      lit(2147483647L))
+    val keys = docs.select(key.as("k")).collect().map(_.getLong(0))
+    assert(keys.forall(k => k >= 0 && k < 2147483647L))
+  }
+
+  test("stratified sample keeps at most k per stratum, deterministically") {
+    val dir = "/root/testdata/sf0.001"
+    val run1 = CorpusQueries.queries("q71_sample_stratified")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val run2 = CorpusQueries.queries("q71_sample_stratified")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(run1 === run2, "sampling must be a pure function of the data")
+    val perLang = run1.groupBy(_.head).view.mapValues(_.size)
+    assert(perLang.values.forall(_ <= 20))
+  }
+
+  test("sign-LSH candidates are a subset of all pairs with exact cosine kept") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.queries("q73_embed_lsh")(spark, dir).collect()
+    // every reported pair must genuinely clear the cosine threshold and
+    // be id-ordered (regression for the band-key construction)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4 - 1e-9)
+    }
+  }
+}
