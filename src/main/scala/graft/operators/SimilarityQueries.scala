@@ -77,10 +77,14 @@ object SimilarityQueries {
       val docs = tWide(s, dir, "documents")
       val h62 = (c: Column) =>
         poly_hash(c, 131) * 2147483648L + poly_hash(c, 137)
-      // same shingle definition as q44 (incl. its short-doc guard)
+      // same shingle definition as q44 (incl. its short-doc guard);
+      // arrays SORTED once here so pair verification can run the codegen
+      // two-pointer merge (SortedIntersectCount) instead of building a
+      // hash set per pair — element order affects nothing else (explode
+      // and the df-ordered window see the same set)
       val arrs = docs.select(col("doc_id"),
-        transform(LlmQueries.shingles(col("text"), 3), sg => h62(sg))
-          .as("arr")).cache()
+        array_sort(transform(LlmQueries.shingles(col("text"), 3),
+          sg => h62(sg))).as("arr")).cache()
       // n from size(arr) — one window pass, not two
       val sh = arrs.select(col("doc_id"),
         size(col("arr")).cast("long").as("n"), explode(col("arr")).as("h"))
@@ -114,7 +118,8 @@ object SimilarityQueries {
         .join(arrs.toDF("doc_a", "arr_a"), "doc_a")
         .join(arrs.toDF("doc_b", "arr_b"), "doc_b")
         .withColumn("inter",
-          size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+          graft.plans.GraftExpressions.sorted_intersect(
+            col("arr_a"), col("arr_b")))
         .withColumn("uni",
           (size(col("arr_a")) + size(col("arr_b"))).cast("long") - col("inter"))
         .filter(col("inter").cast("double") / col("uni") >= 0.5)

@@ -127,6 +127,67 @@ case class SeqDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED long arrays by two-pointer merge —
+  * O(n+m) per pair with zero allocation, vs `array_intersect`'s per-row
+  * hash-set build. Callers must pass arrays sorted ascending (q55 sorts
+  * once at shingle-array build); result equals
+  * `size(array_intersect(a, b))` for duplicate-free sorted inputs. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $cnt++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   /** Column wrapper: engine-portable polynomial string hash. */
   def poly_hash(c: Column, base: Int = 131, mod: Long = 2147483647L): Column =
@@ -135,4 +196,8 @@ object GraftExpressions {
   /** Column wrapper: sequential float-array dot product (double result). */
   def seq_dot(a: Column, b: Column): Column =
     toColumn(SeqDotProduct(toExpression(a), toExpression(b)))
+
+  /** Column wrapper: intersection size of two sorted long arrays. */
+  def sorted_intersect(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCount(toExpression(a), toExpression(b)))
 }

@@ -38,13 +38,23 @@ object GraftFunctions {
       "graft_seq_dot(a, b) takes 2 arguments")
   }
 
+  private def intersectBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => SortedIntersectCount(a, b)
+    case _ => throw new IllegalArgumentException(
+      "graft_sorted_intersect(a, b) takes 2 arguments")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
       polyBuilder),
     (FunctionIdentifier("graft_seq_dot"),
       new ExpressionInfo(classOf[SeqDotProduct].getName, "graft_seq_dot"),
-      dotBuilder))
+      dotBuilder),
+    (FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect"),
+      intersectBuilder))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit = functions.foreach {

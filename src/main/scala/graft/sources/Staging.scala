@@ -81,6 +81,32 @@ object Staging {
       .unionByName(u)
   }
 
+  /** Compact a parquet prefix to ~`targetBytes` output files: the
+    * small-files remedy every long-lived staging area needs (streaming
+    * sinks and per-batch upserts accumulate KB-size files; at 100 TB the
+    * file count, not the byte count, kills scan planning). Reads the
+    * prefix, round-robins into ceil(bytes/target) partitions, rewrites
+    * atomically-per-directory via a temp dir + rename. Returns the new
+    * file count. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    require(f.exists(p), s"no such staging prefix: $path")
+    val bytes = f.getContentSummary(p).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    // repartition, not coalesce: coalesce folds into the scan and would
+    // serialize the read; the explicit shuffle costs one pass over data
+    // that is being rewritten anyway
+    spark.read.parquet(path).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    f.delete(p, true)
+    require(f.rename(tmp, p), s"compaction rename failed for $path")
+    spark.read.parquet(path).inputFiles.length
+  }
+
   /** Persist a catalog table bucketed + sorted on `keys`. Two tables
     * bucketed the same way join with NO shuffle and NO sort — the
     * co-located fact-fact join that makes orderkey-grain joins viable at

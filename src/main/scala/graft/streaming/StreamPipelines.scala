@@ -103,4 +103,50 @@ object StreamPipelines {
       .format("parquet")
       .option("path", outDir)
       .start()
+
+  /** Micro-batch upsert load — the incremental form of the reference's
+    * declared Redshift load (`README.md:2`): each micro-batch is merged
+    * into the serving table at `tableDir` by key via
+    * [[graft.sources.Staging.upsert]] (same-key rows replaced, new keys
+    * appended), so the table converges to one row per key no matter how
+    * the stream splits into batches. foreachBatch is the Spark-native
+    * MERGE sink for plain-parquet targets; on a transactional format the
+    * same batch function becomes MERGE INTO. Batches with duplicate keys
+    * keep the LAST row per key (dedup before merge — a stream can carry
+    * several updates for one key in one batch).
+    *
+    * The read-merge-rewrite is atomic per batch here because local
+    * renames are; an object-store deployment would write to a versioned
+    * subdir and flip a pointer, or use a table format. */
+  def upsertLoadStream(updates: DataFrame, keys: Seq[String],
+      orderCol: String, tableDir: String, checkpoint: String) = {
+    val spark = updates.sparkSession
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // last-per-key within the batch, deterministically (max orderCol,
+        // then the natural struct ordering as tiebreak)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(desc(orderCol))
+        val deduped = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(tableDir))) {
+            // collect-free merge; materialize BEFORE overwriting the dir
+            // we are also reading from
+            graft.sources.Staging
+              .upsert(spark.read.parquet(tableDir), deduped, keys,
+                validate = false)
+              .localCheckpoint(true)
+          } else deduped
+        merged.write.mode("overwrite").parquet(tableDir)
+        ()
+      }
+      .start()
+  }
 }

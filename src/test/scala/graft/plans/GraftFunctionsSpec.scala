@@ -18,6 +18,30 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 11.0)
   }
 
+  test("sorted_intersect matches array_intersect size on sorted inputs") {
+    GraftFunctions.register(spark)
+    val sess = spark
+    import sess.implicits._
+    // random-ish sorted duplicate-free arrays incl. empty and disjoint
+    val rows = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L))).toDF("a", "b")
+    val out = rows.select(
+      GraftExpressions.sorted_intersect($"a", $"b").as("fast"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect($"a", $"b"))
+        .cast("long").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // SQL surface
+    val sql = spark.sql(
+      "SELECT graft_sorted_intersect(array(1L,2L,3L), array(2L,3L,9L)) AS c")
+      .head().getLong(0)
+    assert(sql === 2L)
+  }
+
   test("poly_hash of a literal is constant-folded by Catalyst") {
     GraftFunctions.register(spark)
     val opt = spark.sql("SELECT graft_poly_hash('hello') AS h")

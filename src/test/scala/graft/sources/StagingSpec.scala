@@ -70,6 +70,20 @@ class StagingSpec extends SparkSpec {
     spark.sql("DROP TABLE fact_b"); spark.sql("DROP TABLE dim_b")
   }
 
+  test("compact rewrites a many-small-files prefix into few files, same rows") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp() + "/frag"
+    // 40 tiny files (streaming-sink shape)
+    (1 to 40).toDF("id").repartition(40).write.parquet(dir)
+    assert(spark.read.parquet(dir).inputFiles.length > 10)
+    val before = spark.read.parquet(dir).collect().map(_.getInt(0)).sorted
+    val nFiles = Staging.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(nFiles === 1, "everything fits one target-size file")
+    val after = spark.read.parquet(dir).collect().map(_.getInt(0)).sorted
+    assert(after.toSeq === before.toSeq, "compaction must not change rows")
+  }
+
   test("upsert replaces matching keys and appends new ones") {
     val sess = spark
     import sess.implicits._

@@ -237,6 +237,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertLoadStream converges the serving table to one row per key") {
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_upsert_load").toString
+    val tableDir = s"$base/serving"
+    val input = MemoryStream[(Long, Long, Double)]
+    val df = input.toDF().toDF("id", "ver", "amount")
+    val q = StreamPipelines.upsertLoadStream(
+      df, Seq("id"), "ver", tableDir, s"$base/ckpt")
+    try {
+      // batch 1: two keys, key 1 updated twice WITHIN the batch
+      input.addData((1L, 1L, 10.0), (2L, 1L, 20.0), (1L, 2L, 11.0))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(tableDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(after1 === Map(1L -> (2L, 11.0), 2L -> (1L, 20.0)),
+        "last version per key within a batch must win")
+
+      // batch 2: update key 2, insert key 3
+      input.addData((2L, 2L, 21.0), (3L, 1L, 30.0))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(tableDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(after2 === Map(
+        1L -> (2L, 11.0), 2L -> (2L, 21.0), 3L -> (1L, 30.0)))
+    } finally q.stop()
+  }
+
   test("file-source stream round-trip: readStream parquet -> parquet sink") {
     val sess = spark
     import sess.implicits._
