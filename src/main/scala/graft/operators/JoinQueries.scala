@@ -146,6 +146,24 @@ object JoinQueries {
       revenueByNation(s, dir, broadcast)
     },
 
+    // Partition-pruned staging read — the Staging.store(partitionBy) path
+    // under the oracle gate: orders written hive-partitioned by status,
+    // read back with a partition filter; the scan must touch only the
+    // matching directories (PartitionFilters pinned by PlanSpec). At
+    // 100 TB this is the difference between scanning one partition and
+    // scanning the table.
+    "q75_partition_prune" -> { (s, dir) =>
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stage_q75"
+      graft.sources.Staging.store(
+        t(s, dir, "orders"), stage, partitionBy = Seq("o_orderstatus"))
+      s.read.parquet(stage)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast(D).cast("double").as("total_spend"))
+        .orderBy("o_orderpriority")
+    },
+
     // Bucketed co-located fact-fact join — the Staging.storeBucketed path
     // under the oracle gate. Both facts are written bucketed+sorted on the
     // join key (repartitioned to the bucket count first so each bucket is
@@ -237,6 +255,13 @@ object JoinQueries {
         |FROM e p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
     "q12_join_broadcast" -> q03Sql,
+    "q75_partition_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_spend
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q69_join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue

@@ -58,6 +58,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(orderingConf)
   }
 
+  test("q75 pushes the partition predicate into PartitionFilters") {
+    val p = plan("q75_partition_prune")
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+      s"expected a partition-pruned scan:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*o_orderstatus#\\d+ = F".r
+      .findFirstIn(p).isDefined,
+      s"the status predicate must prune directories, not filter rows:\n$p")
+  }
+
+  test("q14 aggregates map-side (partial + final HashAggregate)") {
+    assert("HashAggregate".r.findAllIn(plan("q14_agg_group")).size >= 2,
+      "two-phase aggregation is the map-side-combine guarantee")
+  }
+
   test("q61 native as-of join plans AsOfJoinExec with two exchanges") {
     val p = plan("q61_asof_native")
     assert(p.contains("AsOfJoin"))
