@@ -153,7 +153,11 @@ object JoinQueries {
     // 100 TB this is the difference between scanning one partition and
     // scanning the table.
     "q75_partition_prune" -> { (s, dir) =>
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stage_q75"
+      // path is per-(scale factor, session): concurrent Verify/Bench/test
+      // JVMs at different sf must not overwrite each other's staged copy
+      // mid-scan
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stage_q75_" +
+        s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
       graft.sources.Staging.store(
         t(s, dir, "orders"), stage, partitionBy = Seq("o_orderstatus"))
       s.read.parquet(stage)

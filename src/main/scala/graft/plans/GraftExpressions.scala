@@ -131,7 +131,8 @@ case class SeqDotProduct(left: Expression, right: Expression)
   * O(n+m) per pair with zero allocation, vs `array_intersect`'s per-row
   * hash-set build. Callers must pass arrays sorted ascending (q55 sorts
   * once at shingle-array build); result equals
-  * `size(array_intersect(a, b))` for duplicate-free sorted inputs. */
+  * `size(array_intersect(a, b))` for duplicate-free sorted inputs.
+  * Null elements are skipped (never matched). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -154,11 +155,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val (n, m) = (a.numElements(), b.numElements())
     var i = 0; var j = 0; var cnt = 0L
+    // null elements are skipped, never matched — getLong on a null slot
+    // would silently read 0 and phantom-match a real 0 on the other side
     while (i < n && j < m) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { cnt += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { cnt += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     cnt
   }
@@ -174,10 +181,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $m = $b.numElements();
          |int $i = 0; int $j = 0; long $cnt = 0L;
          |while ($i < $n && $j < $m) {
-         |  long $x = $a.getLong($i);
-         |  long $y = $b.getLong($j);
-         |  if ($x == $y) { $cnt++; $i++; $j++; }
-         |  else if ($x < $y) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $x = $a.getLong($i);
+         |    long $y = $b.getLong($j);
+         |    if ($x == $y) { $cnt++; $i++; $j++; }
+         |    else if ($x < $y) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $cnt;
        """.stripMargin

@@ -85,25 +85,47 @@ object Staging {
     * small-files remedy every long-lived staging area needs (streaming
     * sinks and per-batch upserts accumulate KB-size files; at 100 TB the
     * file count, not the byte count, kills scan planning). Reads the
-    * prefix, round-robins into ceil(bytes/target) partitions, rewrites
-    * atomically-per-directory via a temp dir + rename. Returns the new
-    * file count. */
+    * prefix, round-robins into ceil(bytes/target) partitions, and swaps
+    * directories via temp-write → backup-rename → rename, so every crash
+    * window leaves a complete copy on disk: the entry check restores the
+    * backup if a previous attempt died between the two renames.
+    * Hive-partitioned prefixes must pass their partition columns or the
+    * rewrite would flatten the layout (and lose directory pruning).
+    * Refuses streaming-sink outputs (`_spark_metadata`): rewriting files
+    * behind the sink's log makes compacted data invisible — compact a
+    * downstream copy instead. Renames are atomic on HDFS/local but not
+    * on object stores; there, use a transactional table format. Returns
+    * the new file count. */
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): Int = {
     val f = fs(spark, path)
     val p = new Path(path)
-    require(f.exists(p), s"no such staging prefix: $path")
+    val bak = new Path(p.getParent, s".${p.getName}__compact_bak")
+    // self-heal: a crash between the two renames below leaves only the
+    // backup; restore it before anything else
+    if (!f.exists(p)) {
+      require(f.exists(bak) && f.rename(bak, p),
+        s"no such staging prefix: $path")
+    }
+    require(!f.exists(new Path(p, "_spark_metadata")),
+      s"$path is a live streaming-sink output (_spark_metadata); " +
+        "compacting behind the sink log would hide data from readers")
     val bytes = f.getContentSummary(p).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
     if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(bak)) f.delete(bak, true)
     // repartition, not coalesce: coalesce folds into the scan and would
     // serialize the read; the explicit shuffle costs one pass over data
     // that is being rewritten anyway
-    spark.read.parquet(path).repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    f.delete(p, true)
+    val w = spark.read.parquet(path).repartition(parts)
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    require(f.rename(p, bak), s"compaction backup rename failed for $path")
     require(f.rename(tmp, p), s"compaction rename failed for $path")
+    f.delete(bak, true)
     spark.read.parquet(path).inputFiles.length
   }
 

@@ -106,47 +106,102 @@ object StreamPipelines {
 
   /** Micro-batch upsert load — the incremental form of the reference's
     * declared Redshift load (`README.md:2`): each micro-batch is merged
-    * into the serving table at `tableDir` by key via
+    * into the serving table under `tableDir` by key via
     * [[graft.sources.Staging.upsert]] (same-key rows replaced, new keys
     * appended), so the table converges to one row per key no matter how
     * the stream splits into batches. foreachBatch is the Spark-native
     * MERGE sink for plain-parquet targets; on a transactional format the
     * same batch function becomes MERGE INTO. Batches with duplicate keys
-    * keep the LAST row per key (dedup before merge — a stream can carry
-    * several updates for one key in one batch).
+    * keep the LAST row per key, ties broken by the remaining columns so
+    * retries pick the same winner.
     *
-    * The read-merge-rewrite is atomic per batch here because local
-    * renames are; an object-store deployment would write to a versioned
-    * subdir and flip a pointer, or use a table format. */
+    * Crash safety: each batch writes a NEW `v<batchId>` subdirectory and
+    * then flips the `_CURRENT` pointer file. A crash mid-write leaves the
+    * previous version intact and current; the replayed batch re-merges
+    * against it and overwrites its own `v<batchId>` dir (key-merge is
+    * idempotent). Readers go through [[readServingTable]], which falls
+    * back to the highest complete version if the pointer itself was lost
+    * mid-flip. In-place `mode("overwrite")` of the live dir would have
+    * neither property (delete happens before commit). */
   def upsertLoadStream(updates: DataFrame, keys: Seq[String],
       orderCol: String, tableDir: String, checkpoint: String) = {
     val spark = updates.sparkSession
     updates.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // last-per-key within the batch, deterministically (max orderCol,
-        // then the natural struct ordering as tiebreak)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val orderCols = desc(orderCol) +:
+          batch.columns.filterNot(c => keys.contains(c) || c == orderCol)
+            .map(col(_).asc).toSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
-          .orderBy(desc(orderCol))
+          .orderBy(orderCols: _*)
         val deduped = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(tableDir))) {
-            // collect-free merge; materialize BEFORE overwriting the dir
-            // we are also reading from
+        val merged = currentServingVersion(spark, tableDir) match {
+          case Some(cur) =>
+            // materialized merge (localCheckpoint) so the write never
+            // depends on files a concurrent retry might replace
             graft.sources.Staging
-              .upsert(spark.read.parquet(tableDir), deduped, keys,
+              .upsert(spark.read.parquet(s"$tableDir/$cur"), deduped, keys,
                 validate = false)
               .localCheckpoint(true)
-          } else deduped
-        merged.write.mode("overwrite").parquet(tableDir)
+          case None => deduped
+        }
+        merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+        // flip the pointer: temp file + rename (atomic on HDFS/local);
+        // worst case the pointer is briefly absent and readers fall back
+        // to the highest version — which is the one just committed
+        val hfs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(tableDir, "_CURRENT.tmp")
+        val cur = new org.apache.hadoop.fs.Path(tableDir, "_CURRENT")
+        val out = hfs.create(tmp, true)
+        out.write(s"v$batchId".getBytes("UTF-8")); out.close()
+        hfs.delete(cur, false)
+        hfs.rename(tmp, cur)
+        // retention: keep the committed version plus its predecessor (for
+        // readers that resolved the pointer just before the flip)
+        hfs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+          .map(_.getPath)
+          .filter(p => p.getName.matches("v\\d+") &&
+            p.getName.drop(1).toLong < batchId - 1)
+          .foreach(p => hfs.delete(p, true))
         ()
       }
       .start()
   }
+
+  /** Resolve the live version of an [[upsertLoadStream]] serving table:
+    * the `_CURRENT` pointer, or the highest `v<n>` directory when the
+    * pointer is mid-flip/lost. None = table not created yet. */
+  def currentServingVersion(spark: SparkSession,
+      tableDir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(root)) return None
+    val cur = new org.apache.hadoop.fs.Path(root, "_CURRENT")
+    val pointed =
+      if (hfs.exists(cur)) {
+        val in = hfs.open(cur)
+        val s = scala.io.Source.fromInputStream(in).mkString.trim
+        in.close()
+        Some(s).filter(v => hfs.exists(new org.apache.hadoop.fs.Path(root, v)))
+      } else None
+    pointed.orElse {
+      val versions = hfs.listStatus(root).map(_.getPath.getName)
+        .filter(_.matches("v\\d+"))
+      if (versions.isEmpty) None
+      else Some(versions.maxBy(_.drop(1).toLong))
+    }
+  }
+
+  /** Read the live version of an [[upsertLoadStream]] serving table. */
+  def readServingTable(spark: SparkSession, tableDir: String): DataFrame =
+    currentServingVersion(spark, tableDir) match {
+      case Some(v) => spark.read.parquet(s"$tableDir/$v")
+      case None => throw new java.util.NoSuchElementException(
+        s"no serving-table version under $tableDir")
+    }
 }

@@ -40,6 +40,11 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT graft_sorted_intersect(array(1L,2L,3L), array(2L,3L,9L)) AS c")
       .head().getLong(0)
     assert(sql === 2L)
+    // null elements never match (getLong on a null slot would read 0)
+    val nulls = spark.sql(
+      "SELECT graft_sorted_intersect(array(0L, 1L), array(CAST(NULL AS BIGINT))) AS c")
+      .head().getLong(0)
+    assert(nulls === 0L)
   }
 
   test("poly_hash of a literal is constant-folded by Catalyst") {

@@ -84,6 +84,31 @@ class StagingSpec extends SparkSpec {
     assert(after.toSeq === before.toSeq, "compaction must not change rows")
   }
 
+  test("compact keeps hive partitioning when told, refuses sink outputs") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmp() + "/part_frag"
+    Seq((1, "en"), (2, "de"), (3, "en"), (4, "de"))
+      .toDF("id", "lang").repartition(8)
+      .write.partitionBy("lang").parquet(dir)
+    Staging.compact(spark, dir, targetBytes = Long.MaxValue,
+      partitionBy = Seq("lang"))
+    val plan = spark.read.parquet(dir).filter($"lang" === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"partition layout must survive compaction:\n$plan")
+    assert(spark.read.parquet(dir).count() === 4)
+    // streaming-sink outputs are refused — compacting behind the sink's
+    // _spark_metadata log hides data from metadata-aware readers
+    val sinkDir = tmp() + "/sinkish"
+    Seq(1).toDF("id").write.parquet(sinkDir)
+    new java.io.File(sinkDir, "_spark_metadata").mkdir()
+    val e = intercept[IllegalArgumentException] {
+      Staging.compact(spark, sinkDir)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
   test("upsert replaces matching keys and appends new ones") {
     val sess = spark
     import sess.implicits._

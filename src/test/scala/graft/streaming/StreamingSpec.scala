@@ -251,7 +251,7 @@ class StreamingSpec extends SparkSpec {
       // batch 1: two keys, key 1 updated twice WITHIN the batch
       input.addData((1L, 1L, 10.0), (2L, 1L, 20.0), (1L, 2L, 11.0))
       q.processAllAvailable()
-      val after1 = spark.read.parquet(tableDir)
+      val after1 = StreamPipelines.readServingTable(spark, tableDir)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
         .toMap
       assert(after1 === Map(1L -> (2L, 11.0), 2L -> (1L, 20.0)),
@@ -260,11 +260,16 @@ class StreamingSpec extends SparkSpec {
       // batch 2: update key 2, insert key 3
       input.addData((2L, 2L, 21.0), (3L, 1L, 30.0))
       q.processAllAvailable()
-      val after2 = spark.read.parquet(tableDir)
+      val after2 = StreamPipelines.readServingTable(spark, tableDir)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
         .toMap
       assert(after2 === Map(
         1L -> (2L, 11.0), 2L -> (2L, 21.0), 3L -> (1L, 30.0)))
+      // crash-safety invariant: the previous committed version is still
+      // present and complete (pointer flip is the only commit point)
+      val vers = new java.io.File(tableDir).list().filter(_.matches("v\\d+"))
+      assert(vers.length >= 1 && vers.contains(
+        StreamPipelines.currentServingVersion(spark, tableDir).get))
     } finally q.stop()
   }
 
