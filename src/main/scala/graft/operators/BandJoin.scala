@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable band (range) join: all pairs with |lVal − rVal| ≤ delta.
+  *
+  * The naive theta formulation (q10) plans as BroadcastNestedLoopJoin —
+  * an O(n·m) compare matrix, viable only while one side broadcasts. This
+  * operator bucketizes both sides on `floor(value / (2·delta))` and
+  * equi-joins each left row against buckets {b−1, b, b+1}; a qualifying
+  * pair's quotients differ by at most delta/(2·delta) = 0.5, so its
+  * buckets differ by at most 1 even after floating-point division error
+  * (0.5 + ulps < 1 — bucket width 2·delta, not delta, buys exactly this
+  * robustness margin). The residual predicate restores exactness, and
+  * each qualifying pair matches exactly once (the three probe values are
+  * distinct, the build bucket is single-valued), so no dedup pass is
+  * needed. Cost: 3× fan-out of the probe side through a hash join —
+  * the 100 TB shape — instead of the nested-loop compare matrix. Null
+  * band values never match, like the theta form. */
+object BandJoin {
+
+  def bandJoin(left: DataFrame, right: DataFrame,
+      lVal: Column, rVal: Column, delta: Double): DataFrame = {
+    require(delta > 0, s"band width must be positive, got $delta")
+    Seq("__band_probe", "__band_bucket").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"inputs must not already contain a $c column")
+    }
+    val width = 2 * delta
+    val b = floor(lVal / width).cast("long")
+    val probe = left.withColumn("__band_probe",
+      explode(array(b - 1, b, b + 1)))
+    val build = right.withColumn("__band_bucket",
+      floor(rVal / width).cast("long"))
+    probe.join(build,
+        col("__band_probe") === col("__band_bucket") &&
+        rVal >= lVal - delta && rVal <= lVal + delta)
+      .drop("__band_probe", "__band_bucket")
+  }
+}

@@ -117,6 +117,19 @@ object JoinQueries {
         .orderBy("s_suppkey")
     },
 
+    // q10's band semantics through the scalable path: bucketized
+    // equi-join (BandJoin) instead of the nested-loop compare matrix —
+    // identical result, hash-joinable shape. PlanSpec pins the absence
+    // of a nested-loop join.
+    "q76_join_band_bucketed" -> { (s, dir) =>
+      BandJoin.bandJoin(
+          t(s, dir, "supplier"), t(s, dir, "customer"),
+          col("s_acctbal"), col("c_acctbal"), 100.0)
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("cust_cnt"))
+        .orderBy("s_suppkey")
+    },
+
     // As-of join: each purchase event matched to the latest click by the
     // same user at or before it. Union + window LVCF: one shuffle on
     // user_id, no range-join blowup — the 100 TB-safe as-of pattern.
@@ -206,6 +219,13 @@ object JoinQueries {
       |GROUP BY r_name, n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  private val q10Sql =
+    """SELECT s_suppkey, s_name, count(*) AS cust_cnt
+      |FROM supplier JOIN customer
+      |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY s_suppkey""".stripMargin
+
   private val q04Sql =
     """SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
       | CAST(CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DECIMAL(18,4)) AS DOUBLE) AS total_spend
@@ -243,12 +263,8 @@ object JoinQueries {
       """SELECT r_name, o_orderpriority
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
         |ORDER BY r_name, o_orderpriority""".stripMargin,
-    "q10_join_theta" ->
-      """SELECT s_suppkey, s_name, count(*) AS cust_cnt
-        |FROM supplier JOIN customer
-        |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
-        |GROUP BY s_suppkey, s_name
-        |ORDER BY s_suppkey""".stripMargin,
+    "q10_join_theta" -> q10Sql,
+    "q76_join_band_bucketed" -> q10Sql,
     "q11_join_asof" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
         |SELECT p.event_id, p.user_id, p.ts,

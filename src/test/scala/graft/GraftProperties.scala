@@ -88,6 +88,29 @@ object GraftProperties extends Properties("graft") {
       native == windowed
     }
 
+  // Bucketized band join must equal the theta formulation exactly,
+  // including negative values and band-boundary ties.
+  property("bucketized band join equals the theta formulation") =
+    Prop.forAll(Gen.listOfN(25, Gen.chooseNum(-1000, 1000)),
+      Gen.listOfN(25, Gen.chooseNum(-1000, 1000))) { (ls, rs) =>
+      val sess = spark
+      import sess.implicits._
+      val delta = 7.5
+      val l = ls.zipWithIndex.map { case (v, i) => (i.toLong, v / 10.0) }
+        .toDF("lid", "lv")
+      val r = rs.zipWithIndex.map { case (v, i) => (i.toLong, v / 10.0) }
+        .toDF("rid", "rv")
+      val band = graft.operators.BandJoin
+        .bandJoin(l, r, col("lv"), col("rv"), delta)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val theta = l.join(r,
+          col("rv") >= col("lv") - delta && col("rv") <= col("lv") + delta)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      band == theta
+    }
+
   // MinHash estimate vs exact Jaccard: generate doc pairs with a
   // controlled shared prefix; a 32-perm signature is a binomial(32, J)
   // estimator, so |est - J| < 0.35 is a ~4σ bound. Tested on the

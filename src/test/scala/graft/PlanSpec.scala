@@ -58,6 +58,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(orderingConf)
   }
 
+  test("q76 band join is an equi (hash) join, not a nested loop") {
+    val p = plan("q76_join_band_bucketed")
+    assert(!p.contains("NestedLoop"),
+      s"bucketized band join must not plan a compare matrix:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the band bucket:\n$p")
+  }
+
   test("q75 pushes the partition predicate into PartitionFilters") {
     val p = plan("q75_partition_prune")
     assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
