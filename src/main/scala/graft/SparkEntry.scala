@@ -24,6 +24,7 @@ object SparkEntry {
     FnQueries.queries ++
     FnQueries2.queries ++
     EventQueries.queries ++
+    graft.streaming.EventAnalytics.queries ++
     LlmQueries.queries ++
     TextQueries.queries ++
     SimilarityQueries.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
     FnQueries.oracle ++
     FnQueries2.oracle ++
     EventQueries.oracle ++
+    graft.streaming.EventAnalytics.oracle ++
     LlmQueries.oracle ++
     TextQueries.oracle ++
     SimilarityQueries.oracle ++

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Event-analytics operators over the events fixture (q77–q78): cohort
+  * retention and conversion funnels — the standard product-analytics
+  * queries a warehouse load (the reference's declared target) exists to
+  * serve.
+  *
+  * Scale notes: retention is two hash aggregations (per-user cohort,
+  * then cohort×week distinct counts) — both shuffle on bounded keys.
+  * The funnel is a chain of per-user min-aggregations and equi-joins on
+  * user_id; each stage's input shrinks monotonically (only users who
+  * reached the previous stage survive), so the joins get cheaper down
+  * the funnel. Nothing is quadratic; everything partitions on user_id. */
+object EventAnalytics {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Weekly retention: users grouped by first-seen day (cohort), then
+    // distinct active users per (cohort, week offset).
+    "q77_retention" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .withColumn("week_offset",
+          floor(datediff(col("day"), col("cohort_day")) / 7).cast("long"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(countDistinct("user_id").as("active_users"))
+        .orderBy("cohort_day", "week_offset")
+    },
+
+    // Ordered conversion funnel view → click → purchase: a user counts
+    // for a stage only if it happened at-or-after their previous stage.
+    "q78_funnel" -> { (s, dir) =>
+      val ev = loadEvents(s, dir).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q77_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day,
+        |  CAST(floor(date_diff('day', cohort_day, day) / 7) AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM e JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q78_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click_after_view,
+        |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin,
+  )
+}
