@@ -24,7 +24,7 @@ object SparkEntry {
     FnQueries.queries ++
     FnQueries2.queries ++
     EventQueries.queries ++
-    graft.streaming.EventAnalytics.queries ++
+    EventAnalytics.queries ++
     LlmQueries.queries ++
     TextQueries.queries ++
     SimilarityQueries.queries ++
@@ -43,7 +43,7 @@ object SparkEntry {
     FnQueries.oracle ++
     FnQueries2.oracle ++
     EventQueries.oracle ++
-    graft.streaming.EventAnalytics.oracle ++
+    EventAnalytics.oracle ++
     LlmQueries.oracle ++
     TextQueries.oracle ++
     SimilarityQueries.oracle ++

@@ -20,22 +20,39 @@ import org.apache.spark.sql.functions._
   * band values never match, like the theta form. */
 object BandJoin {
 
+  /** Above this quotient magnitude a double division's ulp reaches 0.25
+    * and the ±1 probe completeness proof no longer holds — fail loudly
+    * per row instead of silently dropping pairs. */
+  private val MaxQuotient = math.pow(2, 50)
+
   def bandJoin(left: DataFrame, right: DataFrame,
       lVal: Column, rVal: Column, delta: Double): DataFrame = {
     require(delta > 0, s"band width must be positive, got $delta")
-    Seq("__band_probe", "__band_bucket").foreach { c =>
+    val helpers = Seq("__band_probe", "__band_bucket", "__band_lv", "__band_rv")
+    helpers.foreach { c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"inputs must not already contain a $c column")
     }
     val width = 2 * delta
-    val b = floor(lVal / width).cast("long")
-    val probe = left.withColumn("__band_probe",
-      explode(array(b - 1, b, b + 1)))
-    val build = right.withColumn("__band_bucket",
-      floor(rVal / width).cast("long"))
+    // Materialize the band values as side-specific helper columns FIRST:
+    // the join condition then references only columns that exist on one
+    // side, so self-band-joins and inputs sharing the value column's name
+    // resolve unambiguously.
+    def bucket(q: Column): Column =
+      when(abs(q) > MaxQuotient, expr(
+        "raise_error('bandJoin: |value|/(2*delta) exceeds 2^50; " +
+          "bucketization would be lossy — use a larger delta or " +
+          "rescale the band column')").cast("long"))
+        .otherwise(floor(q).cast("long"))
+    val lb = bucket(col("__band_lv") / width)
+    val probe = left.withColumn("__band_lv", lVal)
+      .withColumn("__band_probe", explode(array(lb - 1, lb, lb + 1)))
+    val build = right.withColumn("__band_rv", rVal)
+      .withColumn("__band_bucket", bucket(col("__band_rv") / width))
     probe.join(build,
         col("__band_probe") === col("__band_bucket") &&
-        rVal >= lVal - delta && rVal <= lVal + delta)
-      .drop("__band_probe", "__band_bucket")
+        col("__band_rv") >= col("__band_lv") - delta &&
+        col("__band_rv") <= col("__band_lv") + delta)
+      .drop(helpers: _*)
   }
 }

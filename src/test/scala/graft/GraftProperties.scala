@@ -100,15 +100,34 @@ object GraftProperties extends Properties("graft") {
         .toDF("lid", "lv")
       val r = rs.zipWithIndex.map { case (v, i) => (i.toLong, v / 10.0) }
         .toDF("rid", "rv")
+      // multiset compare (sorted Seq, not Set): the exactly-once-match
+      // invariant is part of the contract — q76's count(*) depends on it
       val band = graft.operators.BandJoin
         .bandJoin(l, r, col("lv"), col("rv"), delta)
         .select("lid", "rid").collect()
-        .map(x => (x.getLong(0), x.getLong(1))).toSet
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
       val theta = l.join(r,
           col("rv") >= col("lv") - delta && col("rv") <= col("lv") + delta)
         .select("lid", "rid").collect()
-        .map(x => (x.getLong(0), x.getLong(1))).toSet
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
       band == theta
+    }
+
+  // self-band-join: both sides share lineage AND the column name — the
+  // ambiguous-resolution trap the helper-column materialization avoids
+  property("band self-join resolves and matches its theta row count") =
+    Prop.forAll(Gen.listOfN(20, Gen.chooseNum(-500, 500))) { xs =>
+      val sess = spark
+      import sess.implicits._
+      val d = xs.zipWithIndex.map { case (v, i) => (i.toLong, v / 10.0) }
+        .toDF("id", "v")
+      val n = graft.operators.BandJoin
+        .bandJoin(d, d, col("v"), col("v"), 5.0).count()
+      val expected = {
+        val vs = xs.map(_ / 10.0)
+        vs.map(a => vs.count(b => math.abs(a - b) <= 5.0)).sum.toLong
+      }
+      n == expected
     }
 
   // MinHash estimate vs exact Jaccard: generate doc pairs with a
