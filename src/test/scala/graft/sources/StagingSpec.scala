@@ -26,17 +26,20 @@ class StagingSpec extends SparkSpec {
     assert(!Staging.vacuum(spark, dir), "vacuum of missing prefix is a no-op")
   }
 
-  test("csv and json staging round-trips preserve data") {
+  test("csv, json and orc staging round-trips preserve data") {
     val sess = spark
     import sess.implicits._
     val base = tmp()
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "score")
     Staging.store(df, s"$base/csv", format = "csv")
     Staging.store(df, s"$base/json", format = "json")
+    Staging.store(df, s"$base/orc", format = "orc")
     val csv = spark.read.schema(df.schema).csv(s"$base/csv")
     val json = spark.read.schema(df.schema).json(s"$base/json")
+    val orc = spark.read.orc(s"$base/orc")
     assert(csv.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
     assert(json.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    assert(orc.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
 
   test("partitioned store lays out hive-style directories") {
