@@ -27,6 +27,21 @@ object VectorOps {
       .otherwise(seq_dot(a, b) / (sqrt(na) * sqrt(nb)))
   }
 
+  /** Cosine from a pair dot product plus PRECOMPUTED per-vector norms.
+    * The two norm folds inside [[cosine]] are per-*vector* quantities;
+    * evaluating them per *pair* is ~3× the necessary FLOPs in any
+    * candidate-verify join. Compute `l2Norm` once per vector (a linear
+    * pass), carry it through the join, and pair cost drops to one
+    * `seq_dot`. Bit-identical to [[cosine]] (contract D7): the norm is
+    * the same sequential fold over the same input whether computed once
+    * or per pair, `sqrt` is correctly rounded, and the final
+    * `dot / (nrmA * nrmB)` is the same op sequence as
+    * `dot / (sqrt(na) * sqrt(nb))`. Zero-norm guard matches too
+    * (`sqrt(x) == 0` iff `x == 0` for the non-negative fold). */
+  def cosinePre(dot: Column, nrmA: Column, nrmB: Column): Column =
+    when(nrmA === 0.0 || nrmB === 0.0, lit(null).cast("double"))
+      .otherwise(dot / (nrmA * nrmB))
+
   /** Unit-normalize into a float vector (zero vectors pass through). */
   def normalize(v: Column): Column = {
     val n = l2Norm(v)

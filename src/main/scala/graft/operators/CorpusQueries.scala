@@ -130,11 +130,17 @@ object CorpusQueries {
           col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
           col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      val ea = emb.toDF("id_a", "e_a")
-      val eb = emb.toDF("id_b", "e_b")
+      // per-vector norm precomputed before the verify join: one seq_dot
+      // per candidate pair instead of three (the norm folds are
+      // per-vector quantities)
+      val en = emb.withColumn("nrm",
+        graft.functions.VectorOps.l2Norm(col("embedding")))
+      val ea = en.toDF("id_a", "e_a", "n_a")
+      val eb = en.toDF("id_b", "e_b", "n_b")
       pairs.join(ea, "id_a").join(eb, "id_b")
-        .withColumn("sim",
-          graft.functions.VectorOps.cosine(col("e_a"), col("e_b")))
+        .withColumn("sim", graft.functions.VectorOps.cosinePre(
+          graft.operators.LlmQueries.seqDot(col("e_a"), col("e_b")),
+          col("n_a"), col("n_b")))
         .filter(col("sim") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
@@ -182,15 +188,17 @@ object CorpusQueries {
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y
        |    ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id),
+       |en AS (SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (x,y)->x+y)) AS nrm
+       |  FROM embeddings),
        |p0 AS (
        |  SELECT id_a, id_b,
        |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y) AS dot,
-       |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*a.embedding[i] AS DOUBLE)), (x,y)->x+y) AS na,
-       |    list_reduce(list_transform(range(1,65), i -> CAST(b.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y) AS nb
-       |  FROM cand JOIN embeddings a ON a.vec_id = id_a
-       |            JOIN embeddings b ON b.vec_id = id_b),
+       |    a.nrm AS na, b.nrm AS nb
+       |  FROM cand JOIN en a ON a.vec_id = id_a
+       |            JOIN en b ON b.vec_id = id_b),
        |p AS (SELECT id_a, id_b,
-       |  CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(sqrt(na)*sqrt(nb)) END AS sim FROM p0)
+       |  CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM p0)
        |SELECT id_a, id_b, round(sim, 6) AS sim
        |FROM p WHERE sim >= 0.4
        |ORDER BY id_a, id_b""".stripMargin

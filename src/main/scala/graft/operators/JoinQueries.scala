@@ -190,14 +190,26 @@ object JoinQueries {
     // the final 5-group agg shuffles. Exchange-freedom pinned by PlanSpec.
     "q69_join_bucketed" -> { (s, dir) =>
       val B = 8
+      // table names parameterized by (sf-dir hash, applicationId), the
+      // same discipline as q75's staging path: concurrent Verify/Bench/
+      // test JVMs share one spark-warehouse/, and unsuffixed names let
+      // one JVM drop/overwrite another's tables mid-scan. Within a
+      // session the names are stable, so re-runs reuse (drop+rewrite)
+      // the same pair instead of accumulating warehouse dirs; the
+      // returned plan is lazy, so the tables must outlive this function
+      // — cleanup happens on re-create (storeBucketed drops + vacuums).
+      val sfx = s"${math.abs(dir.hashCode)}_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val lTab = s"graft_lineitem_bkt_$sfx"
+      val oTab = s"graft_orders_bkt_$sfx"
       graft.sources.Staging.storeBucketed(
         t(s, dir, "lineitem").repartition(B, col("l_orderkey")),
-        "graft_lineitem_bkt", Seq("l_orderkey"), B)
+        lTab, Seq("l_orderkey"), B)
       graft.sources.Staging.storeBucketed(
         t(s, dir, "orders").repartition(B, col("o_orderkey")),
-        "graft_orders_bkt", Seq("o_orderkey"), B)
-      s.table("graft_lineitem_bkt")
-        .join(s.table("graft_orders_bkt"),
+        oTab, Seq("o_orderkey"), B)
+      s.table(lTab)
+        .join(s.table(oTab),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),

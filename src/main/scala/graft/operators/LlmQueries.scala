@@ -68,31 +68,42 @@ object LlmQueries {
   }
 
   /** LSH-banded candidate pairs + estimated Jaccard from signature
-    * agreement. Join is on (band index, band key) — hash-partitionable. */
+    * agreement. Join is on (band index, band key) — hash-partitionable.
+    *
+    * Shape (measured at sf0.1, load 2.5): signatures are carried THROUGH
+    * the band join, so verification needs no sig re-joins and no
+    * pre-verify `distinct()`. Candidate occurrences dedup at 2,680 → 450
+    * pairs (83% duplicates — near-dup pairs agree in most of their 8
+    * bands, the opposite of q55's 5%), but a pre-verify distinct would
+    * shuffle the same 2,680 rows the post-verify one does, and the old
+    * shape paid two extra signature joins on top. Verifying every
+    * occurrence is a codegen'd 32-slot loop ([[graft.plans.ZipEqualCount]]
+    * — the interpreted `zip_with`+`filter` pair built an intermediate
+    * boolean array per candidate), then the tiny surviving set dedups.
+    * At 100 TB the same argument holds: 256 B of signature per band row
+    * is the standard LSH payload trade, and dedup work scales with the
+    * candidate count either way. */
   def minhashPairs(docs: DataFrame, k: Int = 3): DataFrame = {
-    // consumed three times (band explode + both sides of the pair join);
-    // cache avoids recomputing the shingle scan per consumer. NB callers
-    // running many corpora in one session should clearCache()/unpersist
-    // between runs (Verify and Bench both do)
+    // consumed twice (both sides of the band join); cache avoids
+    // recomputing the shingle scan per consumer. NB callers running many
+    // corpora in one session should clearCache()/unpersist between runs
+    // (Verify and Bench both do)
     val sig = minhashSignatures(docs, k).cache()
     val bands = sig
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(NumBands - 1))).as("b"))
-      .select(col("doc_id"), col("b"),
+      .select(col("doc_id"), col("sig"), col("b"),
         concat_ws(",", slice(col("sig"), col("b") * RowsPerBand + 1,
           lit(RowsPerBand))).as("bkey"))
-    val ba = bands.toDF("doc_a", "b_a", "key_a")
-    val bb = bands.toDF("doc_b", "b_b", "key_b")
-    val cand = ba.join(bb,
+    val ba = bands.toDF("doc_a", "sig_a", "b_a", "key_a")
+    val bb = bands.toDF("doc_b", "sig_b", "b_b", "key_b")
+    ba.join(bb,
         col("b_a") === col("b_b") && col("key_a") === col("key_b") &&
         col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sig.toDF("doc_a", "sig_a")
-    val sb = sig.toDF("doc_b", "sig_b")
-    cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), p => p)).cast("long").as("match_cnt"))
+        graft.plans.GraftExpressions.zip_equal(col("sig_a"), col("sig_b"))
+          .as("match_cnt"))
+      .distinct()
       .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
   }
 
@@ -125,17 +136,22 @@ object LlmQueries {
     },
 
     // Brute-force cosine top-5 per query vector (vec_id % 50 = 0).
+    // Norms are precomputed per vector (one linear pass) so the O(|q|·n)
+    // pair stage evaluates ONE seq_dot per pair, not three.
     "q45_sim_topk" -> { (s, dir) =>
       val emb = tWide(s, dir, "embeddings")
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
       val q = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val v = emb.select(col("vec_id").as("nid"), col("embedding").as("ve"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val v = emb.select(col("vec_id").as("nid"), col("embedding").as("ve"),
+        col("nrm").as("vn"))
       val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
       q.crossJoin(v)
         .filter(col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"),
-          graft.functions.VectorOps.cosine(col("qe"), col("ve"))
-            .as("sim_raw"))
+          graft.functions.VectorOps.cosinePre(
+            seqDot(col("qe"), col("ve")), col("qn"), col("vn")).as("sim_raw"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("nid"),
@@ -219,16 +235,21 @@ object LlmQueries {
         |FROM est WHERE match_cnt >= 26
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // norms precomputed per vector in CTE `e` — the same sqrt'd
+    // sequential fold the Spark side's l2Norm runs (D7: bit-identical
+    // whether computed once or per pair)
     "q45_sim_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id % 50 = 0),
         |p AS (
         |  SELECT qid, vec_id AS nid,
         |    list_reduce(list_transform(range(1,65), i -> CAST(qe[i]*embedding[i] AS DOUBLE)), (a,b)->a+b) AS dot,
-        |    list_reduce(list_transform(range(1,65), i -> CAST(qe[i]*qe[i] AS DOUBLE)), (a,b)->a+b) AS nq,
-        |    list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b) AS nv
-        |  FROM q CROSS JOIN embeddings WHERE vec_id != qid),
+        |    qn, nrm AS vn
+        |  FROM q CROSS JOIN e WHERE vec_id != qid),
         |s AS (SELECT qid, nid,
-        |  CASE WHEN nq = 0 OR nv = 0 THEN NULL ELSE dot/(sqrt(nq)*sqrt(nv)) END AS sim_raw FROM p),
+        |  CASE WHEN qn = 0 OR vn = 0 THEN NULL ELSE dot/(qn*vn) END AS sim_raw FROM p),
         |r AS (SELECT qid, nid, sim_raw,
         |  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid) AS rnk FROM s)
         |SELECT qid, rnk, nid, round(sim_raw, 6) AS sim

@@ -140,19 +140,24 @@ object SimilarityQueries {
     // replication of one side) with a pair set identical to the naive join.
     "q56_dedup_embed" -> { (s, dir) =>
       val B = 16
+      // per-vector norm precomputed before the pair join (one seq_dot per
+      // PAIR instead of three — the norm folds are per-vector quantities)
       val e = tWide(s, dir, "embeddings")
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
       // A-side: replicated once per partner block pb.
       val a = e.select(col("label").as("l_a"), col("vec_id").as("id_a"),
-          col("embedding").as("e_a"))
+          col("embedding").as("e_a"), col("nrm").as("n_a"))
         .withColumn("pb", explode(sequence(lit(0), lit(B - 1))))
       // B-side: tagged with its own block.
       val b = e.select(col("label").as("l_b"), col("vec_id").as("id_b"),
-        col("embedding").as("e_b"), pmod(col("vec_id"), lit(B)).as("blk_b"))
+        col("embedding").as("e_b"), col("nrm").as("n_b"),
+        pmod(col("vec_id"), lit(B)).as("blk_b"))
       a.join(b,
           col("l_a") === col("l_b") && col("pb") === col("blk_b") &&
           col("id_a") < col("id_b"))
         .select(col("l_a").as("label"),
-          graft.functions.VectorOps.cosine(col("e_a"), col("e_b")).as("sim"))
+          graft.functions.VectorOps.cosinePre(
+            seqDot(col("e_a"), col("e_b")), col("n_a"), col("n_b")).as("sim"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_pairs"),
           count(when(col("sim") >= 0.3, 1)).as("n_close"),
@@ -162,33 +167,43 @@ object SimilarityQueries {
 
     // IVF ANN: centroids = vec_id % 100 = 0; assign all vectors to their
     // nearest centroid; probe only the query's bucket, top-3.
+    // The bucket-assignment subplan (centroid crossJoin + per-vector
+    // window — the expensive stage) is cache()'d because BOTH the query
+    // set and the member set consume it; uncached it would run twice per
+    // execution. Norms are precomputed per vector, so assignment and
+    // probe each pay one seq_dot per pair.
     "q57_ann_ivf" -> { (s, dir) =>
       val e = tWide(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
+        .cache()
       val cent = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
       val wAsgn = Window.partitionBy("vec_id")
         .orderBy(desc("csim"), col("cid"))
-      val buckets = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(cent)
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          graft.functions.VectorOps.cosine(col("embedding"), col("ce"))
+      val buckets = e.crossJoin(cent)
+        .select(col("vec_id"), col("cid"),
+          graft.functions.VectorOps.cosinePre(
+            seqDot(col("embedding"), col("ce")), col("nrm"), col("cn"))
             .as("csim"))
         .withColumn("rn", row_number().over(wAsgn))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"))
+        .cache()
       val q = e.join(buckets, "vec_id")
         .filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("cid").as("qcid"))
+          col("nrm").as("qn"), col("cid").as("qcid"))
       val members = e.join(buckets, "vec_id")
         .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("cid").as("ncid"))
+          col("nrm").as("nn"), col("cid").as("ncid"))
       val wTop = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
       q.join(members, col("qcid") === col("ncid") &&
           col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"),
-          graft.functions.VectorOps.cosine(col("qe"), col("ne"))
-            .as("sim_raw"))
+          graft.functions.VectorOps.cosinePre(
+            seqDot(col("qe"), col("ne")), col("qn"), col("nn")).as("sim_raw"))
         .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("qid"), col("rnk"), col("nid"),
@@ -244,39 +259,42 @@ object SimilarityQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q56_dedup_embed" ->
-      """WITH p0 AS (
+      """WITH e AS (SELECT label, vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (x,y)->x+y)) AS nrm
+        |  FROM embeddings),
+        |p0 AS (
         |  SELECT a.label,
         |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y) AS dot,
-        |    list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*a.embedding[i] AS DOUBLE)), (x,y)->x+y) AS na,
-        |    list_reduce(list_transform(range(1,65), i -> CAST(b.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y) AS nb
-        |  FROM embeddings a JOIN embeddings b
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM e a JOIN e b
         |    ON a.label = b.label AND a.vec_id < b.vec_id),
         |p AS (SELECT label,
-        |  CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(sqrt(na)*sqrt(nb)) END AS sim FROM p0)
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM p0)
         |SELECT label, count(*) AS n_pairs,
         |  count(*) FILTER (sim >= 0.3) AS n_close,
         |  round(max(sim), 6) AS max_cos
         |FROM p GROUP BY label ORDER BY label""".stripMargin,
 
     "q57_ann_ivf" ->
-      """WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 0),
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id % 100 = 0),
         |asgn AS (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM (
-        |    SELECT vec_id, cid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(sqrt(na)*sqrt(nb)) END AS sim FROM (
+        |    SELECT vec_id, cid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
         |      SELECT e.vec_id, c.cid,
         |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS dot,
-        |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) AS na,
-        |        list_reduce(list_transform(range(1,65), i -> CAST(c.ce[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS nb
-        |      FROM embeddings e CROSS JOIN cent c))),
+        |        e.nrm AS na, c.cn AS nb
+        |      FROM e CROSS JOIN cent c))),
         |buckets AS (SELECT vec_id, cid FROM asgn WHERE rn = 1),
-        |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.cid FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0),
+        |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0),
         |probe AS (
-        |  SELECT qid, nid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(sqrt(na)*sqrt(nb)) END AS sim FROM (
+        |  SELECT qid, nid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
         |    SELECT q.qid, e.vec_id AS nid,
         |      list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) AS dot,
-        |      list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*q.qe[i] AS DOUBLE)), (a,b)->a+b) AS na,
-        |      list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) AS nb
-        |    FROM q JOIN buckets b ON b.cid = q.cid JOIN embeddings e ON e.vec_id = b.vec_id
+        |      q.qn AS na, e.nrm AS nb
+        |    FROM q JOIN buckets b ON b.cid = q.cid JOIN e ON e.vec_id = b.vec_id
         |    WHERE e.vec_id != q.qid)),
         |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM probe)
         |SELECT qid, rnk, nid, round(sim, 6) AS sim

@@ -199,6 +199,73 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Positional agreement count of two equal-length long arrays — the
+  * MinHash signature-match kernel: |{i : a[i] == b[i]}|. Equivalent to
+  * `size(filter(zip_with(a, b, (x,y) -> x = y), p -> p))` but generated
+  * as one straight-line loop instead of two interpreted lambdas and an
+  * intermediate boolean array per pair. Null slots never match (either
+  * side null at i contributes 0). Length mismatch throws: silently
+  * zipping a truncated signature would report a plausible match count
+  * for a corrupt row. */
+case class ZipEqualCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zip_equal"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_zip_equal: length mismatch ($n vs ${b.numElements()})")
+    }
+    var i = 0; var cnt = 0L
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_zip_equal: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |long $cnt = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) { $cnt++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZipEqualCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   /** Column wrapper: engine-portable polynomial string hash. */
   def poly_hash(c: Column, base: Int = 131, mod: Long = 2147483647L): Column =
@@ -211,4 +278,8 @@ object GraftExpressions {
   /** Column wrapper: intersection size of two sorted long arrays. */
   def sorted_intersect(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpression(a), toExpression(b)))
+
+  /** Column wrapper: positional agreement count of two long arrays. */
+  def zip_equal(a: Column, b: Column): Column =
+    toColumn(ZipEqualCount(toExpression(a), toExpression(b)))
 }

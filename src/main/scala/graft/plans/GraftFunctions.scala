@@ -44,6 +44,12 @@ object GraftFunctions {
       "graft_sorted_intersect(a, b) takes 2 arguments")
   }
 
+  private def zipEqualBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => ZipEqualCount(a, b)
+    case _ => throw new IllegalArgumentException(
+      "graft_zip_equal(a, b) takes 2 arguments")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
@@ -54,7 +60,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect"),
-      intersectBuilder))
+      intersectBuilder),
+    (FunctionIdentifier("graft_zip_equal"),
+      new ExpressionInfo(classOf[ZipEqualCount].getName, "graft_zip_equal"),
+      zipEqualBuilder))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit = functions.foreach {

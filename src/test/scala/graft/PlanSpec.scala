@@ -47,9 +47,13 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
     spark.conf.set(orderingConf, "true")
+    // table names are suffixed per (sf-dir, applicationId) — resolve the
+    // pair the q69 run above just created
+    val sfx = s"${math.abs(dir.hashCode)}_" +
+      spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
     try {
-      val smj = spark.table("graft_lineitem_bkt")
-        .join(spark.table("graft_orders_bkt").hint("merge"),
+      val smj = spark.table(s"graft_lineitem_bkt_$sfx")
+        .join(spark.table(s"graft_orders_bkt_$sfx").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
       val sp = smj.queryExecution.executedPlan.toString
       assert(sp.contains("SortMergeJoin"), s"expected sort-merge join:\n$sp")

@@ -47,6 +47,34 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(nulls === 0L)
   }
 
+  test("zip_equal matches the interpreted zip_with formulation") {
+    GraftFunctions.register(spark)
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 0L)),   // 2 agree
+      (Seq.empty[Long], Seq.empty[Long]),            // empty
+      (Seq(7L, 7L), Seq(7L, 7L)),                    // all agree
+      (Seq(-1L, 0L), Seq(1L, 5L))).toDF("a", "b")    // none agree
+    val out = rows.select(
+      GraftExpressions.zip_equal($"a", $"b").as("fast"),
+      size(filter(zip_with($"a", $"b", (x, y) => x === y), p => p))
+        .cast("long").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // SQL surface + null slots never match
+    assert(spark.sql(
+      "SELECT graft_zip_equal(array(1L, NULL, 3L), array(1L, NULL, 9L)) AS c")
+      .head().getLong(0) === 1L)
+    // ragged arrays fail loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_zip_equal(array(1L,2L), array(1L))").head()
+    }
+    assert(e.getMessage.contains("length mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("length mismatch"))
+  }
+
   test("poly_hash of a literal is constant-folded by Catalyst") {
     GraftFunctions.register(spark)
     val opt = spark.sql("SELECT graft_poly_hash('hello') AS h")

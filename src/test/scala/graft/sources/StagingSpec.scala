@@ -165,6 +165,24 @@ class StagingSpec extends SparkSpec {
     assert(ConfigProvider.getPlain(spark, "db", Some("eu-west-1")) === "west")
   }
 
+  test("q69 bucketed tables at different scale factors do not collide") {
+    // regression (VERDICT r2 item 3): unsuffixed catalog names let a
+    // second q69 run drop/overwrite the first run's tables mid-plan.
+    // Interleave two scale factors: build sf0.001's plan, run sf0.01's
+    // storeBucketed (which under unsuffixed naming clobbered the tables),
+    // then execute the sf0.001 plan — it must still see sf0.001 data.
+    val q69 = graft.SparkEntry.queries("q69_join_bucketed")
+    val dfSmall = q69(spark, "/root/testdata/sf0.001") // creates tables A
+    val small = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .count()
+    q69(spark, "/root/testdata/sf0.01") // creates tables B (10× the rows)
+    val itemsSeen = dfSmall.agg(org.apache.spark.sql.functions.sum("n_items"))
+      .head().getLong(0)
+    assert(itemsSeen === small,
+      s"sf0.001 plan read $itemsSeen items; expected $small — " +
+        "its bucketed tables were overwritten by the sf0.01 run")
+  }
+
   test("ConfigProvider falls back to environment and fails with the key name") {
     val env = Map("GRAFT_CONFIG_EU_WEST_1_FALLBACK" -> "from-env")
     assert(ConfigProvider.getPlain(spark, "fallback", Some("eu-west-1"), env)
