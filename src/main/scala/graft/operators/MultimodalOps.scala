@@ -8,16 +8,19 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The decode step is REAL for image payloads the JDK can read
-  * (PNG/BMP/GIF/JPEG via `javax.imageio` — no external codec needed):
-  * it produces the decoded pixel dimensions and a luminance histogram.
-  * Audio/video kinds and undecodable payloads fall back to a
-  * clearly-marked deterministic byte-histogram STUB (this container has
-  * no audio/video codecs). Everything around the decode — schema, Dataset
-  * typing, per-partition batch shape, partitioning — is what any further
-  * codec would plug into. `mapPartitions` is the Scala analog of
-  * arrow-batched `mapInPandas`: user code sees an iterator per partition,
-  * so per-batch decoder init is amortized. */
+  * The decode step is REAL for payloads the JDK can read:
+  *  - images: PNG/BMP/GIF/JPEG via `javax.imageio` — decoded pixel
+  *    dimensions + luminance histogram;
+  *  - audio: WAV/AIFF/AU via `javax.sound.sampled` — decoded sample
+  *    rate, frame count, duration, overall RMS, and a time-segment
+  *    energy profile.
+  * Video kinds and undecodable payloads fall back to a clearly-marked
+  * deterministic byte-histogram STUB (this container has no video
+  * codecs). Everything around the decode — schema, Dataset typing,
+  * per-partition batch shape, partitioning — is what any further codec
+  * would plug into. `mapPartitions` is the Scala analog of arrow-batched
+  * `mapInPandas`: user code sees an iterator per partition, so per-batch
+  * decoder init is amortized. */
 object MultimodalOps {
 
   case class MediaRow(
@@ -25,10 +28,14 @@ object MultimodalOps {
       width: Int, height: Int, sample_rate: Int, duration_ms: Long)
 
   /** `decoded_width`/`decoded_height` are the REAL dimensions read from
-    * the pixel data (0 when the payload wasn't decodable as an image). */
+    * the pixel data (0 when the payload wasn't decodable as an image);
+    * `decoded_sample_rate`/`decoded_frames`/`decoded_duration_ms`/`rms`
+    * come from real PCM decode (0 when not decodable as audio). */
   case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
-      decoded_width: Int, decoded_height: Int, features: Array[Float])
+      decoded_width: Int, decoded_height: Int,
+      decoded_sample_rate: Int, decoded_frames: Long,
+      decoded_duration_ms: Long, rms: Float, features: Array[Float])
 
   /** Storage schema for a media table: opaque binary + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -43,10 +50,14 @@ object MultimodalOps {
   /** Decode + feature extraction. Image payloads are REALLY decoded with
     * `javax.imageio` (PNG/BMP/GIF/JPEG ship with the JDK): features =
     * `dim`-bin luminance histogram normalized by pixel count, plus the
-    * decoded width/height. Non-image kinds and undecodable payloads take
-    * the deterministic byte-histogram fallback (STUB for audio/video —
-    * no codecs in this container). Checksum is always over the raw bytes,
-    * so it is decode-independent and stable across codec versions. */
+    * decoded width/height. Audio payloads are REALLY decoded with
+    * `javax.sound.sampled` (WAV/AIFF/AU ship with the JDK): decoded
+    * sample rate / frame count / duration, overall RMS of the PCM signal
+    * in [-1, 1], and features = `dim` time-segment energies normalized by
+    * total energy. Video kinds and undecodable payloads take the
+    * deterministic byte-histogram fallback (STUB for video — no codecs
+    * in this container). Checksum is always over the raw bytes, so it is
+    * decode-independent and stable across codec versions. */
   def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
@@ -62,50 +73,126 @@ object MultimodalOps {
           checksum = (checksum * 131 + (payload(i) & 0xff)) % 2147483647L
           i += 1
         }
-        val img =
-          if (m.kind == "image" && payload.nonEmpty)
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(payload)))
-            catch { case _: java.io.IOException => None }
-          else None
-        val hist = new Array[Float](dim)
-        img match {
-          case Some(bi) =>
-            val (w, h) = (bi.getWidth, bi.getHeight)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = bi.getRGB(x, y)
-                // integer Rec.601 luma; bins cover [0, 256)
-                val luma = (((rgb >> 16 & 0xff) * 299 +
-                  (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000)
-                hist(luma * dim / 256) += 1f
-                x += 1
-              }
-              y += 1
-            }
-            val n = (w * h).toFloat
+        val base = MediaFeatures(m.media_id, m.kind, payload.length.toLong,
+          checksum, 0, 0, 0, 0L, 0L, 0f, new Array[Float](dim))
+        val decoded: Option[MediaFeatures] = m.kind match {
+          case "image" if payload.nonEmpty => decodeImage(payload, dim, base)
+          case "audio" if payload.nonEmpty => decodeAudio(payload, dim, base)
+          case _ => None
+        }
+        decoded.getOrElse {
+          // deterministic byte-histogram fallback (STUB for video)
+          val hist = base.features
+          i = 0
+          while (i < payload.length) {
+            hist((payload(i) & 0xff) % dim) += 1f
+            i += 1
+          }
+          if (payload.nonEmpty) {
             var j = 0
-            while (j < dim) { hist(j) /= n; j += 1 }
-            MediaFeatures(m.media_id, m.kind, payload.length.toLong,
-              checksum, w, h, hist)
-          case None =>
-            i = 0
-            while (i < payload.length) {
-              hist((payload(i) & 0xff) % dim) += 1f
-              i += 1
-            }
-            if (payload.nonEmpty) {
-              var j = 0
-              while (j < dim) { hist(j) /= payload.length; j += 1 }
-            }
-            MediaFeatures(m.media_id, m.kind, payload.length.toLong,
-              checksum, 0, 0, hist)
+            while (j < dim) { hist(j) /= payload.length; j += 1 }
+          }
+          base
         }
       }
     }
   }
+
+  /** Real image decode: dimensions + luminance histogram. None when the
+    * bytes aren't a readable image (caller falls back). */
+  private def decodeImage(payload: Array[Byte], dim: Int,
+      base: MediaFeatures): Option[MediaFeatures] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { bi =>
+      val hist = new Array[Float](dim)
+      val (w, h) = (bi.getWidth, bi.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = bi.getRGB(x, y)
+          // integer Rec.601 luma; bins cover [0, 256)
+          val luma = (((rgb >> 16 & 0xff) * 299 +
+            (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000)
+          hist(luma * dim / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toFloat
+      var j = 0
+      while (j < dim) { hist(j) /= n; j += 1 }
+      base.copy(decoded_width = w, decoded_height = h, features = hist)
+    }
+  }
+
+  /** Real audio decode via `javax.sound.sampled` (WAV/AIFF/AU are
+    * JDK-native): everything is converted to 16-bit signed PCM first, so
+    * 8-bit/unsigned/big-endian sources all land on one sample path.
+    * Features are `dim` time-segment mean-square energies normalized by
+    * total energy (silent audio → all zeros). None when the bytes aren't
+    * a readable audio container (caller falls back). */
+  private def decodeAudio(payload: Array[Byte], dim: Int,
+      base: MediaFeatures): Option[MediaFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels,
+          f.getChannels * 2, f.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val channels = target.getChannels
+          val frames = bytes.length / target.getFrameSize
+          val rate = target.getSampleRate.toDouble
+          val segEnergy = new Array[Double](dim)
+          var sumSq = 0.0
+          var fi = 0
+          while (fi < frames) {
+            // average channels into one mono sample per frame
+            var ch = 0
+            var acc = 0.0
+            while (ch < channels) {
+              val off = fi * target.getFrameSize + ch * 2
+              val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+              acc += s / 32768.0
+              ch += 1
+            }
+            val mono = acc / channels
+            val sq = mono * mono
+            sumSq += sq
+            segEnergy(((fi.toLong * dim) / math.max(frames, 1)).toInt) += sq
+            fi += 1
+          }
+          val feats = new Array[Float](dim)
+          if (sumSq > 0) {
+            var j = 0
+            while (j < dim) {
+              feats(j) = (segEnergy(j) / sumSq).toFloat; j += 1
+            }
+          }
+          val rms = if (frames > 0) math.sqrt(sumSq / frames).toFloat else 0f
+          Some(base.copy(
+            decoded_sample_rate = math.round(target.getSampleRate),
+            decoded_frames = frames.toLong,
+            decoded_duration_ms =
+              if (rate > 0) (frames * 1000L / rate).toLong else 0L,
+            rms = rms,
+            features = feats))
+        } finally pcm.close()
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   /** Aspect-preserving resize metadata (no pixel work — pure arithmetic,
     * codegen'd): longest side clamped to `maxSide`. */

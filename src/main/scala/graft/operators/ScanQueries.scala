@@ -35,6 +35,35 @@ object ScanQueries {
           "o_orderdate", "o_orderpriority")
         .orderBy("o_orderkey")
     },
+
+    // Staging.compact under the oracle gate: fragment a staged copy of
+    // `documents` into ~48 small files (the shape per-batch streaming
+    // sinks leave behind), compact it to the target size, require the
+    // file count actually dropped, and return the compacted content —
+    // the DuckDB twin reads the ORIGINAL table, so the hash match proves
+    // the rewrite is content-lossless. At 100 TB the file count, not the
+    // byte count, kills scan planning; compaction is the remedy this key
+    // keeps honest.
+    "q80_compact_staging" -> { (s, dir) =>
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_q80_" +
+        s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
+      // fragment fresh on every invocation (vacuum first) so the
+      // file-count assertion below is meaningful on re-runs too
+      graft.sources.Staging.vacuum(s, stage)
+      graft.sources.Staging.store(
+        t(s, dir, "documents").repartition(48), stage)
+      val before = graft.sources.Staging.keysList(s, stage)
+        .count(_.endsWith(".parquet"))
+      graft.sources.Staging.compact(s, stage)
+      val after = graft.sources.Staging.keysList(s, stage)
+        .count(_.endsWith(".parquet"))
+      require(after < before,
+        s"compaction must shrink the file count ($before -> $after)")
+      s.read.parquet(stage)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -51,5 +80,11 @@ object ScanQueries {
         |  AND (o_orderpriority LIKE '1-%' OR NOT (o_totalprice < 50000.0))
         |  AND o_custkey IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+
+    // reads the ORIGINAL documents table: equality proves the
+    // fragment -> compact round trip lost nothing
+    "q80_compact_staging" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

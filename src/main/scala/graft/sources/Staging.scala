@@ -59,7 +59,9 @@ object Staging {
   def upsert(existing: DataFrame, updates: DataFrame,
       keys: Seq[String], validate: Boolean = true): DataFrame = {
     require(existing.columns.sameElements(updates.columns),
-      "upsert requires identical schemas")
+      "upsert requires identical schemas: existing=" +
+        existing.columns.mkString("[", ",", "]") + " updates=" +
+        updates.columns.mkString("[", ",", "]"))
     // With validation on, pin `updates` via an eager localCheckpoint: the
     // merged plan must see the SAME rows the uniqueness check validated
     // (a nondeterministic `updates` could otherwise sneak duplicates past
@@ -77,8 +79,14 @@ object Staging {
         "upsert requires key-unique updates; duplicate keys: " +
           dupKeys.limit(5).collect().mkString(", "))
     }
+    // restore the caller's column order: a USING-column join resolves the
+    // key columns to the FRONT of the output, so without the trailing
+    // select an upsert keyed on a non-leading column would silently
+    // reorder the schema (and break round-trips that read the table back
+    // and merge again, like the streaming serving table)
     existing.join(u.select(keys.head, keys.tail: _*), keys, "left_anti")
       .unionByName(u)
+      .select(existing.columns.map(org.apache.spark.sql.functions.col(_)): _*)
   }
 
   /** Compact a parquet prefix to ~`targetBytes` output files: the

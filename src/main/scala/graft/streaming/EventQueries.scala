@@ -63,6 +63,67 @@ object EventQueries {
         .select("event_id", "user_id", "event_type", "ts", "value")
         .orderBy("user_id", "event_type")
     },
+
+    // The TRUE streaming load path under the oracle gate: events split
+    // into 3 time-ordered micro-batch files, run through the real
+    // [[StreamPipelines.upsertLoadStream]] (foreachBatch key-merge with
+    // versioned dirs + _CURRENT pointer), then the serving table read
+    // back via [[StreamPipelines.readServingTable]]. Because batch i+1
+    // holds strictly later timestamps than batch i (ts-value split —
+    // equal timestamps never straddle a batch), "last batch wins" per
+    // key equals "globally latest row per key", which DuckDB replays as
+    // row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+    // event_id) = 1. This gates the reference's declared warehouse-load
+    // stage (README.md:2) end-to-end the way q69/q75 gate staging.
+    "q79_stream_upsert_load" -> { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      // per-(sf, session) working area: concurrent Verify/Bench JVMs
+      // must not share checkpoints or serving tables
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q79_" +
+        s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
+      val src = s"$base/src"
+      val tableDir = s"$base/serve"
+      val ckpt = s"$base/ckpt"
+      val hfs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!hfs.exists(new Path(src))) {
+        // split on ts VALUE boundaries (never row counts) so rows with
+        // equal ts land in one batch; cutoff precision is irrelevant to
+        // correctness, only the range ordering matters
+        val ev = loadEvents(s, dir)
+        val cuts = ev
+          .select(expr("percentile(unix_micros(ts), array(0.3333, 0.6667))"))
+          .head().getSeq[Double](0)
+        val micros = expr("unix_micros(ts)")
+        val now = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          val part = i match {
+            case 0 => ev.filter(micros <= cuts(0))
+            case 1 => ev.filter(micros > cuts(0) && micros <= cuts(1))
+            case 2 => ev.filter(micros > cuts(1))
+          }
+          val tmpDir = s"$base/tmp$i"
+          part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+          val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+          hfs.mkdirs(new Path(src))
+          val dst = new Path(src, s"batch$i.parquet")
+          hfs.rename(f, dst)
+          // explicit increasing mod-times: the file source processes the
+          // initial listing oldest-first, one file per trigger
+          hfs.setTimes(dst, now - (3 - i) * 60000L, -1)
+          hfs.delete(new Path(tmpDir), true)
+        }
+      }
+      val stream = StreamPipelines.readEventsStream(s, src,
+        maxFilesPerTrigger = Some(1))
+      val q = StreamPipelines.upsertLoadStream(
+        stream, Seq("user_id"), "ts", tableDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      StreamPipelines.readServingTable(s, tableDir)
+        .select("user_id", "event_id", "ts", "event_type", "value", "props")
+        .orderBy("user_id")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -107,5 +168,15 @@ object EventQueries {
         |SELECT event_id, user_id, event_type, ts, value
         |FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // event_id is unique, so the keep-rule never needs the trailing
+    // tie-break columns the stream-side dedup carries
+    "q79_stream_upsert_load" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
+        | r AS (SELECT *, row_number() OVER
+        |   (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn FROM e)
+        |SELECT user_id, event_id, ts, event_type, value, props
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -27,9 +27,16 @@ object StreamPipelines {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Incremental file-source read of a directory of event parquet files. */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+  /** Incremental file-source read of a directory of event parquet files.
+    * `maxFilesPerTrigger` bounds each micro-batch (the initial listing is
+    * processed oldest-modification-first, n files per trigger) — the knob
+    * that turns a pre-populated directory into a deterministic replay. */
+  def readEventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+  }
 
   /** Tumbling-window counts + decimal sums; append-mode emittable once the
     * watermark passes window end. State is bounded by the watermark —

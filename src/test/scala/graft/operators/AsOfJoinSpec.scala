@@ -100,6 +100,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(hotWrong.isEmpty, s"hot-key mismatches at $hotWrong")
   }
 
+  test("asofSalted equals asof on hot-key data and spreads the hot key") {
+    val sess = spark
+    import sess.implicits._
+    val n = 2000
+    val base = ts("2024-01-01 00:00:00").getTime
+    val left = (0 until n).map { i =>
+      val u = if (i % 2 == 0) 0L else (i % 7 + 1).toLong // user 0: 50%
+      (u, new Timestamp(base + i * 1000L), i.toLong)
+    }.toDF("user", "trade_ts", "trade_id").repartition(4)
+    val right = (0 until n).map { i =>
+      val u = if (i % 2 == 0) 0L else (i % 7 + 1).toLong
+      (u, new Timestamp(base + i * 1000L - 500L), i.toLong * 10)
+    }.toDF("q_user", "q_ts", "quote_id").repartition(4)
+
+    val plain = AsOfJoin.asof(left, right, "user", "q_user",
+        "trade_ts", "q_ts", rightTieBreak = Seq("quote_id"))
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val salted = AsOfJoin.asofSalted(left, right, "user", "q_user",
+      "trade_ts", "q_ts", rightTieBreak = Seq("quote_id"), slices = 8)
+    val saltedMap = salted.select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(saltedMap === plain, "time-salting must not change any match")
+
+    // the skew fix itself: the hot user's rows must come out of MORE than
+    // one task (plain asof pins each key to exactly one partition)
+    val hotParts = salted.filter(col("user") === 0L)
+      .select(spark_partition_id().as("pid"))
+      .distinct().count()
+    assert(hotParts > 1L,
+      s"hot key still on $hotParts partition(s) — salting had no effect")
+  }
+
   test("matches the window-based q11 formulation on fixture events") {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.loadEvents(spark, dir)

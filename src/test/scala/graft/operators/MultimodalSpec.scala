@@ -27,6 +27,39 @@ class MultimodalSpec extends SparkSpec {
     assert(f.features.slice(1, 15).forall(_ === 0f))
   }
 
+  test("decodeFeatures really decodes a WAV payload (rate/frames/duration/RMS)") {
+    // 0.5 s of a 16 kHz mono square wave at amplitude 8192 (= 0.25 of
+    // full scale): RMS is exactly 0.25 and energy is uniform in time
+    val frames = 8000
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val s: Short = if (i % 2 == 0) 8192 else -8192
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rows = mediaDS(Seq(MediaRow(11L, "audio", bos.toByteArray, 0, 0, 0, 0L)))
+    val f = decodeFeatures(rows, dim = 16).collect().head
+    assert(f.decoded_sample_rate === 16000,
+      "sample rate must come from the decoded header, not metadata")
+    assert(f.decoded_frames === 8000L)
+    assert(f.decoded_duration_ms === 500L)
+    assert(math.abs(f.rms - 0.25f) < 1e-4)
+    assert(f.features.forall(e => math.abs(e - 1f / 16) < 1e-3),
+      "constant-amplitude signal must have uniform per-segment energy")
+    // garbage bytes under an audio kind take the byte-histogram fallback
+    val bad = mediaDS(Seq(
+      MediaRow(12L, "audio", Array[Byte](1, 2, 3, 4), 0, 0, 0, 0L)))
+    val g = decodeFeatures(bad, dim = 16).collect().head
+    assert(g.decoded_sample_rate === 0 && g.rms === 0f)
+    assert(g.features.sum > 0f, "fallback histogram still populated")
+  }
+
   test("decodeFeatures: deterministic histogram features + checksum") {
     val payload = Array.tabulate(64)(i => i.toByte) // bytes 0..63
     val rows = mediaDS(Seq(

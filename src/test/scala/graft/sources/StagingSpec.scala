@@ -125,6 +125,20 @@ class StagingSpec extends SparkSpec {
       (1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("upsert preserves column order when the key is not the first column") {
+    // regression: the USING-column anti-join resolves key columns to the
+    // front, which reordered the merged schema for non-leading keys and
+    // broke serving-table round trips (read back -> merge again)
+    val sess = spark
+    import sess.implicits._
+    val existing = Seq(("a", 1L, 10.0)).toDF("name", "id", "score")
+    val updates = Seq(("b", 2L, 20.0)).toDF("name", "id", "score")
+    val merged = Staging.upsert(existing, updates, Seq("id"))
+    assert(merged.columns.toSeq === Seq("name", "id", "score"))
+    assert(merged.orderBy("id").collect().map(_.getString(0)).toSeq ===
+      Seq("a", "b"))
+  }
+
   test("upsert rejects duplicate keys in updates") {
     val sess = spark
     import sess.implicits._
