@@ -87,8 +87,14 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       rightTieBreak: Seq[String] = Nil,
       slices: Int = 8): DataFrame = {
-    require(slices >= 2 && slices <= 4096,
-      s"slices must be in [2, 4096], got $slices")
+    // cap well below codegen limits: slice assignment is a chained
+    // when/add expression, O(slices) nodes evaluated per row — fine for
+    // the realistic 8–64 range (a hot key rarely needs more parallelism
+    // than that), pathological at thousands (64KB generated-method limit,
+    // linear per-row cost). A width_bucket-style binary search would
+    // lift the cap if a use case ever demands it.
+    require(slices >= 2 && slices <= 128,
+      s"slices must be in [2, 128], got $slices")
     import org.apache.spark.sql.types._
     def asLong(df: DataFrame, name: String): Column =
       df.schema(name).dataType match {

@@ -168,9 +168,11 @@ object JoinQueries {
     "q75_partition_prune" -> { (s, dir) =>
       // path is per-(scale factor, session): concurrent Verify/Bench/test
       // JVMs at different sf must not overwrite each other's staged copy
-      // mid-scan
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stage_q75_" +
-        s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
+      // mid-scan; stale sessions' copies are reaped by age
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_stage_q75_")
+      val stage = s"$tmp/graft_stage_q75_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
       graft.sources.Staging.store(
         t(s, dir, "orders"), stage, partitionBy = Seq("o_orderstatus"))
       s.read.parquet(stage)
@@ -190,16 +192,18 @@ object JoinQueries {
     // the final 5-group agg shuffles. Exchange-freedom pinned by PlanSpec.
     "q69_join_bucketed" -> { (s, dir) =>
       val B = 8
-      // table names parameterized by (sf-dir hash, applicationId), the
-      // same discipline as q75's staging path: concurrent Verify/Bench/
-      // test JVMs share one spark-warehouse/, and unsuffixed names let
-      // one JVM drop/overwrite another's tables mid-scan. Within a
-      // session the names are stable, so re-runs reuse (drop+rewrite)
-      // the same pair instead of accumulating warehouse dirs; the
-      // returned plan is lazy, so the tables must outlive this function
-      // — cleanup happens on re-create (storeBucketed drops + vacuums).
-      val sfx = s"${math.abs(dir.hashCode)}_" +
-        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      // table names parameterized per (sf-dir, session), the same
+      // discipline as q75's staging path: concurrent Verify/Bench/test
+      // JVMs share one spark-warehouse/, and unsuffixed names let one
+      // JVM drop/overwrite another's tables mid-scan. Within a session
+      // the names are stable, so re-runs reuse (drop+rewrite) the same
+      // pair instead of accumulating warehouse dirs; the returned plan
+      // is lazy, so the tables must outlive this function. Dead
+      // sessions' uniquely-named leftovers are reaped by age.
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.sources.Staging.vacuumStale(s, wh, "graft_lineitem_bkt_")
+      graft.sources.Staging.vacuumStale(s, wh, "graft_orders_bkt_")
+      val sfx = graft.sources.Staging.sessionSuffix(s, dir)
       val lTab = s"graft_lineitem_bkt_$sfx"
       val oTab = s"graft_orders_bkt_$sfx"
       graft.sources.Staging.storeBucketed(

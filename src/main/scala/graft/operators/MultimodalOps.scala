@@ -192,6 +192,10 @@ object MultimodalOps {
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
+      // AudioSystem.getAudioInputStream(target, in) signals a conversion
+      // the JDK lacks (e.g. 24-bit PCM → 16-bit) as IllegalArgumentException
+      // — those payloads must degrade to the fallback, not kill the task
+      case _: IllegalArgumentException => None
     }
 
   /** Aspect-preserving resize metadata (no pixel work — pure arithmetic,

@@ -45,8 +45,10 @@ object ScanQueries {
     // byte count, kills scan planning; compaction is the remedy this key
     // keeps honest.
     "q80_compact_staging" -> { (s, dir) =>
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_q80_" +
-        s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q80_")
+      val stage = s"$tmp/graft_q80_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
       // fragment fresh on every invocation (vacuum first) so the
       // file-count assertion below is meaningful on re-runs too
       graft.sources.Staging.vacuum(s, stage)

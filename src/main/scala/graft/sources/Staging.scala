@@ -20,6 +20,37 @@ object Staging {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Identifier-safe suffix unique per (input dir, session JVM) — the
+    * naming discipline for anything materialized into a SHARED location
+    * (staging paths, catalog tables): concurrent Verify/Bench/test JVMs
+    * must not overwrite each other's copies mid-scan, and one session's
+    * different scale factors must not collide either. `& Int.MaxValue`
+    * (not math.abs, which returns Int.MinValue for Int.MinValue) keeps
+    * the hash digit-only; the applicationId is stripped to [A-Za-z0-9]
+    * so the result parses as an unquoted table identifier. */
+  def sessionSuffix(spark: SparkSession, dir: String): String =
+    s"${dir.hashCode & Int.MaxValue}_" +
+      spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+
+  /** Best-effort cleanup of STALE session-suffixed artifacts under
+    * `parent`: directories matching `prefix*` whose modification time is
+    * older than `maxAgeMs`. Session-suffixed names (see
+    * [[sessionSuffix]]) are unique per JVM, so nothing ever references a
+    * dead session's copies — without this, every run leaks one copy into
+    * the shared warehouse/tmp until the disk fills. The age guard keeps
+    * CONCURRENT sessions safe: their artifacts are minutes old. */
+  def vacuumStale(spark: SparkSession, parent: String, prefix: String,
+      maxAgeMs: Long = 6 * 60 * 60 * 1000L): Int = {
+    val f = fs(spark, parent)
+    val p = new Path(parent)
+    if (!f.exists(p)) return 0
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    f.listStatus(p)
+      .filter(st => st.getPath.getName.startsWith(prefix) &&
+        st.getModificationTime < cutoff)
+      .count(st => f.delete(st.getPath, true))
+  }
+
   /** Stage a dataset under `path`; returns the fully-qualified URI
     * (the reference returns `s3://bucket/key`, s3.py:28-30). */
   def store(df: DataFrame, path: String, format: String = "parquet",

@@ -78,42 +78,48 @@ object EventQueries {
     "q79_stream_upsert_load" -> { (s, dir) =>
       import org.apache.hadoop.fs.Path
       // per-(sf, session) working area: concurrent Verify/Bench JVMs
-      // must not share checkpoints or serving tables
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q79_" +
-        s"${math.abs(dir.hashCode)}_${s.sparkContext.applicationId}"
+      // must not share checkpoints or serving tables; dead sessions'
+      // areas are reaped by age
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q79_")
+      val base = s"$tmp/graft_q79_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
       val src = s"$base/src"
       val tableDir = s"$base/serve"
       val ckpt = s"$base/ckpt"
       val hfs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!hfs.exists(new Path(src))) {
-        // split on ts VALUE boundaries (never row counts) so rows with
-        // equal ts land in one batch; cutoff precision is irrelevant to
-        // correctness, only the range ordering matters
-        val ev = loadEvents(s, dir)
-        val cuts = ev
-          .select(expr("percentile(unix_micros(ts), array(0.3333, 0.6667))"))
-          .head().getSeq[Double](0)
-        val micros = expr("unix_micros(ts)")
-        val now = System.currentTimeMillis()
-        (0 until 3).foreach { i =>
-          val part = i match {
-            case 0 => ev.filter(micros <= cuts(0))
-            case 1 => ev.filter(micros > cuts(0) && micros <= cuts(1))
-            case 2 => ev.filter(micros > cuts(1))
-          }
-          val tmpDir = s"$base/tmp$i"
-          part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-          val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
-          hfs.mkdirs(new Path(src))
-          val dst = new Path(src, s"batch$i.parquet")
-          hfs.rename(f, dst)
-          // explicit increasing mod-times: the file source processes the
-          // initial listing oldest-first, one file per trigger
-          hfs.setTimes(dst, now - (3 - i) * 60000L, -1)
-          hfs.delete(new Path(tmpDir), true)
+      // rebuild from scratch on EVERY invocation: a skip-if-exists guard
+      // would both accept a partially-written src (silent wrong answer
+      // after a crash mid-generation) and make re-runs measure only the
+      // serving-table read-back (the stream would find no new files)
+      graft.sources.Staging.vacuum(s, base)
+      // split on ts VALUE boundaries (never row counts) so rows with
+      // equal ts land in one batch; cutoff precision is irrelevant to
+      // correctness, only the range ordering matters
+      val ev = loadEvents(s, dir)
+      val cuts = ev
+        .select(expr("percentile(unix_micros(ts), array(0.3333, 0.6667))"))
+        .head().getSeq[Double](0)
+      val micros = expr("unix_micros(ts)")
+      val now = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val part = i match {
+          case 0 => ev.filter(micros <= cuts(0))
+          case 1 => ev.filter(micros > cuts(0) && micros <= cuts(1))
+          case 2 => ev.filter(micros > cuts(1))
         }
+        val tmpDir = s"$base/tmp$i"
+        part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+        hfs.mkdirs(new Path(src))
+        val dst = new Path(src, s"batch$i.parquet")
+        hfs.rename(f, dst)
+        // explicit increasing mod-times: the file source processes the
+        // initial listing oldest-first, one file per trigger
+        hfs.setTimes(dst, now - (3 - i) * 60000L, -1)
+        hfs.delete(new Path(tmpDir), true)
       }
       val stream = StreamPipelines.readEventsStream(s, src,
         maxFilesPerTrigger = Some(1))

@@ -2,8 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only stage profiler for q44_dedup_near (VERDICT r2 item 1): where
-  * do the 36 s go — signature build, band join, distinct, or verify? */
+/** Dev-only stage profiler for q44_dedup_near — stages mirror the
+  * PRODUCTION minhashPairs shape (signatures carried through the band
+  * join, codegen zip_equal verify, post-verify distinct) and pull the
+  * banding constants from LlmQueries so they cannot drift. */
 object Profile44 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -22,7 +24,7 @@ object Profile44 {
     import org.apache.spark.sql.functions._
     import graft.Tables._
     import graft.operators.LlmQueries
-    import LlmQueries.{shingles, permHash}
+    import LlmQueries.shingles
 
     graft.SparkEntry.entry(spark).count() // warm
 
@@ -34,7 +36,7 @@ object Profile44 {
       LlmQueries.queries("q44_dedup_near")(spark, sfDir).count())
     spark.catalog.clearCache()
 
-    // stage breakdown
+    // stage breakdown of the production shape
     val shingled = docs.select(col("doc_id"),
       explode(shingles(col("text"), 3)).as("s"))
     time("shingle explode")(shingled.count())
@@ -47,31 +49,10 @@ object Profile44 {
     val sigC = sig.cache()
     time("signatures cache()")(sigC.count())
 
-    val NumBands = 8; val RowsPerBand = 4
-    val bands = sigC
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(NumBands - 1))).as("b"))
-      .select(col("doc_id"), col("b"),
-        concat_ws(",", slice(col("sig"), col("b") * RowsPerBand + 1,
-          lit(RowsPerBand))).as("bkey"))
-    time("bands")(bands.count())
-    val ba = bands.toDF("doc_a", "b_a", "key_a")
-    val bb = bands.toDF("doc_b", "b_b", "key_b")
-    val candRaw = ba.join(bb,
-      col("b_a") === col("b_b") && col("key_a") === col("key_b") &&
-      col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    time("cand occurrences")(candRaw.count())
-    time("cand distinct")(candRaw.distinct().count())
-    val cand = candRaw.distinct()
-    val sa = sigC.toDF("doc_a", "sig_a")
-    val sb = sigC.toDF("doc_b", "sig_b")
-    time("verify zip_with (current)")(
-      cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => x === y), p => p)).cast("long").as("match_cnt"))
-        .filter(col("match_cnt") >= 26).count())
+    val pairs = LlmQueries.minhashPairs(docs)
+    time("banded pairs + zip_equal")(pairs.count())
+    time("thresholded (production)")(
+      pairs.filter(col("match_cnt") >= LlmQueries.NearDupMinMatches).count())
     spark.stop()
   }
 }

@@ -47,10 +47,9 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
     spark.conf.set(orderingConf, "true")
-    // table names are suffixed per (sf-dir, applicationId) — resolve the
+    // table names are suffixed per (sf-dir, session) — resolve the
     // pair the q69 run above just created
-    val sfx = s"${math.abs(dir.hashCode)}_" +
-      spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+    val sfx = graft.sources.Staging.sessionSuffix(spark, dir)
     try {
       val smj = spark.table(s"graft_lineitem_bkt_$sfx")
         .join(spark.table(s"graft_orders_bkt_$sfx").hint("merge"),
