@@ -146,6 +146,59 @@ object CorpusQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Benchmark decontamination — the training-data hygiene op: flag
+    // every corpus doc sharing at least one word n-gram with the eval
+    // set (doc_id % 97 = 0 stands in for a benchmark suite). Real
+    // pipelines use 8–13-gram windows; the fixtures' synthetic text only
+    // overlaps at shorter spans, so the key runs 4-grams (8/494 docs
+    // contaminated at sf0.01 — sparse but non-zero, so a broken
+    // semi-join can't silently pass). The plan shape is n-independent.
+    // The eval side's distinct gram hashes are SMALL (eval sets are
+    // thousands of docs, not billions) → broadcast semi-join against the
+    // corpus gram stream: the corpus side stays a linear scan with no
+    // shuffle before the final per-lang agg. Gram hashing is the
+    // engine-portable poly_hash so DuckDB replays it value-for-value.
+    "q81_decontaminate" -> { (s, dir) =>
+      import graft.operators.LlmQueries.shingles
+      import graft.plans.GraftExpressions.poly_hash
+      val docs = tWide(s, dir, "documents")
+      def grams(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), explode(shingles(col("text"), 4)).as("g"))
+          .select(col("doc_id"), poly_hash(col("g")).as("h"))
+      val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
+        .select("h").distinct()
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val contamIds = grams(corpus)
+        .join(broadcast(evalGrams), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      corpus
+        .join(contamIds.withColumn("hit", lit(1)), Seq("doc_id"), "left_outer")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("hit")).as("n_contaminated"))
+        .orderBy("lang")
+    },
+
+    // Per-doc n-gram repetition ratio (1 - distinct/total 3-grams) — the
+    // boilerplate/spam quality signal; top-20 most repetitive docs.
+    // Pure per-row arithmetic + TakeOrderedAndProject top-k: no shuffle
+    // beyond the final top-k, embarrassingly parallel at any scale.
+    "q82_repetition" -> { (s, dir) =>
+      import graft.operators.LlmQueries.shingles
+      val toks = split(col("text"), " ")
+      tWide(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .withColumn("n_grams", (size(toks) - 2).cast("long"))
+        .withColumn("n_distinct",
+          size(shingles(col("text"), 3)).cast("long"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_grams"), 6))
+        .select("doc_id", "n_grams", "n_distinct", "rep_ratio")
+        .orderBy(desc("rep_ratio"), col("doc_id"))
+        .limit(20)
+    },
+
     // SkewOps.saltedJoin under the oracle gate: result must equal the
     // plain join exactly, with the hot-key shuffle spread over 8 salts.
     "q74_skew_salted" -> { (s, dir) =>
@@ -241,6 +294,39 @@ object CorpusQueries {
         |ORDER BY doc_id, rnk""".stripMargin,
 
     "q73_embed_lsh" -> q73Sql,
+
+    "q81_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text,' ')) - 3),
+        |    i -> array_to_string(string_split(text,' ')[i+1:i+4], ' ')))) AS g
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(g,''), ch -> ascii(ch)::BIGINT)),
+        |    (a,b) -> (a*131 + b) % 2147483647) AS h
+        |  FROM g),
+        |eg AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM h
+        |  WHERE doc_id % 97 != 0 AND h IN (SELECT h FROM eg))
+        |SELECT lang, count(*) AS n_docs, count(c.doc_id) AS n_contaminated
+        |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id % 97 != 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q82_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text,' ')) AS nt,
+        |    len(list_distinct(list_transform(
+        |      range(0, len(string_split(text,' ')) - 2),
+        |      i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS nd
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3)
+        |SELECT doc_id, CAST(nt - 2 AS BIGINT) AS n_grams,
+        |  CAST(nd AS BIGINT) AS n_distinct,
+        |  round(1.0::DOUBLE - nd::DOUBLE / (nt - 2), 6) AS rep_ratio
+        |FROM d ORDER BY rep_ratio DESC, doc_id LIMIT 20""".stripMargin,
 
     "q74_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

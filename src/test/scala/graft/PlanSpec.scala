@@ -78,6 +78,29 @@ class PlanSpec extends SparkSpec {
       s"the status predicate must prune directories, not filter rows:\n$p")
   }
 
+  test("q44 has exactly one join (signatures ride the band join) and a codegen verify") {
+    // regression guard for the r3 rewrite: the old shape had three joins
+    // (band candidates + two signature re-joins) and an interpreted
+    // zip_with verify; the new one carries signatures through the single
+    // band join and verifies with the codegen zip_equal kernel
+    val p = plan("q44_dedup_near")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)"
+      .r.findAllIn(p).size
+    assert(joins === 1, s"expected exactly the band join, found $joins:\n$p")
+    assert(p.contains("graft_zip_equal"),
+      s"signature verify must be the codegen kernel:\n$p")
+    assert(!p.contains("zip_with"), s"interpreted lambda crept back in:\n$p")
+  }
+
+  test("q57 reuses its cached bucket assignment instead of recomputing it") {
+    // the centroid crossJoin + per-vector window is the expensive
+    // subplan; both the query set and the member set consume it, so it
+    // must come from the cache (r2 verdict: it ran twice uncached)
+    val p = plan("q57_ann_ivf")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"bucket assignment must be served from cache:\n$p")
+  }
+
   test("q14 aggregates map-side (partial + final HashAggregate)") {
     assert("HashAggregate".r.findAllIn(plan("q14_agg_group")).size >= 2,
       "two-phase aggregation is the map-side-combine guarantee")
