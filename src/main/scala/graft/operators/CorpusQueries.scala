@@ -199,6 +199,37 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // Int8 embedding quantization under the gate — the storage trick
+    // that cuts a float32 embedding corpus to a quarter (VectorOps
+    // scaladoc). Reported per label: vector count, clamped-dimension
+    // count (values beyond ±scale saturate at ±127 — scale 0.5 clamps
+    // the fixtures' negative tail, so the clamp path is exercised), and
+    // mean |code|. All aggregates are INTEGER sums (order-free, no D2
+    // decimal dance); the single float op is round(x·127/scale), which
+    // both engines perform half-away-from-zero on the same double. The
+    // per-row lambdas are interpreted HOFs — integer math, so
+    // determinism is unaffected; a 100 TB run would lift them into a
+    // codegen Expression like the other hot kernels.
+    "q83_quantize" -> { (s, dir) =>
+      val k = 127.0 / 0.5
+      val rawCode = (x: Column) => round(x * k).cast("long")
+      val codes = transform(col("embedding"),
+        x => greatest(lit(-127L), least(lit(127L), rawCode(x))))
+      val sumAbs = aggregate(codes, lit(0L), (acc, v) => acc + abs(v))
+      val nClamp = aggregate(
+        transform(col("embedding"),
+          x => when(abs(rawCode(x)) > 127, 1L).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc + v)
+      tWide(s, dir, "embeddings")
+        .select(col("label"), sumAbs.as("sum_abs"), nClamp.as("n_clamp"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("n_clamp").cast("long").as("clamped_dims"),
+          round(sum("sum_abs").cast("double") /
+            (count(lit(1)) * 64), 6).as("avg_abs_code"))
+        .orderBy("label")
+    },
+
     // SkewOps.saltedJoin under the oracle gate: result must equal the
     // plain join exactly, with the hot-key shuffle spread over 8 salts.
     "q74_skew_salted" -> { (s, dir) =>
@@ -314,6 +345,21 @@ object CorpusQueries {
         |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
         |WHERE d.doc_id % 97 != 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q83_quantize" ->
+      """WITH per AS (
+        |  SELECT label,
+        |    list_sum(list_transform(embedding,
+        |      x -> abs(GREATEST(-127, LEAST(127,
+        |        CAST(round(CAST(x AS DOUBLE) * 254.0) AS BIGINT)))))) AS sum_abs,
+        |    list_sum(list_transform(embedding,
+        |      x -> CASE WHEN abs(CAST(round(CAST(x AS DOUBLE) * 254.0) AS BIGINT)) > 127
+        |           THEN 1 ELSE 0 END)) AS n_clamp
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(n_clamp) AS BIGINT) AS clamped_dims,
+        |  round(CAST(sum(sum_abs) AS DOUBLE) / (count(*) * 64), 6) AS avg_abs_code
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
 
     "q82_repetition" ->
       """WITH d AS (
