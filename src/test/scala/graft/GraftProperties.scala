@@ -88,6 +88,50 @@ object GraftProperties extends Properties("graft") {
       native == windowed
     }
 
+  // The time-salted as-of variant must be indistinguishable from the
+  // plain operator on ANY data — random keys, timestamps, and the
+  // degenerate cases scalacheck finds (empty sides, all-one-key, ties
+  // at slice boundaries).
+  property("salted as-of join equals the plain as-of join") =
+    Prop.forAll(Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(0, 1000), Gen.oneOf(0, 1)))) { evs =>
+      val sess = spark
+      import sess.implicits._
+      import org.apache.spark.sql.functions._
+      val df = evs.zipWithIndex.map { case ((u, t, kind), id) =>
+        (id.toLong, u.toLong, t.toLong, kind)
+      }.toDF("event_id", "user_id", "ts", "kind")
+      val left = df.filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = df.filter(col("kind") === 0)
+        .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+          col("ts").as("r_ts"))
+      def collectPairs(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("event_id"), col("r_id")).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+          .toMap
+      val plain = collectPairs(graft.operators.AsOfJoin.asof(left, right,
+        "user_id", "r_user", "ts", "r_ts", rightTieBreak = Seq("r_id")))
+      val salted = collectPairs(graft.operators.AsOfJoin.asofSalted(left, right,
+        "user_id", "r_user", "ts", "r_ts", rightTieBreak = Seq("r_id"),
+        slices = 4))
+      plain == salted
+    }
+
+  // zip_equal must agree with a plain Scala positional comparison.
+  property("zip_equal counts positional agreement") =
+    Prop.forAll(Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(-5L, 5L), Gen.chooseNum(-5L, 5L)))) { pairs =>
+      val sess = spark
+      import sess.implicits._
+      val (as, bs) = pairs.unzip
+      val expected = as.zip(bs).count { case (x, y) => x == y }.toLong
+      val got = Seq((as, bs)).toDF("a", "b")
+        .select(graft.plans.GraftExpressions.zip_equal(col("a"), col("b")))
+        .head().getLong(0)
+      got == expected
+    }
+
   // Bucketized band join must equal the theta formulation exactly,
   // including negative values and band-boundary ties.
   property("bucketized band join equals the theta formulation") =
