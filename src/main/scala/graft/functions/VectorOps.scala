@@ -64,4 +64,21 @@ object VectorOps {
   /** Dequantize back to float. */
   def dequantizeInt8(q: Column, scale: Double): Column =
     transform(q, x => (x * (scale / 127.0)).cast("float"))
+
+  /** Long-typed quantization codes (the [[quantizeInt8]] arithmetic
+    * before the tinyint cast) — the cross-engine-checkable surface: a
+    * single half-away-from-zero round on a double, then an integer
+    * clamp. */
+  def int8Codes(v: Column, scale: Double): Column =
+    transform(v, x =>
+      greatest(lit(-127L), least(lit(127L),
+        round(x * (127.0 / scale)).cast("long"))))
+
+  /** Count of dimensions saturating the ±127 clamp at `scale`. */
+  def int8ClampedCount(v: Column, scale: Double): Column =
+    aggregate(
+      transform(v, x =>
+        when(abs(round(x * (127.0 / scale)).cast("long")) > 127, 1L)
+          .otherwise(lit(0L))),
+      lit(0L), (acc, c) => acc + c)
 }

@@ -202,31 +202,28 @@ object CorpusQueries {
     // Int8 embedding quantization under the gate — the storage trick
     // that cuts a float32 embedding corpus to a quarter (VectorOps
     // scaladoc). Reported per label: vector count, clamped-dimension
-    // count (values beyond ±scale saturate at ±127 — scale 0.5 clamps
-    // the fixtures' negative tail, so the clamp path is exercised), and
-    // mean |code|. All aggregates are INTEGER sums (order-free, no D2
-    // decimal dance); the single float op is round(x·127/scale), which
-    // both engines perform half-away-from-zero on the same double. The
-    // per-row lambdas are interpreted HOFs — integer math, so
-    // determinism is unaffected; a 100 TB run would lift them into a
-    // codegen Expression like the other hot kernels.
+    // count, and mean |code|. All aggregates are INTEGER sums
+    // (order-free, no D2 decimal dance); the single float op is
+    // round(x·127/scale), which both engines perform half-away-from-zero
+    // on the same double. At scale 0.5 the fixtures saturate only a few
+    // dims (0 at sf0.001, 1 at sf0.01, 4 at sf0.1), so the oracle alone
+    // is weak evidence for the clamp branch — VectorOpsSpec drives it
+    // directly with out-of-range synthetic vectors. The per-row lambdas
+    // are interpreted HOFs — integer math, so determinism is unaffected;
+    // a 100 TB run would lift them into a codegen Expression like the
+    // other hot kernels.
     "q83_quantize" -> { (s, dir) =>
-      val k = 127.0 / 0.5
-      val rawCode = (x: Column) => round(x * k).cast("long")
-      val codes = transform(col("embedding"),
-        x => greatest(lit(-127L), least(lit(127L), rawCode(x))))
-      val sumAbs = aggregate(codes, lit(0L), (acc, v) => acc + abs(v))
-      val nClamp = aggregate(
-        transform(col("embedding"),
-          x => when(abs(rawCode(x)) > 127, 1L).otherwise(lit(0L))),
-        lit(0L), (acc, v) => acc + v)
+      import graft.functions.VectorOps.{int8Codes, int8ClampedCount}
+      val sumAbs = aggregate(int8Codes(col("embedding"), 0.5), lit(0L),
+        (acc, v) => acc + abs(v))
       tWide(s, dir, "embeddings")
-        .select(col("label"), sumAbs.as("sum_abs"), nClamp.as("n_clamp"))
+        .select(col("label"), sumAbs.as("sum_abs"),
+          int8ClampedCount(col("embedding"), 0.5).as("n_clamp"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
           sum("n_clamp").cast("long").as("clamped_dims"),
           round(sum("sum_abs").cast("double") /
-            (count(lit(1)) * 64), 6).as("avg_abs_code"))
+            (count(lit(1)) * Dims), 6).as("avg_abs_code"))
         .orderBy("label")
     },
 

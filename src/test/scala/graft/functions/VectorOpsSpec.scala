@@ -51,4 +51,20 @@ class VectorOpsSpec extends SparkSpec {
       .head().getSeq[Byte](0)
     assert(sat === Seq[Byte](127, -127))
   }
+
+  test("int8Codes/int8ClampedCount exercise the clamp branch directly") {
+    // the q83 oracle gate sees almost no saturated dims at fixture
+    // scale (0 at sf0.001), so the clamp branch is pinned here with
+    // synthetic out-of-range vectors instead
+    val df = vdf(Seq(5f, -5f, 0.5f, -0.503937f), Seq(0.1f, -0.1f, 0f, 0f))
+    val out = df.orderBy("id")
+      .select(VectorOps.int8Codes(col("v"), scale = 0.5).as("c"),
+        VectorOps.int8ClampedCount(col("v"), scale = 0.5).as("n"))
+      .collect()
+    // 5/-5 saturate; 0.5 → exactly 127 (no clamp); -0.503937·254 ≈ -128 → clamped
+    assert(out(0).getSeq[Long](0) === Seq(127L, -127L, 127L, -127L))
+    assert(out(0).getLong(1) === 3L)
+    assert(out(1).getSeq[Long](0) === Seq(25L, -25L, 0L, 0L))
+    assert(out(1).getLong(1) === 0L)
+  }
 }
