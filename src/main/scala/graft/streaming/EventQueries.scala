@@ -130,6 +130,64 @@ object EventQueries {
         .select("user_id", "event_id", "ts", "event_type", "value", "props")
         .orderBy("user_id")
     },
+
+    // TRUE incremental windowed aggregation under the gate: the same
+    // tumbling-window agg as q39, but executed by Structured Streaming
+    // (watermark + append-mode parquet sink) over micro-batches instead
+    // of one batch job. An append sink only emits a window once the
+    // watermark passes its end, so the last batch is a single SENTINEL
+    // event 3 hours past the corpus max — it closes every real window
+    // (Spark's no-data micro-batch then flushes them) and its own
+    // never-closed window is filtered out of the result. Oracle = q39's
+    // batch twin: the incremental and batch runs must agree bit-for-bit.
+    "q84_stream_tumble" -> { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q84_")
+      val base = s"$tmp/graft_q84_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      val src = s"$base/src"
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val hfs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.sources.Staging.vacuum(s, base) // rebuild fresh every run
+      val ev = loadEvents(s, dir)
+      val cuts = ev
+        .select(expr("percentile(unix_micros(ts), array(0.5))"))
+        .head().getSeq[Double](0)
+      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val micros = expr("unix_micros(ts)")
+      val sentinel = ev.limit(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxTs + 3L * 3600 * 1000 * 1000)).as("ts"),
+        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val now = System.currentTimeMillis()
+      Seq(
+        ev.filter(micros <= cuts(0)),
+        ev.filter(micros > cuts(0)),
+        sentinel).zipWithIndex.foreach { case (part, i) =>
+        val tmpDir = s"$base/tmp$i"
+        part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+        hfs.mkdirs(new Path(src))
+        val dst = new Path(src, s"batch$i.parquet")
+        hfs.rename(f, dst)
+        hfs.setTimes(dst, now - (3 - i) * 60000L, -1)
+        hfs.delete(new Path(tmpDir), true)
+      }
+      val agg = StreamPipelines.windowedCounts(
+        StreamPipelines.readEventsStream(s, src, maxFilesPerTrigger = Some(1)))
+      val q = StreamPipelines.writeParquetStream(agg, outDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .filter(col("event_type") =!= "__sentinel")
+        .select(col("win_start"), col("win_end"), col("event_type"),
+          col("cnt"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -174,6 +232,17 @@ object EventQueries {
         |SELECT event_id, user_id, event_type, ts, value
         |FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // identical to q39's batch twin: the incremental run must reproduce
+    // the one-shot batch aggregation exactly
+    "q84_stream_tumble" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+        |SELECT date_trunc('hour', ts) AS win_start,
+        |  date_trunc('hour', ts) + INTERVAL '1 hour' AS win_end,
+        |  event_type, count(*) AS cnt,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2, 3
+        |ORDER BY win_start, event_type""".stripMargin,
 
     // event_id is unique, so the keep-rule never needs the trailing
     // tie-break columns the stream-side dedup carries
