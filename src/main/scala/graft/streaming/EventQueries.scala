@@ -188,6 +188,61 @@ object EventQueries {
           col("cnt"), col("sum_value").cast("double").as("sum_value"))
         .orderBy("win_start", "event_type")
     },
+
+    // TRUE incremental SESSION windows under the gate — q41's semantics
+    // executed by Structured Streaming with merging session state and a
+    // watermark, flushed by the same sentinel trick as q84 (the global
+    // watermark it advances closes every real user's sessions; the
+    // sentinel user's own open session is filtered out). Oracle = q41's
+    // gaps-and-islands twin: incremental session merging must agree
+    // with the one-shot batch computation exactly.
+    "q85_stream_session" -> { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q85_")
+      val base = s"$tmp/graft_q85_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      val src = s"$base/src"
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val hfs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.sources.Staging.vacuum(s, base)
+      val ev = loadEvents(s, dir)
+      val cuts = ev
+        .select(expr("percentile(unix_micros(ts), array(0.5))"))
+        .head().getSeq[Double](0)
+      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val micros = expr("unix_micros(ts)")
+      val sentinel = ev.limit(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxTs + 3L * 3600 * 1000 * 1000)).as("ts"),
+        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val now = System.currentTimeMillis()
+      Seq(
+        ev.filter(micros <= cuts(0)),
+        ev.filter(micros > cuts(0)),
+        sentinel).zipWithIndex.foreach { case (part, i) =>
+        val tmpDir = s"$base/tmp$i"
+        part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+        hfs.mkdirs(new Path(src))
+        val dst = new Path(src, s"batch$i.parquet")
+        hfs.rename(f, dst)
+        hfs.setTimes(dst, now - (3 - i) * 60000L, -1)
+        hfs.delete(new Path(tmpDir), true)
+      }
+      val agg = StreamPipelines.sessionCounts(
+        StreamPipelines.readEventsStream(s, src, maxFilesPerTrigger = Some(1)))
+      val q = StreamPipelines.writeParquetStream(agg, outDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .filter(col("user_id") =!= -1L)
+        .select("sess_start", "sess_end", "user_id", "cnt")
+        .orderBy("user_id", "sess_start")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -232,6 +287,22 @@ object EventQueries {
         |SELECT event_id, user_id, event_type, ts, value
         |FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // identical to q41's batch twin: incremental session merging must
+    // reproduce the one-shot gaps-and-islands computation exactly
+    "q85_stream_session" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        | flagged AS (SELECT user_id, ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | sess AS (SELECT user_id, ts,
+        |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
+        |  user_id, count(*) AS cnt
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
 
     // identical to q39's batch twin: the incremental run must reproduce
     // the one-shot batch aggregation exactly
