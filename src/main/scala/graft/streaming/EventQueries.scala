@@ -12,6 +12,77 @@ import graft.Tables._
   * DuckDB can replay them (time_bucket / gaps-and-islands twins). */
 object EventQueries {
 
+  /** Per-(sf, session) working area under java.io.tmpdir, stale
+    * sessions reaped by age, always rebuilt from scratch: a
+    * skip-if-exists guard would both accept a partially-written area
+    * after a crash (silent wrong answer) and let benchmark re-runs
+    * measure only the read-back. */
+  private def freshBase(s: SparkSession, dir: String, tag: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    graft.sources.Staging.vacuumStale(s, tmp, s"graft_${tag}_")
+    val base = s"$tmp/graft_${tag}_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    graft.sources.Staging.vacuum(s, base)
+    base
+  }
+
+  /** Stage each part as ONE parquet file under `base`/src with
+    * explicitly increasing modification times: the file source replays
+    * the initial listing oldest-first, so with maxFilesPerTrigger=1
+    * this is a deterministic micro-batch replay of `parts` in order. */
+  private def stageBatches(s: SparkSession, base: String,
+      parts: Seq[DataFrame]): String = {
+    import org.apache.hadoop.fs.Path
+    val src = s"$base/src"
+    val hfs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    val n = parts.size
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val tmpDir = s"$base/tmp$i"
+      part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+      hfs.mkdirs(new Path(src))
+      val dst = new Path(src, s"batch$i.parquet")
+      hfs.rename(f, dst)
+      hfs.setTimes(dst, now - (n - i).toLong * 60000L, -1)
+      hfs.delete(new Path(tmpDir), true)
+    }
+    src
+  }
+
+  /** Split events into `n` contiguous ts ranges on VALUE boundaries
+    * (never row counts), so rows with equal ts always land in one
+    * batch; cutoff precision is irrelevant to correctness — only the
+    * range ordering matters. */
+  private def tsRangeSplit(ev: DataFrame, n: Int): Seq[DataFrame] = {
+    val probs = (1 until n).map(i => i.toDouble / n)
+    val cuts = ev.select(expr(
+        s"percentile(unix_micros(ts), array(${probs.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    val micros = expr("unix_micros(ts)")
+    (0 until n).map { i =>
+      val lo = if (i == 0) lit(true) else micros > cuts(i - 1)
+      val hi = if (i == n - 1) lit(true) else micros <= cuts(i)
+      ev.filter(lo && hi)
+    }
+  }
+
+  /** One event `hours` past the corpus max ts: advances the global
+    * watermark far enough to close every REAL window/session, so an
+    * append-mode sink flushes them (via the no-data micro-batch); the
+    * sentinel's own group never closes and is filtered from results. */
+  private def sentinelEvent(ev: DataFrame, hours: Int): DataFrame = {
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    ev.limit(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxTs + hours.toLong * 3600 * 1000 * 1000))
+        .as("ts"),
+      lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 1-hour tumbling windows: epoch-aligned on both engines.
     "q39_tumble" -> { (s, dir) =>
@@ -76,51 +147,10 @@ object EventQueries {
     // event_id) = 1. This gates the reference's declared warehouse-load
     // stage (README.md:2) end-to-end the way q69/q75 gate staging.
     "q79_stream_upsert_load" -> { (s, dir) =>
-      import org.apache.hadoop.fs.Path
-      // per-(sf, session) working area: concurrent Verify/Bench JVMs
-      // must not share checkpoints or serving tables; dead sessions'
-      // areas are reaped by age
-      val tmp = System.getProperty("java.io.tmpdir")
-      graft.sources.Staging.vacuumStale(s, tmp, "graft_q79_")
-      val base = s"$tmp/graft_q79_" +
-        graft.sources.Staging.sessionSuffix(s, dir)
-      val src = s"$base/src"
+      val base = freshBase(s, dir, "q79")
       val tableDir = s"$base/serve"
       val ckpt = s"$base/ckpt"
-      val hfs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
-      // rebuild from scratch on EVERY invocation: a skip-if-exists guard
-      // would both accept a partially-written src (silent wrong answer
-      // after a crash mid-generation) and make re-runs measure only the
-      // serving-table read-back (the stream would find no new files)
-      graft.sources.Staging.vacuum(s, base)
-      // split on ts VALUE boundaries (never row counts) so rows with
-      // equal ts land in one batch; cutoff precision is irrelevant to
-      // correctness, only the range ordering matters
-      val ev = loadEvents(s, dir)
-      val cuts = ev
-        .select(expr("percentile(unix_micros(ts), array(0.3333, 0.6667))"))
-        .head().getSeq[Double](0)
-      val micros = expr("unix_micros(ts)")
-      val now = System.currentTimeMillis()
-      (0 until 3).foreach { i =>
-        val part = i match {
-          case 0 => ev.filter(micros <= cuts(0))
-          case 1 => ev.filter(micros > cuts(0) && micros <= cuts(1))
-          case 2 => ev.filter(micros > cuts(1))
-        }
-        val tmpDir = s"$base/tmp$i"
-        part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-        val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
-        hfs.mkdirs(new Path(src))
-        val dst = new Path(src, s"batch$i.parquet")
-        hfs.rename(f, dst)
-        // explicit increasing mod-times: the file source processes the
-        // initial listing oldest-first, one file per trigger
-        hfs.setTimes(dst, now - (3 - i) * 60000L, -1)
-        hfs.delete(new Path(tmpDir), true)
-      }
+      val src = stageBatches(s, base, tsRangeSplit(loadEvents(s, dir), 3))
       val stream = StreamPipelines.readEventsStream(s, src,
         maxFilesPerTrigger = Some(1))
       val q = StreamPipelines.upsertLoadStream(
@@ -141,43 +171,12 @@ object EventQueries {
     // never-closed window is filtered out of the result. Oracle = q39's
     // batch twin: the incremental and batch runs must agree bit-for-bit.
     "q84_stream_tumble" -> { (s, dir) =>
-      import org.apache.hadoop.fs.Path
-      val tmp = System.getProperty("java.io.tmpdir")
-      graft.sources.Staging.vacuumStale(s, tmp, "graft_q84_")
-      val base = s"$tmp/graft_q84_" +
-        graft.sources.Staging.sessionSuffix(s, dir)
-      val src = s"$base/src"
+      val base = freshBase(s, dir, "q84")
       val outDir = s"$base/out"
       val ckpt = s"$base/ckpt"
-      val hfs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
-      graft.sources.Staging.vacuum(s, base) // rebuild fresh every run
       val ev = loadEvents(s, dir)
-      val cuts = ev
-        .select(expr("percentile(unix_micros(ts), array(0.5))"))
-        .head().getSeq[Double](0)
-      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val micros = expr("unix_micros(ts)")
-      val sentinel = ev.limit(1).select(
-        lit(-1L).as("event_id"),
-        timestamp_micros(lit(maxTs + 3L * 3600 * 1000 * 1000)).as("ts"),
-        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-      val now = System.currentTimeMillis()
-      Seq(
-        ev.filter(micros <= cuts(0)),
-        ev.filter(micros > cuts(0)),
-        sentinel).zipWithIndex.foreach { case (part, i) =>
-        val tmpDir = s"$base/tmp$i"
-        part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-        val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
-        hfs.mkdirs(new Path(src))
-        val dst = new Path(src, s"batch$i.parquet")
-        hfs.rename(f, dst)
-        hfs.setTimes(dst, now - (3 - i) * 60000L, -1)
-        hfs.delete(new Path(tmpDir), true)
-      }
+      val src = stageBatches(s, base,
+        tsRangeSplit(ev, 2) :+ sentinelEvent(ev, 3))
       val agg = StreamPipelines.windowedCounts(
         StreamPipelines.readEventsStream(s, src, maxFilesPerTrigger = Some(1)))
       val q = StreamPipelines.writeParquetStream(agg, outDir, ckpt)
@@ -197,43 +196,12 @@ object EventQueries {
     // gaps-and-islands twin: incremental session merging must agree
     // with the one-shot batch computation exactly.
     "q85_stream_session" -> { (s, dir) =>
-      import org.apache.hadoop.fs.Path
-      val tmp = System.getProperty("java.io.tmpdir")
-      graft.sources.Staging.vacuumStale(s, tmp, "graft_q85_")
-      val base = s"$tmp/graft_q85_" +
-        graft.sources.Staging.sessionSuffix(s, dir)
-      val src = s"$base/src"
+      val base = freshBase(s, dir, "q85")
       val outDir = s"$base/out"
       val ckpt = s"$base/ckpt"
-      val hfs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
-      graft.sources.Staging.vacuum(s, base)
       val ev = loadEvents(s, dir)
-      val cuts = ev
-        .select(expr("percentile(unix_micros(ts), array(0.5))"))
-        .head().getSeq[Double](0)
-      val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val micros = expr("unix_micros(ts)")
-      val sentinel = ev.limit(1).select(
-        lit(-1L).as("event_id"),
-        timestamp_micros(lit(maxTs + 3L * 3600 * 1000 * 1000)).as("ts"),
-        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-      val now = System.currentTimeMillis()
-      Seq(
-        ev.filter(micros <= cuts(0)),
-        ev.filter(micros > cuts(0)),
-        sentinel).zipWithIndex.foreach { case (part, i) =>
-        val tmpDir = s"$base/tmp$i"
-        part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-        val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
-        hfs.mkdirs(new Path(src))
-        val dst = new Path(src, s"batch$i.parquet")
-        hfs.rename(f, dst)
-        hfs.setTimes(dst, now - (3 - i) * 60000L, -1)
-        hfs.delete(new Path(tmpDir), true)
-      }
+      val src = stageBatches(s, base,
+        tsRangeSplit(ev, 2) :+ sentinelEvent(ev, 3))
       val agg = StreamPipelines.sessionCounts(
         StreamPipelines.readEventsStream(s, src, maxFilesPerTrigger = Some(1)))
       val q = StreamPipelines.writeParquetStream(agg, outDir, ckpt)
