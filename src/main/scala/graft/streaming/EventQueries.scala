@@ -211,6 +211,38 @@ object EventQueries {
         .select("sess_start", "sess_end", "user_id", "cnt")
         .orderBy("user_id", "sess_start")
     },
+
+    // TRUE stream-stream interval join under the gate: each purchase
+    // matched to the same user's clicks in the preceding hour, both
+    // sides incremental streams with watermark-bounded join state. An
+    // inner stream-stream join emits a pair exactly once, when both
+    // rows have arrived — no sentinel needed. No match can be lost to
+    // state eviction: batches are ts-ordered, so when a purchase
+    // arrives the watermark is ≥2 h behind it, and any click it can
+    // match (≤1 h older) is still within its retention window. Oracle =
+    // the equivalent one-shot interval join in DuckDB.
+    "q86_stream_join" -> { (s, dir) =>
+      val base = freshBase(s, dir, "q86")
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val src = stageBatches(s, base, tsRangeSplit(loadEvents(s, dir), 3))
+      def side(tpe: String, prefix: String) =
+        StreamPipelines.readEventsStream(s, src, maxFilesPerTrigger = Some(1))
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "2 hours")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      val q = StreamPipelines.writeParquetStream(joined, outDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .select("p_id", "p_user", "p_ts", "c_id", "c_ts")
+        .orderBy("p_id", "c_id")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -255,6 +287,17 @@ object EventQueries {
         |SELECT event_id, user_id, event_type, ts, value
         |FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // the one-shot interval join the incremental execution must equal
+    "q86_stream_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+        |SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+        |  c.event_id AS c_id, c.ts AS c_ts
+        |FROM e p JOIN e c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
 
     // identical to q41's batch twin: incremental session merging must
     // reproduce the one-shot gaps-and-islands computation exactly
