@@ -35,6 +35,7 @@ object EventQueries {
     import org.apache.hadoop.fs.Path
     val src = s"$base/src"
     val hfs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(new Path(src))
     val now = System.currentTimeMillis()
     val n = parts.size
     parts.zipWithIndex.foreach { case (part, i) =>
@@ -43,7 +44,6 @@ object EventQueries {
       val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
-      hfs.mkdirs(new Path(src))
       val dst = new Path(src, s"batch$i.parquet")
       hfs.rename(f, dst)
       hfs.setTimes(dst, now - (n - i).toLong * 60000L, -1)
@@ -55,33 +55,38 @@ object EventQueries {
   /** Split events into `n` contiguous ts ranges on VALUE boundaries
     * (never row counts), so rows with equal ts always land in one
     * batch; cutoff precision is irrelevant to correctness — only the
-    * range ordering matters. */
-  private def tsRangeSplit(ev: DataFrame, n: Int): Seq[DataFrame] = {
+    * range ordering matters. Also returns the corpus max ts (micros),
+    * computed in the same single action, for sentinel construction. */
+  private def tsRangeSplitWithMax(ev: DataFrame, n: Int): (Seq[DataFrame], Long) = {
     val probs = (1 until n).map(i => i.toDouble / n)
-    val cuts = ev.select(expr(
-        s"percentile(unix_micros(ts), array(${probs.mkString(",")}))"))
-      .head().getSeq[Double](0)
+    val row = ev.select(
+        expr(s"percentile(unix_micros(ts), array(${probs.mkString(",")}))"),
+        max(unix_micros(col("ts"))))
+      .head()
+    val cuts = row.getSeq[Double](0)
     val micros = expr("unix_micros(ts)")
-    (0 until n).map { i =>
+    val parts = (0 until n).map { i =>
       val lo = if (i == 0) lit(true) else micros > cuts(i - 1)
       val hi = if (i == n - 1) lit(true) else micros <= cuts(i)
       ev.filter(lo && hi)
     }
+    (parts, row.getLong(1))
   }
 
-  /** One event `hours` past the corpus max ts: advances the global
-    * watermark far enough to close every REAL window/session, so an
-    * append-mode sink flushes them (via the no-data micro-batch); the
-    * sentinel's own group never closes and is filtered from results. */
-  private def sentinelEvent(ev: DataFrame, hours: Int): DataFrame = {
-    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+  private def tsRangeSplit(ev: DataFrame, n: Int): Seq[DataFrame] =
+    tsRangeSplitWithMax(ev, n)._1
+
+  /** One event `hours` past `maxTs`: advances the global watermark far
+    * enough to close every REAL window/session, so an append-mode sink
+    * flushes them (via the no-data micro-batch); the sentinel's own
+    * group never closes and is filtered from results. */
+  private def sentinelEvent(ev: DataFrame, maxTs: Long, hours: Int): DataFrame =
     ev.limit(1).select(
       lit(-1L).as("event_id"),
       timestamp_micros(lit(maxTs + hours.toLong * 3600 * 1000 * 1000))
         .as("ts"),
       lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
       lit(0.0).as("value"), lit(null).cast("string").as("props"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 1-hour tumbling windows: epoch-aligned on both engines.
@@ -175,8 +180,8 @@ object EventQueries {
       val outDir = s"$base/out"
       val ckpt = s"$base/ckpt"
       val ev = loadEvents(s, dir)
-      val src = stageBatches(s, base,
-        tsRangeSplit(ev, 2) :+ sentinelEvent(ev, 3))
+      val (parts, maxTs) = tsRangeSplitWithMax(ev, 2)
+      val src = stageBatches(s, base, parts :+ sentinelEvent(ev, maxTs, 3))
       val agg = StreamPipelines.windowedCounts(
         StreamPipelines.readEventsStream(s, src, maxFilesPerTrigger = Some(1)))
       val q = StreamPipelines.writeParquetStream(agg, outDir, ckpt)
@@ -200,8 +205,8 @@ object EventQueries {
       val outDir = s"$base/out"
       val ckpt = s"$base/ckpt"
       val ev = loadEvents(s, dir)
-      val src = stageBatches(s, base,
-        tsRangeSplit(ev, 2) :+ sentinelEvent(ev, 3))
+      val (parts, maxTs) = tsRangeSplitWithMax(ev, 2)
+      val src = stageBatches(s, base, parts :+ sentinelEvent(ev, maxTs, 3))
       val agg = StreamPipelines.sessionCounts(
         StreamPipelines.readEventsStream(s, src, maxFilesPerTrigger = Some(1)))
       val q = StreamPipelines.writeParquetStream(agg, outDir, ckpt)
@@ -245,15 +250,35 @@ object EventQueries {
     },
   )
 
+  // shared by q39 (batch) and q84 (incremental): the two keys are
+  // REQUIRED to gate against the same oracle — one literal makes that
+  // structural instead of copy-paste discipline
+  private val tumbleSql =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+      |SELECT date_trunc('hour', ts) AS win_start,
+      |  date_trunc('hour', ts) + INTERVAL '1 hour' AS win_end,
+      |  event_type, count(*) AS cnt,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY 1, 2, 3
+      |ORDER BY win_start, event_type""".stripMargin
+
+  // shared by q41 (batch) and q85 (incremental), same reasoning
+  private val sessionSql =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      | flagged AS (SELECT user_id, ts,
+      |   CASE WHEN lag(ts) OVER w IS NULL
+      |     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      | sess AS (SELECT user_id, ts,
+      |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
+      |  user_id, count(*) AS cnt
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start""".stripMargin
+
   def oracle: Map[String, String] = Map(
-    "q39_tumble" ->
-      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
-        |SELECT date_trunc('hour', ts) AS win_start,
-        |  date_trunc('hour', ts) + INTERVAL '1 hour' AS win_end,
-        |  event_type, count(*) AS cnt,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
-        |FROM e GROUP BY 1, 2, 3
-        |ORDER BY win_start, event_type""".stripMargin,
+    "q39_tumble" -> tumbleSql,
 
     "q40_slide" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
@@ -266,19 +291,7 @@ object EventQueries {
         |FROM x GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
 
-    "q41_session" ->
-      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
-        | flagged AS (SELECT user_id, ts,
-        |   CASE WHEN lag(ts) OVER w IS NULL
-        |     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        | sess AS (SELECT user_id, ts,
-        |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flagged)
-        |SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
-        |  user_id, count(*) AS cnt
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start""".stripMargin,
+    "q41_session" -> sessionSql,
 
     "q42_stream_dedup" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
@@ -299,32 +312,10 @@ object EventQueries {
         | AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
         |ORDER BY p_id, c_id""".stripMargin,
 
-    // identical to q41's batch twin: incremental session merging must
-    // reproduce the one-shot gaps-and-islands computation exactly
-    "q85_stream_session" ->
-      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
-        | flagged AS (SELECT user_id, ts,
-        |   CASE WHEN lag(ts) OVER w IS NULL
-        |     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        | sess AS (SELECT user_id, ts,
-        |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flagged)
-        |SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
-        |  user_id, count(*) AS cnt
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start""".stripMargin,
-
-    // identical to q39's batch twin: the incremental run must reproduce
-    // the one-shot batch aggregation exactly
-    "q84_stream_tumble" ->
-      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
-        |SELECT date_trunc('hour', ts) AS win_start,
-        |  date_trunc('hour', ts) + INTERVAL '1 hour' AS win_end,
-        |  event_type, count(*) AS cnt,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
-        |FROM e GROUP BY 1, 2, 3
-        |ORDER BY win_start, event_type""".stripMargin,
+    // the incremental twins gate against the SAME literals as their
+    // batch keys — structurally identical oracles by construction
+    "q85_stream_session" -> sessionSql,
+    "q84_stream_tumble" -> tumbleSql,
 
     // event_id is unique, so the keep-rule never needs the trailing
     // tie-break columns the stream-side dedup carries
