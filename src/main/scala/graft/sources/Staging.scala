@@ -238,16 +238,37 @@ object ConfigProvider {
   * Hadoop credential providers, not code. */
 object JsonConfig {
   /** Parse a flat JSON object into a string→string map.
-    * (PLAIN TEXT secrets — secrets.py:45-46 — are just the raw string.) */
+    * (PLAIN TEXT secrets — secrets.py:45-46 — are just the raw string.)
+    *
+    * Driver-side parse via Jackson (already on every Spark classpath —
+    * Spark's own dependency, no new library): a config fetch must not
+    * spin a Spark job per call the way the earlier `from_json`-based
+    * implementation did, or configs read in per-batch driver code pay a
+    * job each. The `spark` parameter is kept for source compatibility
+    * and the (unused today) option of cluster-side resolution. */
   def parse(spark: SparkSession, json: String): Map[String, String] = {
     require(json != null, "null JSON config")
-    import org.apache.spark.sql.functions.{col, from_json, lit}
-    import spark.implicits._
-    val parsed = Seq(json).toDF("j")
-      .select(from_json(col("j"), lit("map<string,string>")).as("m"))
-      .head().getMap[String, String](0)
-    // fail at the parse site (json.loads analog), not rows later
-    require(parsed != null, s"malformed JSON config: ${json.take(80)}")
-    parsed.toMap
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          // fail at the parse site (json.loads analog), not rows later
+          throw new IllegalArgumentException(
+            s"malformed JSON config: ${json.take(80)}", e)
+      }
+    require(node != null && node.isObject,
+      s"malformed JSON config: ${json.take(80)}")
+    val it = node.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      // nested containers keep their JSON text (the from_json
+      // map<string,string> behavior this replaces); scalars take their
+      // plain text form
+      b += e.getKey -> (if (v.isNull) null
+        else if (v.isContainerNode) v.toString else v.asText())
+    }
+    b.result()
   }
 }
