@@ -30,6 +30,7 @@ object SparkEntry {
     SimilarityQueries.queries ++
     ExtraQueries.queries ++
     CorpusQueries.queries ++
+    GraphQueries.queries ++
     UdfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
     SimilarityQueries.oracle ++
     ExtraQueries.oracle ++
     CorpusQueries.oracle ++
+    GraphQueries.oracle ++
     UdfQueries.oracle
 }
