@@ -15,12 +15,18 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // deterministic run order (Map iteration is hash-ordered), and drop
     // any per-query caches so one query's cached RDDs don't tax the next.
-    // Each query runs TWICE and reports the best: this box is shared and
-    // load swings single runs >3× (two r2 queries regressed on unchanged
-    // code), so per-query minima are the comparable number; the first run
-    // also absorbs per-plan codegen compilation.
+    // Cheap queries run TWICE and report the best: this box is shared and
+    // load swings sub-second runs >3× (two r2 queries regressed on
+    // unchanged code), so per-query minima are the comparable number and
+    // the first run absorbs per-plan codegen compilation. Queries whose
+    // first run exceeds the threshold (the real-streaming and iterative
+    // keys, which redo full multi-job work every invocation) keep the
+    // single measurement: a rerun would double minutes to shave noise
+    // that long runs already average out, and unbounded bench wall-clock
+    // risks the harness's patience.
+    val RerunBelowSecs = 5.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
@@ -28,7 +34,11 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) secs else -1.0                    // -1 marks a failed query
       }
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      val r1 = run()
+      val best =
+        if (r1 >= 0 && r1 < RerunBelowSecs) { val r2 = run(); if (r2 < 0) -1.0 else math.min(r1, r2) }
+        else r1
+      name -> best
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -40,7 +50,7 @@ object Bench {
     // round-over-round comparisons need the context
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg":$load,"runs_per_query":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg":$load,"runs_per_query":"2 if first run < 5s else 1","agg":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
