@@ -23,7 +23,12 @@ object Bench {
     // keys, which redo full multi-job work every invocation) keep the
     // single measurement: a rerun would double minutes to shave noise
     // that long runs already average out, and unbounded bench wall-clock
-    // risks the harness's patience.
+    // risks the harness's patience. Comparability across rounds: every
+    // key that can exceed the threshold at sane load is NEW this round
+    // (q79/q80/q84–q87), so no prior warm-min number exists to compare
+    // a cold single against; historic keys stay under it except when
+    // load is high enough that all numbers are junk anyway (load_avg is
+    // recorded for exactly that judgment).
     val RerunBelowSecs = 5.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {

@@ -246,10 +246,21 @@ object JsonConfig {
     * implementation did, or configs read in per-batch driver code pay a
     * job each. The `spark` parameter is kept for source compatibility
     * and the (unused today) option of cluster-side resolution. */
+  // shared, thread-safe for readTree; built once per JVM — per-batch
+  // config fetches shouldn't pay mapper construction per call. Trailing
+  // tokens FAIL: readTree alone stops at the first value, so a config
+  // mangled by concatenation/truncation would silently half-parse
+  // instead of failing like the json.loads analog this documents.
+  private val mapper = com.fasterxml.jackson.databind.json.JsonMapper
+    .builder()
+    .enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    .build()
+
   def parse(spark: SparkSession, json: String): Map[String, String] = {
     require(json != null, "null JSON config")
     val node =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      try mapper.readTree(json)
       catch {
         case e: com.fasterxml.jackson.core.JacksonException =>
           // fail at the parse site (json.loads analog), not rows later

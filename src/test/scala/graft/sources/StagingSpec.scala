@@ -157,6 +157,15 @@ class StagingSpec extends SparkSpec {
     assert(e.getMessage.contains("malformed"))
   }
 
+  test("JsonConfig rejects trailing garbage after the object") {
+    // a config mangled by concatenation or truncate-then-append must
+    // fail at the parse site, not silently half-parse
+    val e = intercept[IllegalArgumentException] {
+      JsonConfig.parse(spark, """{"user": "etl"} CORRUPTED-TAIL""")
+    }
+    assert(e.getMessage.contains("malformed"))
+  }
+
   test("JsonConfig parses flat JSON objects (get_secret JSON analog)") {
     val cfg = JsonConfig.parse(spark, """{"user": "etl", "region": "us-east-1"}""")
     assert(cfg === Map("user" -> "etl", "region" -> "us-east-1"))
