@@ -45,7 +45,12 @@ object Bench {
         else r1
       name -> best
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: full doubles overflowed the driver's captured tail in
+    // round 3 (22 of 87 per-query numbers lost); %.3f halves the line.
+    // Sorted keys so any residual truncation is at least deterministic.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the total and counted
     // separately — a failure must never *shrink* the reported wall-clock
@@ -55,7 +60,7 @@ object Bench {
     // round-over-round comparisons need the context
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg":$load,"runs_per_query":"2 if first run < 5s else 1","agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"load_avg":${ms(load)},"runs_per_query":"2 if first run < 5s else 1","agg":"min","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

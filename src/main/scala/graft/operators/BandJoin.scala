@@ -49,10 +49,17 @@ object BandJoin {
       .withColumn("__band_probe", explode(array(lb - 1, lb, lb + 1)))
     val build = right.withColumn("__band_rv", rVal)
       .withColumn("__band_bucket", bucket(col("__band_rv") / width))
+    // Residual in the abs form — the ONLY form used engine-wide (q10's
+    // theta predicate, the shared DuckDB oracle, both properties). The
+    // subtract form `rv >= lv − δ && rv <= lv + δ` is NOT IEEE-equivalent:
+    // at exact band boundaries (lv=−3.2, rv=1.8, δ=5) abs(lv−rv) rounds
+    // to exactly δ while lv+δ rounds below rv, and the subtract form is
+    // asymmetric in a self-join. abs() is symmetric by construction and
+    // DuckDB evaluates the identical subtraction+abs, so oracle parity
+    // holds bit-for-bit.
     probe.join(build,
         col("__band_probe") === col("__band_bucket") &&
-        col("__band_rv") >= col("__band_lv") - delta &&
-        col("__band_rv") <= col("__band_lv") + delta)
+        abs(col("__band_lv") - col("__band_rv")) <= delta)
       .drop(helpers: _*)
   }
 }

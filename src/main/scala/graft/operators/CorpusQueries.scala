@@ -208,17 +208,19 @@ object CorpusQueries {
     // on the same double. At scale 0.5 the fixtures saturate only a few
     // dims (0 at sf0.001, 1 at sf0.01, 4 at sf0.1), so the oracle alone
     // is weak evidence for the clamp branch — VectorOpsSpec drives it
-    // directly with out-of-range synthetic vectors. The per-row lambdas
-    // are interpreted HOFs — integer math, so determinism is unaffected;
-    // a 100 TB run would lift them into a codegen Expression like the
-    // other hot kernels.
+    // directly with out-of-range synthetic vectors. The per-row work is
+    // the codegen QuantizeInt8Stats kernel — ONE straight-line pass per
+    // vector for both statistics, replacing the four interpreted HOF
+    // lambdas (two transform+aggregate chains) this ran through round 3;
+    // VectorOpsSpec pins kernel ≡ interpreted HOF formulation and
+    // PlanSpec pins the kernel's presence in the plan.
     "q83_quantize" -> { (s, dir) =>
-      import graft.functions.VectorOps.{int8Codes, int8ClampedCount}
-      val sumAbs = aggregate(int8Codes(col("embedding"), 0.5), lit(0L),
-        (acc, v) => acc + abs(v))
+      import graft.plans.GraftExpressions.quantize_stats
       tWide(s, dir, "embeddings")
-        .select(col("label"), sumAbs.as("sum_abs"),
-          int8ClampedCount(col("embedding"), 0.5).as("n_clamp"))
+        .select(col("label"),
+          quantize_stats(col("embedding"), 0.5).as("qs"))
+        .select(col("label"),
+          col("qs.sum_abs").as("sum_abs"), col("qs.n_clamp").as("n_clamp"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
           sum("n_clamp").cast("long").as("clamped_dims"),

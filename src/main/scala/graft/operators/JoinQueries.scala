@@ -106,12 +106,14 @@ object JoinQueries {
     },
 
     // Band (theta) join: customers within ±100 of each supplier's balance.
+    // abs form, matching BandJoin's residual and the oracle exactly — the
+    // subtract form is not IEEE-equivalent at exact band boundaries and is
+    // asymmetric in self-joins (see BandJoin.scala).
     "q10_join_theta" -> { (s, dir) =>
       val sup = t(s, dir, "supplier")
       val c = t(s, dir, "customer")
       sup.join(c,
-          col("c_acctbal") >= col("s_acctbal") - 100 &&
-          col("c_acctbal") <= col("s_acctbal") + 100)
+          abs(col("c_acctbal") - col("s_acctbal")) <= 100)
         .groupBy("s_suppkey", "s_name")
         .agg(count(lit(1)).as("cust_cnt"))
         .orderBy("s_suppkey")
@@ -238,7 +240,7 @@ object JoinQueries {
   private val q10Sql =
     """SELECT s_suppkey, s_name, count(*) AS cust_cnt
       |FROM supplier JOIN customer
-      |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+      |  ON abs(c_acctbal - s_acctbal) <= 100
       |GROUP BY s_suppkey, s_name
       |ORDER BY s_suppkey""".stripMargin
 

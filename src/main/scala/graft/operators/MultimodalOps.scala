@@ -13,10 +13,14 @@ import org.apache.spark.sql.types._
   *    dimensions + luminance histogram;
   *  - audio: WAV/AIFF/AU via `javax.sound.sampled` — decoded sample
   *    rate, frame count, duration, overall RMS, and a time-segment
-  *    energy profile.
-  * Video kinds and undecodable payloads fall back to a clearly-marked
-  * deterministic byte-histogram STUB (this container has no video
-  * codecs). Everything around the decode — schema, Dataset typing,
+  *    energy profile;
+  *  - video: multi-frame containers the JDK's ImageIO readers can
+  *    iterate (animated GIF) — real frame count, first-frame dimensions,
+  *    duration from per-frame delay metadata, and a per-frame-luminance
+  *    time profile (the video analog of the audio segment energies).
+  * Codec-less video formats (MP4 etc. — this container has no codecs)
+  * and undecodable payloads fall back to a clearly-marked deterministic
+  * byte-histogram STUB. Everything around the decode — schema, Dataset typing,
   * per-partition batch shape, partitioning — is what any further codec
   * would plug into. `mapPartitions` is the Scala analog of arrow-batched
   * `mapInPandas`: user code sees an iterator per partition, so per-batch
@@ -78,10 +82,12 @@ object MultimodalOps {
         val decoded: Option[MediaFeatures] = m.kind match {
           case "image" if payload.nonEmpty => decodeImage(payload, dim, base)
           case "audio" if payload.nonEmpty => decodeAudio(payload, dim, base)
+          case "video" if payload.nonEmpty => decodeVideo(payload, dim, base)
           case _ => None
         }
         decoded.getOrElse {
-          // deterministic byte-histogram fallback (STUB for video)
+          // deterministic byte-histogram fallback (STUB for codec-less
+          // video formats and undecodable payloads)
           val hist = base.features
           i = 0
           while (i < payload.length) {
@@ -197,6 +203,99 @@ object MultimodalOps {
       // — those payloads must degrade to the fallback, not kill the task
       case _: IllegalArgumentException => None
     }
+
+  /** Real video decode for multi-frame containers the JDK can iterate
+    * (animated GIF — `ImageReader.getNumImages(true)` + `read(i)`):
+    * decoded_frames = real frame count, decoded_width/height = first
+    * frame's pixel dimensions, decoded_duration_ms = Σ per-frame
+    * GraphicControlExtension delays, features = `dim` time-segment mean
+    * luminances normalized by the total (the video analog of the audio
+    * segment-energy profile: a fade-in shows as rising segments). None
+    * when no ImageIO reader claims the bytes or the container holds no
+    * frames (caller falls back — MP4 and friends stay on the documented
+    * byte-histogram STUB; this container ships no codecs for them). */
+  private def decodeVideo(payload: Array[Byte], dim: Int,
+      base: MediaFeatures): Option[MediaFeatures] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // allowSearch: the stream is seekable, so a full frame count
+            // is available even for formats without a frame-count header
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else {
+              val seg = new Array[Double](dim)
+              var total = 0.0
+              var w = 0; var h = 0
+              var durationMs = 0L
+              var fi = 0
+              while (fi < n) {
+                val img = reader.read(fi)
+                if (fi == 0) { w = img.getWidth; h = img.getHeight }
+                var lum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    // integer Rec.601 luma, same formula as decodeImage
+                    lum += (((rgb >> 16 & 0xff) * 299 +
+                      (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val mean = lum.toDouble /
+                  (img.getWidth.toLong * img.getHeight) / 255.0
+                seg((fi.toLong * dim / n).toInt) += mean
+                total += mean
+                durationMs += frameDelayMs(reader, fi)
+                fi += 1
+              }
+              val feats = new Array[Float](dim)
+              if (total > 0) {
+                var j = 0
+                while (j < dim) { feats(j) = (seg(j) / total).toFloat; j += 1 }
+              }
+              Some(base.copy(
+                decoded_width = w, decoded_height = h,
+                decoded_frames = n.toLong,
+                decoded_duration_ms = durationMs,
+                features = feats))
+            }
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch {
+      // a reader that claimed the bytes but chokes mid-frame (truncated
+      // payload) must degrade to the fallback, not kill the task
+      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Per-frame delay (ms) from the GIF GraphicControlExtension metadata
+    * node (`delayTime` is in hundredths of a second); 0 when the format
+    * or frame carries no delay metadata. */
+  private def frameDelayMs(reader: javax.imageio.ImageReader, i: Int): Long =
+    try {
+      val md = reader.getImageMetadata(i)
+      val root = md.getAsTree(md.getNativeMetadataFormatName)
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = root.getElementsByTagName("GraphicControlExtension")
+      if (nodes.getLength == 0) 0L
+      else {
+        val d = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getAttribute("delayTime")
+        if (d.isEmpty) 0L else d.toLong * 10L
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** Aspect-preserving resize metadata (no pixel work — pure arithmetic,
     * codegen'd): longest side clamped to `maxSide`. */

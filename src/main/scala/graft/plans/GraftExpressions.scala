@@ -266,6 +266,93 @@ case class ZipEqualCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass int8-quantization statistics over a float vector: for each
+  * non-null element, code = clamp(round(x · 127/scale), −127, 127); returns
+  * struct(sum_abs = Σ|code|, n_clamp = #elements whose unclamped |round|
+  * exceeded 127). Replaces q83's two interpreted HOF passes
+  * (`transform`+`aggregate` for the code sum, another `transform`+
+  * `aggregate` for the clamp count) with one codegen loop.
+  *
+  * Rounding is half-AWAY-FROM-ZERO, bit-equal to Spark's `round` (and the
+  * DuckDB twin): Spark rounds via the double's shortest decimal repr under
+  * HALF_UP, but since k+0.5 is itself exactly representable, a shortest
+  * repr can never sit on the opposite side of it from the double it
+  * denotes — so comparing the binary fraction against 0.5 decides ties
+  * identically, with zero allocation. Elements with |x·127/scale| ≥ 127.5
+  * clamp without being rounded (they round above 127 by construction),
+  * which also keeps every arithmetic step overflow-free. Null elements are
+  * skipped (contribute to neither statistic); NaN quantizes to 0. */
+case class QuantizeInt8Stats(child: Expression, scale: Double)
+    extends UnaryExpression {
+  require(scale > 0 && !scale.isInfinite, s"scale must be positive and finite, got $scale")
+
+  private val k: Double = 127.0 / scale
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("n_clamp", LongType, nullable = false)))
+  override def prettyName: String = "graft_quantize_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an ARRAY<FLOAT> argument, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var sumAbs = 0L; var nClamp = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val d = a.getFloat(i).toDouble * k
+        val ad = math.abs(d)
+        if (ad >= 127.5) { nClamp += 1; sumAbs += 127 }
+        else {
+          val f = math.floor(ad)
+          sumAbs += (if (ad - f >= 0.5) f.toLong + 1 else f.toLong)
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(sumAbs, nClamp)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val ad = ctx.freshName("ad")
+      val f = ctx.freshName("f")
+      val sumAbs = ctx.freshName("sumAbs"); val nClamp = ctx.freshName("nClamp")
+      // $k prints the shortest decimal repr, which Java parses back to the
+      // identical double — the constant survives the source round-trip
+      s"""
+         |int $n = $a.numElements();
+         |long $sumAbs = 0L; long $nClamp = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $d = ((double) $a.getFloat($i)) * ${k}d;
+         |    double $ad = Math.abs($d);
+         |    if ($ad >= 127.5d) { $nClamp++; $sumAbs += 127L; }
+         |    else {
+         |      double $f = Math.floor($ad);
+         |      $sumAbs += ($ad - $f >= 0.5d) ? (long) $f + 1L : (long) $f;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $sumAbs, $nClamp });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Stats =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   /** Column wrapper: engine-portable polynomial string hash. */
   def poly_hash(c: Column, base: Int = 131, mod: Long = 2147483647L): Column =
@@ -282,4 +369,9 @@ object GraftExpressions {
   /** Column wrapper: positional agreement count of two long arrays. */
   def zip_equal(a: Column, b: Column): Column =
     toColumn(ZipEqualCount(toExpression(a), toExpression(b)))
+
+  /** Column wrapper: one-pass int8 quantization stats
+    * struct(sum_abs, n_clamp). */
+  def quantize_stats(v: Column, scale: Double): Column =
+    toColumn(QuantizeInt8Stats(toExpression(v), scale))
 }

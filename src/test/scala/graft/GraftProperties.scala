@@ -158,10 +158,29 @@ object GraftProperties extends Properties("graft") {
         .select("lid", "rid").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
       val theta = l.join(r,
-          col("rv") >= col("lv") - delta && col("rv") <= col("lv") + delta)
+          abs(col("lv") - col("rv")) <= delta)
         .select("lid", "rid").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
       band == theta
+    }
+
+  // Pinned exact-boundary regression (round-3 finding): 1.8 and −3.2 with
+  // δ=5 land ON the band edge where the subtract form rv >= lv−δ disagrees
+  // with abs(lv−rv) <= δ in IEEE doubles (−3.2+5.0 rounds BELOW 1.8 while
+  // the abs of the difference rounds to exactly 5.0) — and asymmetrically,
+  // so a self-join under the subtract form matched (1.8,−3.2) but not
+  // (−3.2,1.8). Run every time, not when a random draw gets lucky.
+  property("band join includes exact-boundary pairs symmetrically") =
+    Prop.secure {
+      val sess = spark
+      import sess.implicits._
+      val d = Seq((0L, 1.8), (1L, -3.2)).toDF("id", "v")
+      val got = graft.operators.BandJoin
+        .bandJoin(d.toDF("lid", "lv"), d.toDF("rid", "rv"),
+          col("lv"), col("rv"), 5.0)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      got == Set((0L, 0L), (1L, 1L), (0L, 1L), (1L, 0L))
     }
 
   // self-band-join: both sides share lineage AND the column name — the

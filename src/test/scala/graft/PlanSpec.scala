@@ -101,6 +101,17 @@ class PlanSpec extends SparkSpec {
       s"bucket assignment must be served from cache:\n$p")
   }
 
+  test("q83 quantization runs the one-pass codegen kernel, not HOF lambdas") {
+    // regression guard for the r4 lift: the r3 shape evaluated four
+    // interpreted lambdas per vector (two transform+aggregate chains);
+    // the kernel computes both statistics in one generated loop
+    val p = plan("q83_quantize")
+    assert(p.contains("graft_quantize_stats"),
+      s"expected the QuantizeInt8Stats kernel in the plan:\n$p")
+    assert(!p.contains("aggregate(") && !p.contains("transform("),
+      s"interpreted HOF lambdas crept back into q83:\n$p")
+  }
+
   test("q14 aggregates map-side (partial + final HashAggregate)") {
     assert("HashAggregate".r.findAllIn(plan("q14_agg_group")).size >= 2,
       "two-phase aggregation is the map-side-combine guarantee")

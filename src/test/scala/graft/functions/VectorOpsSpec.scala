@@ -52,6 +52,38 @@ class VectorOpsSpec extends SparkSpec {
     assert(sat === Seq[Byte](127, -127))
   }
 
+  test("quantize_stats kernel equals the interpreted HOF formulation") {
+    import graft.plans.GraftExpressions.quantize_stats
+    // exact half-away-from-zero ties (k=1.0 at scale=127: 2.5 → 3,
+    // −2.5 → −3), the clamp boundary (127.5 → clamp, 127.49 → 127),
+    // saturating values, zeros, and a pseudo-random tail
+    val rnd = new scala.util.Random(83)
+    val vecs = Seq(
+      Seq(2.5f, -2.5f, 0.5f, -0.5f),
+      Seq(127.5f, -127.5f, 127.49f, -127.49f, 126.5f),
+      Seq(500f, -500f, 0f, 1e-10f),
+      Seq.fill(64)(rnd.nextFloat() * 300f - 150f))
+    for (scale <- Seq(127.0, 0.5); v <- vecs) {
+      val df = vdf(v)
+      val interpSum = df.select(aggregate(
+          VectorOps.int8Codes(col("v"), scale), lit(0L),
+          (acc, x) => acc + abs(x))).head().getLong(0)
+      val interpClamp = df.select(
+        VectorOps.int8ClampedCount(col("v"), scale)).head().getLong(0)
+      val kr = df.select(quantize_stats(col("v"), scale).as("q"))
+        .select(col("q.sum_abs"), col("q.n_clamp")).head()
+      assert(kr.getLong(0) === interpSum, s"sum_abs, scale=$scale v=$v")
+      assert(kr.getLong(1) === interpClamp, s"n_clamp, scale=$scale v=$v")
+    }
+    // null elements are skipped — contribute to neither statistic
+    val sess2 = spark
+    import sess2.implicits._
+    val withNull = Seq(Seq(Some(2.5f), None, Some(500f))).toDF("v")
+      .select(quantize_stats($"v".cast("array<float>"), 127.0).as("q"))
+      .select(col("q.sum_abs"), col("q.n_clamp")).head()
+    assert(withNull.getLong(0) === 130L && withNull.getLong(1) === 1L)
+  }
+
   test("int8Codes/int8ClampedCount exercise the clamp branch directly") {
     // the q83 oracle gate sees almost no saturated dims at fixture
     // scale (0 at sf0.001), so the clamp branch is pinned here with
