@@ -31,6 +31,7 @@ object SparkEntry {
     ExtraQueries.queries ++
     CorpusQueries.queries ++
     GraphQueries.queries ++
+    MultimodalQueries.queries ++
     UdfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
     ExtraQueries.oracle ++
     CorpusQueries.oracle ++
     GraphQueries.oracle ++
+    MultimodalQueries.oracle ++
     UdfQueries.oracle
 }

@@ -108,17 +108,22 @@ object CorpusQueries {
     // 64 planes, 8×8-bit bands) — the plan shape is unchanged.
     "q73_embed_lsh" -> { (s, dir) =>
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
-      val dots = (0 until Planes).map { j =>
-        val plane = array((1 to Dims).map(i => lit(planeSign(i, j))): _*)
-        when(graft.operators.LlmQueries.seqDot(col("embedding"), plane) > 0, 1)
-          .otherwise(0).as(s"bit$j")
+      // all 16 plane dots in ONE codegen pass per vector (SignLshCode),
+      // packed MSB-first into an int — replaces 16 per-plane
+      // when(seq_dot(emb, array(64 literals))) columns whose expression-
+      // tree bulk (doubled again by the band self-join) dominated runtime
+      val signs = Array.tabulate(Planes * Dims) { idx =>
+        planeSign(idx % Dims + 1, idx / Dims).toDouble
       }
-      val coded = emb.select(col("vec_id") +: dots: _*)
+      val coded = emb.select(col("vec_id"),
+        graft.plans.GraftExpressions
+          .sign_lsh_code(col("embedding"), signs, Planes, Dims).as("code"))
+      // band b holds bits 4b..4b+3 (plane 0 is the code's MSB), so its
+      // 4-bit key — bit_{4b}·8 + … + bit_{4b+3} — is a shift-and-mask
       val bandKeys = (0 until Bands).map { b =>
         struct(lit(b).as("band"),
-          (col(s"bit${4 * b}") * 8 + col(s"bit${4 * b + 1}") * 4 +
-            col(s"bit${4 * b + 2}") * 2 + col(s"bit${4 * b + 3}"))
-            .as("key"))
+          shiftright(col("code"), (Bands - 1 - b) * 4)
+            .bitwiseAND(lit(15)).as("key"))
       }
       val banded = coded
         .select(col("vec_id"), explode(array(bandKeys: _*)).as("bk"))

@@ -15,10 +15,12 @@ import graft.Tables._
   * labels have converged. No fixpoint detection, no nondeterminism.
   *
   * Scale notes: each step is one hash join edges⋈labels plus a min
-  * aggregation — the standard iterated-shuffle shape. The plan lineage
-  * grows per iteration, so the loop localCheckpoints mid-way; at
-  * cluster scale every iteration would checkpoint (or use a graph
-  * framework), but the per-step plan is already the one you'd want. */
+  * aggregation — the standard iterated-shuffle shape. `labels` feeds
+  * both the join and the union each step, so an untruncated plan would
+  * embed the previous step's subtree TWICE — exponential re-execution.
+  * The loop therefore eagerly localCheckpoints every iteration (on a
+  * cluster: checkpoint to reliable storage, or use a graph framework);
+  * the per-step plan is one shuffled hash join + one hash agg. */
 object GraphQueries {
 
   private val Iters = 6
@@ -41,14 +43,18 @@ object GraphQueries {
         e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
-      for (i <- 1 to Iters) {
+      for (_ <- 1 to Iters) {
         val prop = edges.join(labels, col("src") === col("node"))
           .select(col("dst").as("node"), col("lbl"))
+        // `labels` is referenced twice per step (join input + union arm):
+        // without truncation each unexecuted plan embeds TWO copies of the
+        // previous step's subtree, so lineage — and re-execution cost —
+        // doubles per iteration. Eagerly checkpointing every step keeps the
+        // per-iteration plan one join + one agg over a materialized frame:
+        // the standard iterated-Pregel discipline.
         labels = labels.unionByName(prop)
           .groupBy("node").agg(min("lbl").as("lbl"))
-        // truncate the growing lineage half-way (and pin the frame the
-        // next iteration joins against)
-        if (i == Iters / 2) labels = labels.localCheckpoint(true)
+          .localCheckpoint(true)
       }
       labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_components"),

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   *    rate, frame count, duration, overall RMS, and a time-segment
   *    energy profile;
   *  - video: multi-frame containers the JDK's ImageIO readers can
-  *    iterate (animated GIF) — real frame count, first-frame dimensions,
-  *    duration from per-frame delay metadata, and a per-frame-luminance
-  *    time profile (the video analog of the audio segment energies).
+  *    iterate (animated GIF) — real frame count, logical-screen
+  *    dimensions, duration from per-frame delay metadata, and a
+  *    per-frame-luminance time profile measured over frames COMPOSITED
+  *    onto the logical screen (delta-encoded sub-rectangle frames are
+  *    placed at their ImageDescriptor offsets with disposal honored).
   * Codec-less video formats (MP4 etc. — this container has no codecs)
   * and undecodable payloads fall back to a clearly-marked deterministic
   * byte-histogram STUB. Everything around the decode — schema, Dataset typing,
@@ -206,14 +208,28 @@ object MultimodalOps {
 
   /** Real video decode for multi-frame containers the JDK can iterate
     * (animated GIF — `ImageReader.getNumImages(true)` + `read(i)`):
-    * decoded_frames = real frame count, decoded_width/height = first
-    * frame's pixel dimensions, decoded_duration_ms = Σ per-frame
+    * decoded_frames = real frame count, decoded_width/height = the
+    * LOGICAL SCREEN dimensions (stream metadata; first frame as
+    * fallback), decoded_duration_ms = Σ per-frame
     * GraphicControlExtension delays, features = `dim` time-segment mean
     * luminances normalized by the total (the video analog of the audio
-    * segment-energy profile: a fade-in shows as rising segments). None
-    * when no ImageIO reader claims the bytes or the container holds no
-    * frames (caller falls back — MP4 and friends stay on the documented
-    * byte-histogram STUB; this container ships no codecs for them). */
+    * segment-energy profile: a fade-in shows as rising segments).
+    *
+    * Frames are COMPOSITED onto a logical-screen canvas before
+    * measurement: delta-encoded GIFs store sub-rectangle frames at
+    * ImageDescriptor offsets, so measuring each raster alone would
+    * normalize a delta region by its own w×h and misrepresent the time
+    * profile. Per frame: draw at (left, top) with src-over transparency
+    * (untouched pixels persist from prior frames), measure the full
+    * canvas, then honor the frame's disposal method
+    * (`doNotDispose`/`none` keep, `restoreToBackgroundColor` clears the
+    * frame's rect — to black, an approximation of the palette background
+    * color — and `restoreToPrevious` reverts the canvas).
+    *
+    * None when no ImageIO reader claims the bytes or the container holds
+    * no frames (caller falls back — MP4 and friends stay on the
+    * documented byte-histogram STUB; this container ships no codecs for
+    * them). */
   private def decodeVideo(payload: Array[Byte], dim: Int,
       base: MediaFeatures): Option[MediaFeatures] =
     try {
@@ -231,20 +247,31 @@ object MultimodalOps {
             val n = reader.getNumImages(true)
             if (n <= 0) None
             else {
+              val first = reader.read(0)
+              val (w, h) = logicalScreenSize(reader)
+                .getOrElse((first.getWidth, first.getHeight))
+              // RGB canvas (no alpha): src-over draws respect frame
+              // transparency while reads always see an opaque composite
+              val canvas = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = canvas.createGraphics()
               val seg = new Array[Double](dim)
               var total = 0.0
-              var w = 0; var h = 0
               var durationMs = 0L
               var fi = 0
               while (fi < n) {
-                val img = reader.read(fi)
-                if (fi == 0) { w = img.getWidth; h = img.getHeight }
+                val img = if (fi == 0) first else reader.read(fi)
+                val (ox, oy, disposal) = frameGeometry(reader, fi)
+                val saved =
+                  if (disposal == "restoreToPrevious") copyCanvas(canvas)
+                  else null
+                g.drawImage(img, ox, oy, null)
                 var lum = 0L
                 var y = 0
-                while (y < img.getHeight) {
+                while (y < h) {
                   var x = 0
-                  while (x < img.getWidth) {
-                    val rgb = img.getRGB(x, y)
+                  while (x < w) {
+                    val rgb = canvas.getRGB(x, y)
                     // integer Rec.601 luma, same formula as decodeImage
                     lum += (((rgb >> 16 & 0xff) * 299 +
                       (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000)
@@ -252,13 +279,24 @@ object MultimodalOps {
                   }
                   y += 1
                 }
-                val mean = lum.toDouble /
-                  (img.getWidth.toLong * img.getHeight) / 255.0
+                val mean = lum.toDouble / (w.toLong * h) / 255.0
                 seg((fi.toLong * dim / n).toInt) += mean
                 total += mean
                 durationMs += frameDelayMs(reader, fi)
+                disposal match {
+                  case "restoreToBackgroundColor" =>
+                    val prevComposite = g.getComposite
+                    g.setComposite(java.awt.AlphaComposite.Src)
+                    g.setColor(java.awt.Color.BLACK)
+                    g.fillRect(ox, oy, img.getWidth, img.getHeight)
+                    g.setComposite(prevComposite)
+                  case "restoreToPrevious" =>
+                    g.drawImage(saved, 0, 0, null)
+                  case _ => () // none / doNotDispose: canvas persists
+                }
                 fi += 1
               }
+              g.dispose()
               val feats = new Array[Float](dim)
               if (total > 0) {
                 var j = 0
@@ -279,6 +317,66 @@ object MultimodalOps {
       case _: java.io.IOException => None
       case scala.util.control.NonFatal(_) => None
     }
+
+  private def copyCanvas(c: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      c.getWidth, c.getHeight, c.getType)
+    val g = out.createGraphics()
+    g.drawImage(c, 0, 0, null)
+    g.dispose()
+    out
+  }
+
+  /** Logical screen dimensions from the stream metadata's
+    * LogicalScreenDescriptor node (GIF); None when the format carries no
+    * such node — caller falls back to the first frame's raster size. */
+  private def logicalScreenSize(reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val md = reader.getStreamMetadata
+      if (md == null) None
+      else {
+        val root = md.getAsTree(md.getNativeMetadataFormatName)
+          .asInstanceOf[org.w3c.dom.Element]
+        val nodes = root.getElementsByTagName("LogicalScreenDescriptor")
+        if (nodes.getLength == 0) None
+        else {
+          val d = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+          val w = d.getAttribute("logicalScreenWidth")
+          val h = d.getAttribute("logicalScreenHeight")
+          if (w.isEmpty || h.isEmpty) None else Some((w.toInt, h.toInt))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame placement + disposal from the image metadata: the
+    * ImageDescriptor's (imageLeftPosition, imageTopPosition) and the
+    * GraphicControlExtension's disposalMethod; ((0,0), "none") when the
+    * format or frame carries no such metadata. */
+  private def frameGeometry(reader: javax.imageio.ImageReader,
+      i: Int): (Int, Int, String) =
+    try {
+      val md = reader.getImageMetadata(i)
+      val root = md.getAsTree(md.getNativeMetadataFormatName)
+        .asInstanceOf[org.w3c.dom.Element]
+      val desc = root.getElementsByTagName("ImageDescriptor")
+      val (ox, oy) =
+        if (desc.getLength == 0) (0, 0)
+        else {
+          val d = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+          val l = d.getAttribute("imageLeftPosition")
+          val t = d.getAttribute("imageTopPosition")
+          (if (l.isEmpty) 0 else l.toInt, if (t.isEmpty) 0 else t.toInt)
+        }
+      val gce = root.getElementsByTagName("GraphicControlExtension")
+      val disposal =
+        if (gce.getLength == 0) "none"
+        else {
+          val d = gce.item(0).asInstanceOf[org.w3c.dom.Element]
+            .getAttribute("disposalMethod")
+          if (d.isEmpty) "none" else d
+        }
+      (ox, oy, disposal)
+    } catch { case scala.util.control.NonFatal(_) => (0, 0, "none") }
 
   /** Per-frame delay (ms) from the GIF GraphicControlExtension metadata
     * node (`delayTime` is in hundredths of a second); 0 when the format

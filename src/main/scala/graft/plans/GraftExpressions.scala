@@ -287,6 +287,11 @@ case class QuantizeInt8Stats(child: Expression, scale: Double)
   require(scale > 0 && !scale.isInfinite, s"scale must be positive and finite, got $scale")
 
   private val k: Double = 127.0 / scale
+  // a positive SUBNORMAL scale (e.g. 1e-320) passes the guard above yet
+  // yields k = Infinity, which doGenCode would interpolate as the invalid
+  // Java literal "Infinityd" — failing codegen compilation and silently
+  // falling back to interpreted eval
+  require(!k.isInfinite, s"127/scale overflows to Infinity (scale=$scale)")
 
   override def dataType: DataType = StructType(Seq(
     StructField("sum_abs", LongType, nullable = false),
@@ -353,6 +358,84 @@ case class QuantizeInt8Stats(child: Expression, scale: Double)
     copy(child = newChild)
 }
 
+/** Packed sign-LSH code over a float vector: for each of `planes` fixed
+  * hyperplanes (rows of `signs`, row-major `planes × dims`, entries ±1),
+  * compute the sequential dot product (double accumulation, left-to-right
+  * — the oracle's list_reduce op order; ±1 products are exact in every
+  * float width) and pack bit j = (dot_j > 0) at position planes−1−j of an
+  * INT code (plane 0 is the MSB). One straight-line pass per row replaces
+  * q73's 16 separate `when(seq_dot(emb, array(64 literals)) > 0, 1)`
+  * columns — 16 CreateArray(64-lit) expression trees per projection,
+  * duplicated again by the band self-join — whose sheer tree size
+  * dominated runtime via plan/codegen overhead at small scale.
+  * Band keys come out with bit arithmetic: band b of width w is
+  * `(code >> ((planes/w − 1 − b)·w)) & (2^w − 1)`. */
+case class SignLshCode(child: Expression, signs: Array[Double],
+    planes: Int, dims: Int) extends UnaryExpression {
+  require(signs.length == planes * dims,
+    s"signs must be planes×dims = ${planes * dims}, got ${signs.length}")
+  require(planes <= 31, s"code packs into an INT: planes ≤ 31, got $planes")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sign_lsh"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an ARRAY<FLOAT> argument, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != dims) {
+      // silently coding a truncated vector would bucket it plausibly
+      throw new IllegalArgumentException(
+        s"graft_sign_lsh: expected $dims elements, got $n")
+    }
+    var code = 0
+    var j = 0
+    while (j < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getFloat(i).toDouble * signs(j * dims + i); i += 1 }
+      code = (code << 1) | (if (acc > 0) 1 else 0)
+      j += 1
+    }
+    code
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
+      val code = ctx.freshName("code")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "graft_sign_lsh: expected $dims elements, got " + $n);
+         |}
+         |int $code = 0;
+         |for (int $j = 0; $j < $planes; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * $signsRef[$j * $dims + $i];
+         |  }
+         |  $code = ($code << 1) | ($acc > 0 ? 1 : 0);
+         |}
+         |${ev.value} = $code;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshCode =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   /** Column wrapper: engine-portable polynomial string hash. */
   def poly_hash(c: Column, base: Int = 131, mod: Long = 2147483647L): Column =
@@ -374,4 +457,9 @@ object GraftExpressions {
     * struct(sum_abs, n_clamp). */
   def quantize_stats(v: Column, scale: Double): Column =
     toColumn(QuantizeInt8Stats(toExpression(v), scale))
+
+  /** Column wrapper: packed sign-LSH code (plane 0 = MSB). */
+  def sign_lsh_code(v: Column, signs: Array[Double],
+      planes: Int, dims: Int): Column =
+    toColumn(SignLshCode(toExpression(v), signs, planes, dims))
 }

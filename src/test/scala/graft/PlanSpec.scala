@@ -108,8 +108,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("q83_quantize")
     assert(p.contains("graft_quantize_stats"),
       s"expected the QuantizeInt8Stats kernel in the plan:\n$p")
-    assert(!p.contains("aggregate(") && !p.contains("transform("),
+    // anchor the negative check to the lambda marker itself: every
+    // interpreted HOF (aggregate/transform/zip_with/filter) renders its
+    // lambda as `lambdafunction(...)` in the plan, while the old bare
+    // contains("aggregate(")/contains("transform(") would also fire on
+    // any future node/expression whose rendering contains those tokens —
+    // a false failure with no real HOF regression
+    assert(!p.contains("lambdafunction"),
       s"interpreted HOF lambdas crept back into q83:\n$p")
+  }
+
+  test("q73 codes all 16 LSH planes in one kernel pass") {
+    // regression guard for the r5 lift: the r4 shape projected 16
+    // separate when(seq_dot(emb, CreateArray(64 literals))) columns —
+    // an expression tree whose bulk (doubled by the band self-join)
+    // dominated q73's runtime; the kernel packs all plane signs in one
+    // generated loop per vector
+    val p = plan("q73_embed_lsh")
+    assert(p.contains("graft_sign_lsh"),
+      s"expected the SignLshCode kernel in the plan:\n$p")
+    // the verify stage legitimately keeps graft_seq_dot (pair dot + norm
+    // precompute); the old CODING stage is pinned out by its exact shape:
+    // when(seq_dot(...) > 0, 1) renders as `CASE WHEN (graft_seq_dot(`
+    assert(!"CASE WHEN \\(graft_seq_dot".r.findFirstIn(p).isDefined,
+      s"per-plane seq_dot bit columns crept back into q73's coding stage:\n$p")
   }
 
   test("q14 aggregates map-side (partial + final HashAggregate)") {

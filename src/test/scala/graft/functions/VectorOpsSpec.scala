@@ -75,7 +75,14 @@ class VectorOpsSpec extends SparkSpec {
       assert(kr.getLong(0) === interpSum, s"sum_abs, scale=$scale v=$v")
       assert(kr.getLong(1) === interpClamp, s"n_clamp, scale=$scale v=$v")
     }
-    // null elements are skipped — contribute to neither statistic
+    // null elements are skipped — contribute to neither statistic.
+    // NB this is asserted on the KERNEL side only, deliberately: the
+    // interpreted aggregate above would propagate a null element into a
+    // null sum_abs, so the kernel's skip-nulls behavior intentionally
+    // DIVERGES from (fixes) the old interpreted path — it matches the
+    // DuckDB oracle's list_sum, which also skips nulls. The kernel ≡
+    // interpreted equivalence claimed by this test holds for null-free
+    // vectors (the loop above), not for vectors with null elements.
     val sess2 = spark
     import sess2.implicits._
     val withNull = Seq(Seq(Some(2.5f), None, Some(500f))).toDF("v")

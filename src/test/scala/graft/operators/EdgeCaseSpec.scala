@@ -88,4 +88,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.getTimestamp(0).toString === "2024-01-01 00:00:00.0")
     assert(out.getTimestamp(1).toString === "2024-01-01 00:30:00.0")
   }
+
+  test("q20 approx distinct stays within the HLL++ error bound of exact") {
+    // q20 is the one oracle-EXEMPT key (SURVEY §2b D6: sketch results
+    // are implementation-defined, so no DuckDB twin) — this assertion is
+    // its evidence instead: the estimate must sit within the sketch's
+    // advertised accuracy of the exact answer (q15-style countDistinct).
+    // approx_count_distinct's default rsd is 0.05; HLL++ on a FIXED input
+    // is deterministic, and 3·rsd (15%) gives head-room over the
+    // 1-sigma figure without ever accepting a broken sketch.
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.SparkEntry.queries("q20_agg_hll")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.loadEvents(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((tpe, ex) <- exact) {
+      val ap = approx(tpe)
+      assert(math.abs(ap - ex) <= math.max(1L, (ex * 0.15).toLong),
+        s"$tpe: approx $ap vs exact $ex exceeds 3·rsd")
+    }
+  }
 }

@@ -81,6 +81,57 @@ class MultimodalSpec extends SparkSpec {
     assert(audio.features.forall(_ === 0f))
   }
 
+  test("decodeFeatures composites delta GIF frames onto the logical screen") {
+    // Animated GIF, logical screen 4×2: frame 1 is a full gray frame
+    // (luma 128), frame 2 a 2×1 WHITE delta patch. Composited, frame 2's
+    // screen is 6 gray + 2 white pixels → mean (6·128 + 2·255)/8/255;
+    // the pre-compositing bug measured the patch alone → mean 1.0. The
+    // assertion distinguishes the two regardless of where the writer
+    // places the patch (the mean only depends on the patch SIZE).
+    import javax.imageio.{ImageIO, IIOImage, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    def rgbImage(w: Int, h: Int, rgb: Int) = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, rgb)
+      bi
+    }
+    val frames = Seq(rgbImage(4, 2, 0x808080), rgbImage(2, 1, 0xffffff))
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      val p = writer.getDefaultWriteParam
+      val md = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), p)
+      val fmt = md.getNativeMetadataFormatName
+      val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "doNotDispose")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10") // hundredths of a second
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, md), p)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    val rows = mediaDS(Seq(MediaRow(21L, "video", bos.toByteArray, 0, 0, 0, 0L)))
+    val f = decodeFeatures(rows, dim = 2).collect().head
+    assert(f.decoded_frames === 2L)
+    assert(f.decoded_width === 4 && f.decoded_height === 2,
+      "dimensions must be the logical screen, not the delta frame")
+    assert(f.decoded_duration_ms === 200L, "2 frames × delayTime 10 cs")
+    val m1 = 128.0 / 255.0
+    val m2 = (6 * 128 + 2 * 255).toDouble / 8 / 255
+    assert(math.abs(f.features(0) - m1 / (m1 + m2)) < 1e-3,
+      s"frame 2 must be measured composited, got ${f.features.toSeq}")
+    assert(math.abs(f.features(1) - m2 / (m1 + m2)) < 1e-3)
+  }
+
   test("withResizedDims clamps the longest side, preserving aspect") {
     val sess = spark
     import sess.implicits._

@@ -120,6 +120,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumbling window accumulates ACROSS micro-batches") {
+    // q84's gated replay uses a single data batch + sentinel; this test
+    // carries the multi-data-batch evidence: one window receives rows
+    // from two separate micro-batches and must report their combined agg
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamPipelines.windowedCounts(df)
+      .writeStream.format("memory").queryName("tumble_xb_t")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:05:00"), "click", 1.0))
+      q.processAllAvailable() // batch 1: window [00:00,01:00) cnt=1
+      input.addData((ts("2024-01-01 00:50:00"), "click", 2.0))
+      q.processAllAvailable() // batch 2: same window, state must update
+      input.addData((ts("2024-01-01 05:00:00"), "view", 0.0))
+      q.processAllAvailable() // advance watermark → flush the window
+      val r = spark.sql(
+        """SELECT cnt, sum_value FROM tumble_xb_t
+          |WHERE win_start = TIMESTAMP '2024-01-01 00:00:00'""".stripMargin)
+        .collect()
+      assert(r.length === 1)
+      assert(r(0).getLong(0) === 2L)
+      assert(r(0).getDecimal(1).doubleValue() === 3.0)
+    } finally q.stop()
+  }
+
+  test("session state merges ACROSS micro-batches") {
+    // the gated q85 replay uses a single data batch + sentinel, so this
+    // test carries the cross-batch evidence: one user's session arrives
+    // split over two addData batches (separate micro-batches, separate
+    // state-store commits) and must still merge into ONE session
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = StreamPipelines.sessionCounts(df)
+      .writeStream.format("memory").queryName("sess_xb_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:10:00"), 1L))
+      q.processAllAvailable() // batch 1: open session [00:00, 00:40)
+      input.addData(
+        (ts("2024-01-01 00:25:00"), 1L)) // within gap → must MERGE
+      q.processAllAvailable()
+      // flush: advance watermark far past the session end
+      input.addData((ts("2024-01-01 09:00:00"), 99L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 09:01:00"), 99L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, sess_start, sess_end, cnt FROM sess_xb_t WHERE user_id = 1 ORDER BY sess_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(rows === Seq(
+        (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:55:00.0", 3L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates running per-user totals") {
     val sess = spark
     import sess.implicits._
