@@ -43,19 +43,31 @@ object GraphQueries {
         e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
-      for (_ <- 1 to Iters) {
-        val prop = edges.join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("lbl"))
-        // `labels` is referenced twice per step (join input + union arm):
-        // without truncation each unexecuted plan embeds TWO copies of the
-        // previous step's subtree, so lineage — and re-execution cost —
-        // doubles per iteration. Eagerly checkpointing every step keeps the
-        // per-iteration plan one join + one agg over a materialized frame:
-        // the standard iterated-Pregel discipline.
-        labels = labels.unionByName(prop)
-          .groupBy("node").agg(min("lbl").as("lbl"))
-          .localCheckpoint(true)
-      }
+      // The loop materializes Iters tiny shuffles (the label frame is
+      // ~2·|keys| rows); at the session's 32 shuffle partitions each
+      // iteration pays 2×32 near-empty tasks of pure scheduling overhead.
+      // Dial partitions down for the loop ONLY (every iteration is fully
+      // materialized inside by the eager checkpoint, so the restored
+      // setting governs nothing here); on a real cluster this knob rises
+      // with data volume — the plan shape is unchanged.
+      val pkey = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(pkey)
+      s.conf.set(pkey, "8")
+      try {
+        for (_ <- 1 to Iters) {
+          val prop = edges.join(labels, col("src") === col("node"))
+            .select(col("dst").as("node"), col("lbl"))
+          // `labels` is referenced twice per step (join input + union arm):
+          // without truncation each unexecuted plan embeds TWO copies of the
+          // previous step's subtree, so lineage — and re-execution cost —
+          // doubles per iteration. Eagerly checkpointing every step keeps the
+          // per-iteration plan one join + one agg over a materialized frame:
+          // the standard iterated-Pregel discipline.
+          labels = labels.unionByName(prop)
+            .groupBy("node").agg(min("lbl").as("lbl"))
+            .localCheckpoint(true)
+        }
+      } finally s.conf.set(pkey, prev)
       labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_components"),
           max("sz").as("max_size"),

@@ -43,6 +43,32 @@ object MultimodalOps {
       decoded_sample_rate: Int, decoded_frames: Long,
       decoded_duration_ms: Long, rms: Float, features: Array[Float])
 
+  /** Pluggable video codec seam. The container ships no MP4/WebM codecs,
+    * so those formats fall back to the byte histogram — but the PIPELINE
+    * must not care: a real codec plugs in as a `VideoDecoder` without
+    * touching schema, partitioning, or the feature fold. A decoder
+    * returns None when the bytes aren't its format (the next decoder is
+    * tried; after the last, the deterministic byte-histogram fallback).
+    * Implementations must be Serializable — they ship to executors. */
+  trait VideoDecoder extends Serializable {
+    def decode(payload: Array[Byte]): Option[VideoFrames]
+  }
+
+  /** Codec-independent decode result: dimensions, total duration, and
+    * one mean luminance in [0,1] per frame — everything downstream
+    * (segment fold, normalization, schema) is codec-agnostic. */
+  case class VideoFrames(width: Int, height: Int, durationMs: Long,
+      frameMeanLuminance: Array[Double])
+
+  /** The built-in decoder: multi-frame containers the JDK's ImageIO can
+    * iterate (animated GIF), frames composited onto the logical screen. */
+  val imageIoVideoDecoder: VideoDecoder = new VideoDecoder {
+    def decode(payload: Array[Byte]): Option[VideoFrames] =
+      decodeVideoImageIo(payload)
+  }
+
+  val defaultVideoDecoders: Seq[VideoDecoder] = Seq(imageIoVideoDecoder)
+
   /** Storage schema for a media table: opaque binary + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -64,7 +90,8 @@ object MultimodalOps {
     * deterministic byte-histogram fallback (STUB for video — no codecs
     * in this container). Checksum is always over the raw bytes, so it is
     * decode-independent and stable across codec versions. */
-  def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+  def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16,
+      videoDecoders: Seq[VideoDecoder] = defaultVideoDecoders): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       // per-partition scope: decoder context init amortized across the
@@ -84,7 +111,13 @@ object MultimodalOps {
         val decoded: Option[MediaFeatures] = m.kind match {
           case "image" if payload.nonEmpty => decodeImage(payload, dim, base)
           case "audio" if payload.nonEmpty => decodeAudio(payload, dim, base)
-          case "video" if payload.nonEmpty => decodeVideo(payload, dim, base)
+          case "video" if payload.nonEmpty =>
+            // first decoder that claims the bytes wins; the fold from
+            // per-frame luminances to `dim` time segments is shared
+            videoDecoders.iterator
+              .flatMap(_.decode(payload))
+              .nextOption()
+              .map(videoFeatures(_, dim, base))
           case _ => None
         }
         decoded.getOrElse {
@@ -228,10 +261,9 @@ object MultimodalOps {
     *
     * None when no ImageIO reader claims the bytes or the container holds
     * no frames (caller falls back — MP4 and friends stay on the
-    * documented byte-histogram STUB; this container ships no codecs for
-    * them). */
-  private def decodeVideo(payload: Array[Byte], dim: Int,
-      base: MediaFeatures): Option[MediaFeatures] =
+    * documented byte-histogram STUB unless a [[VideoDecoder]] for them
+    * is plugged in; this container ships no codecs for them). */
+  private def decodeVideoImageIo(payload: Array[Byte]): Option[VideoFrames] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -255,8 +287,7 @@ object MultimodalOps {
               val canvas = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
               val g = canvas.createGraphics()
-              val seg = new Array[Double](dim)
-              var total = 0.0
+              val means = new Array[Double](n)
               var durationMs = 0L
               var fi = 0
               while (fi < n) {
@@ -279,9 +310,7 @@ object MultimodalOps {
                   }
                   y += 1
                 }
-                val mean = lum.toDouble / (w.toLong * h) / 255.0
-                seg((fi.toLong * dim / n).toInt) += mean
-                total += mean
+                means(fi) = lum.toDouble / (w.toLong * h) / 255.0
                 durationMs += frameDelayMs(reader, fi)
                 disposal match {
                   case "restoreToBackgroundColor" =>
@@ -297,16 +326,7 @@ object MultimodalOps {
                 fi += 1
               }
               g.dispose()
-              val feats = new Array[Float](dim)
-              if (total > 0) {
-                var j = 0
-                while (j < dim) { feats(j) = (seg(j) / total).toFloat; j += 1 }
-              }
-              Some(base.copy(
-                decoded_width = w, decoded_height = h,
-                decoded_frames = n.toLong,
-                decoded_duration_ms = durationMs,
-                features = feats))
+              Some(VideoFrames(w, h, durationMs, means))
             }
           } finally reader.dispose()
         }
@@ -317,6 +337,33 @@ object MultimodalOps {
       case _: java.io.IOException => None
       case scala.util.control.NonFatal(_) => None
     }
+
+  /** Codec-agnostic fold of a [[VideoFrames]] into MediaFeatures: frame
+    * means binned into `dim` time segments, normalized by the total
+    * (the shared half of the video path — every codec gets it free). */
+  private def videoFeatures(vf: VideoFrames, dim: Int,
+      base: MediaFeatures): MediaFeatures = {
+    val n = vf.frameMeanLuminance.length
+    val seg = new Array[Double](dim)
+    var total = 0.0
+    var fi = 0
+    while (fi < n) {
+      val mean = vf.frameMeanLuminance(fi)
+      seg((fi.toLong * dim / n).toInt) += mean
+      total += mean
+      fi += 1
+    }
+    val feats = new Array[Float](dim)
+    if (total > 0) {
+      var j = 0
+      while (j < dim) { feats(j) = (seg(j) / total).toFloat; j += 1 }
+    }
+    base.copy(
+      decoded_width = vf.width, decoded_height = vf.height,
+      decoded_frames = n.toLong,
+      decoded_duration_ms = vf.durationMs,
+      features = feats)
+  }
 
   private def copyCanvas(c: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
     val out = new java.awt.image.BufferedImage(

@@ -132,6 +132,39 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.features(1) - m2 / (m1 + m2)) < 1e-3)
   }
 
+  test("a plugged VideoDecoder handles MP4 end-to-end; others unaffected") {
+    // the codec-pluggable seam: a decoder registered for a format the
+    // JDK can't read (MP4, by its real `ftyp` brand at offset 4) flows
+    // through the SAME decodeFeatures pipeline — schema, mapPartitions
+    // batch shape, and the segment fold are codec-agnostic — while
+    // non-claimed payloads keep their existing behavior in the same run
+    object FakeMp4Decoder extends VideoDecoder {
+      def decode(p: Array[Byte]): Option[VideoFrames] =
+        if (p.length >= 8 && p(4) == 'f' && p(5) == 't' &&
+            p(6) == 'y' && p(7) == 'p')
+          Some(VideoFrames(320, 240, 2000L, Array(0.2, 0.4, 0.6, 0.8)))
+        else None
+    }
+    val mp4 = Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("US-ASCII")
+    val garbage = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val rows = mediaDS(Seq(
+      MediaRow(31L, "video", mp4, 0, 0, 0, 0L),
+      MediaRow(32L, "video", garbage, 0, 0, 0, 0L)))
+    val out = decodeFeatures(rows, dim = 2,
+        videoDecoders = Seq(FakeMp4Decoder) ++ defaultVideoDecoders)
+      .collect().map(f => f.media_id -> f).toMap
+    val v = out(31L)
+    assert(v.decoded_frames === 4L && v.decoded_duration_ms === 2000L)
+    assert(v.decoded_width === 320 && v.decoded_height === 240)
+    // frames (0.2,0.4 | 0.6,0.8) → segments (0.6, 1.4) / 2.0
+    assert(math.abs(v.features(0) - 0.3f) < 1e-6)
+    assert(math.abs(v.features(1) - 0.7f) < 1e-6)
+    val g = out(32L)
+    assert(g.decoded_frames === 0L,
+      "unclaimed payloads must still take the byte-histogram fallback")
+    assert(g.features.sum > 0f)
+  }
+
   test("withResizedDims clamps the longest side, preserving aspect") {
     val sess = spark
     import sess.implicits._
