@@ -24,6 +24,7 @@ import graft.Tables._
 object GraphQueries {
 
   private val Iters = 6
+  private val LoopShufflePartitions = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Connected components of the bipartite customer–supplier graph
@@ -38,9 +39,14 @@ object GraphQueries {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      // symmetric edge list, reused every iteration — cache it
+      // symmetric edge list, reused every iteration — cache it ALREADY
+      // HASH-PARTITIONED on the join key: the cached InMemoryRelation
+      // reports its outputPartitioning, so each iteration's join reuses
+      // the layout instead of re-exchanging the (larger) edge side —
+      // only the label frame moves per step
       val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(LoopShufflePartitions, col("src")).cache()
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
       // The loop materializes Iters tiny shuffles (the label frame is
@@ -52,7 +58,7 @@ object GraphQueries {
       // with data volume — the plan shape is unchanged.
       val pkey = "spark.sql.shuffle.partitions"
       val prev = s.conf.get(pkey)
-      s.conf.set(pkey, "8")
+      s.conf.set(pkey, LoopShufflePartitions.toString)
       try {
         for (_ <- 1 to Iters) {
           val prop = edges.join(labels, col("src") === col("node"))
