@@ -65,7 +65,11 @@ object Bench {
     // bounded and has twice eaten the head of this line (r3: 22 query
     // numbers; r4: total/failed/load_avg), so the big line carries only
     // load-bearing fields.
-    val big = s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"load_avg":${ms(load)},"queries":$qs,"sf":"$sfDir"}"""
+    // basename only on the big line (the short line keeps the full path):
+    // every byte saved here is a query number the byte-bounded capture
+    // window keeps
+    val sfTag = sfDir.split('/').last
+    val big = s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"load_avg":${ms(load)},"queries":$qs,"sf":"$sfTag"}"""
     println(big)
     // A tail capture always keeps the LAST line, so repeat the summary
     // fields on a short second line — redundant on a clean capture,
