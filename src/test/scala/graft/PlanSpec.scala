@@ -134,6 +134,15 @@ class PlanSpec extends SparkSpec {
       s"per-plane seq_dot bit columns crept back into q73's coding stage:\n$p")
   }
 
+  test("q81 decontaminates with a BROADCAST semi-join on the gram stream") {
+    // the 100 TB shape: the eval set's distinct gram hashes broadcast,
+    // so the (billion-doc) corpus side stays a linear scan — a shuffled
+    // semi-join here would move the whole corpus gram stream
+    val p = plan("q81_decontaminate")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      s"expected a broadcast left-semi join on gram hashes:\n$p")
+  }
+
   test("q14 aggregates map-side (partial + final HashAggregate)") {
     assert("HashAggregate".r.findAllIn(plan("q14_agg_group")).size >= 2,
       "two-phase aggregation is the map-side-combine guarantee")
