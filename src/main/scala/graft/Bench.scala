@@ -40,8 +40,11 @@ object Bench {
         if (ok) secs else -1.0                    // -1 marks a failed query
       }
       val r1 = run()
+      // a failed RERUN falls back to the valid first measurement — the
+      // rerun is only a refinement, and marking the query failed would
+      // both shrink the reported total and miscount `failed`
       val best =
-        if (r1 >= 0 && r1 < RerunBelowSecs) { val r2 = run(); if (r2 < 0) -1.0 else math.min(r1, r2) }
+        if (r1 >= 0 && r1 < RerunBelowSecs) { val r2 = run(); if (r2 < 0) r1 else math.min(r1, r2) }
         else r1
       name -> best
     }.toMap

@@ -39,6 +39,20 @@ object Tables {
     t(spark, sfDir, name)
       .repartition(spark.sparkContext.defaultParallelism)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the caller's value after — the shared conf-swap
+    * discipline for operators whose internal stages shuffle tiny frames
+    * (streaming replays, iterative loops) where the session's default
+    * partition count is pure near-empty-task scheduling overhead. Only
+    * work that MATERIALIZES inside `body` sees the reduced setting; a
+    * lazily returned plan evaluates under the restored value. */
+  def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1.2 throws
     * [PARQUET_TYPE_ILLEGAL] on it. Read nanos as long + floor-divide to
     * micros — identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast for

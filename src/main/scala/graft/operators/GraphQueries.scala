@@ -56,10 +56,7 @@ object GraphQueries {
       // materialized inside by the eager checkpoint, so the restored
       // setting governs nothing here); on a real cluster this knob rises
       // with data volume — the plan shape is unchanged.
-      val pkey = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(pkey)
-      s.conf.set(pkey, LoopShufflePartitions.toString)
-      try {
+      graft.Tables.withShufflePartitions(s, LoopShufflePartitions) {
         for (_ <- 1 to Iters) {
           val prop = edges.join(labels, col("src") === col("node"))
             .select(col("dst").as("node"), col("lbl"))
@@ -73,7 +70,7 @@ object GraphQueries {
             .groupBy("node").agg(min("lbl").as("lbl"))
             .localCheckpoint(true)
         }
-      } finally s.conf.set(pkey, prev)
+      }
       labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_components"),
           max("sz").as("max_size"),

@@ -287,6 +287,11 @@ object MultimodalOps {
               val canvas = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
               val g = canvas.createGraphics()
+              // TYPE_INT_RGB backs onto a DataBufferInt — read it once
+              // per frame instead of W·H getRGB calls (each of which
+              // pays a method dispatch + ColorModel conversion)
+              val px = canvas.getRaster.getDataBuffer
+                .asInstanceOf[java.awt.image.DataBufferInt].getData
               val means = new Array[Double](n)
               var durationMs = 0L
               var fi = 0
@@ -298,17 +303,13 @@ object MultimodalOps {
                   else null
                 g.drawImage(img, ox, oy, null)
                 var lum = 0L
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val rgb = canvas.getRGB(x, y)
-                    // integer Rec.601 luma, same formula as decodeImage
-                    lum += (((rgb >> 16 & 0xff) * 299 +
-                      (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000)
-                    x += 1
-                  }
-                  y += 1
+                var i = 0
+                while (i < px.length) {
+                  val rgb = px(i)
+                  // integer Rec.601 luma, same formula as decodeImage
+                  lum += (((rgb >> 16 & 0xff) * 299 +
+                    (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000)
+                  i += 1
                 }
                 means(fi) = lum.toDouble / (w.toLong * h) / 255.0
                 durationMs += frameDelayMs(reader, fi)

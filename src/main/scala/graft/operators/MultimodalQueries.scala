@@ -65,19 +65,26 @@ object MultimodalQueries {
   /** DuckDB twin: byte stream via `ascii()` over single-char splits
     * (byte == codepoint for the ASCII fixtures), checksum as the q81
     * poly-hash fold, and hist_fp collapsed with
-    * Σ_j (j+1)·c_j = Σ_bytes (b mod 16 + 1) = len + Σ_bytes (b mod 16). */
+    * Σ_j (j+1)·c_j = Σ_bytes (b mod 16 + 1) = len + Σ_bytes (b mod 16).
+    * Empty-text guard: DuckDB's `string_split('', '')` is `['']` (one
+    * element, `ascii('') = 0`), NOT `[]` — unguarded it would report
+    * n_bytes = 1 for a document Spark correctly reports as 0 bytes; the
+    * `COALESCE` covers `list_sum([]) = NULL` on the guarded empty list. */
   def oracle: Map[String, String] = Map(
     "q88_media_stats" ->
       """WITH b AS (
         |  SELECT doc_id,
-        |    list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS cs
+        |    CASE WHEN text = '' THEN []::BIGINT[]
+        |         ELSE list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)
+        |    END AS cs
         |  FROM documents)
         |SELECT doc_id AS media_id,
         |  CAST(len(cs) AS BIGINT) AS n_bytes,
         |  list_reduce(list_prepend(0::BIGINT, cs),
         |    (a, b) -> (a * 131 + b) % 2147483647) AS checksum,
         |  CAST(0 AS BIGINT) AS decoded_frames,
-        |  CAST(len(cs) + list_sum(list_transform(cs, c -> c % 16)) AS BIGINT) AS hist_fp
+        |  CAST(len(cs) + COALESCE(list_sum(list_transform(cs, c -> c % 16)), 0)
+        |    AS BIGINT) AS hist_fp
         |FROM b ORDER BY media_id""".stripMargin,
   )
 }

@@ -44,10 +44,15 @@ object JdbcWarehouse {
     val c = DriverManager.getConnection(url)
     try {
       // JDBC metadata stores unquoted identifiers upper-case (Derby,
-      // Oracle, DB2) — match either form
+      // Oracle, DB2) — match either form. getTables takes a LIKE
+      // pattern, so escape `_`/`%` (an unescaped t_up would also match
+      // TXUP and defeat the create-on-first-batch check).
       val md = c.getMetaData
+      val esc = md.getSearchStringEscape
+      def lit(t: String) =
+        t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       Seq(table, table.toUpperCase).exists { t =>
-        val rs = md.getTables(null, null, t, null)
+        val rs = md.getTables(null, null, lit(t), null)
         try rs.next() finally rs.close()
       }
     } finally c.close()
@@ -88,7 +93,13 @@ object JdbcWarehouse {
     // unquoted references here would be case-folded by the warehouse
     // (Derby/Oracle uppercase them) and miss. Quote everything.
     def q(c: String) = "\"" + c + "\""
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    // null-safe key match: a bare `t.k = s.k` never matches NULL keys,
+    // so a NULL-key row would be re-INSERTed every batch instead of
+    // updated — diverging from the lake-side Staging.upsert twin (whose
+    // window partitioning groups NULLs). The OR form is standard SQL.
+    val on = keys.map(k =>
+      s"(t.${q(k)} = s.${q(k)} OR (t.${q(k)} IS NULL AND s.${q(k)} IS NULL))")
+      .mkString(" AND ")
     val merge =
       s"MERGE INTO $table t USING $stg s ON $on" +
         (if (nonKeys.nonEmpty)

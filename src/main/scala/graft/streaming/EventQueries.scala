@@ -82,21 +82,17 @@ object EventQueries {
   private def tsRangeSplit(ev: DataFrame, n: Int): Seq[DataFrame] =
     tsRangeSplitWithMax(ev, n)._1
 
-  /** Run `body` with shuffle partitions dialed down to 8, restoring the
-    * caller's value after. The streaming keys pay
-    * (shuffle partitions) × (micro-batches) state-store tasks per run —
-    * at 32 partitions that fixed overhead dominated their bench cost
-    * (q86 was 22 s at toy scale). 8 keeps the plan shape identical (the
-    * checkpoint is fresh each run, so the state store is born at 8) and
-    * the oracle gate proves results unchanged. Only the streaming work
-    * happens inside `body`; a returned DataFrame's final read-back sort
-    * evaluates later under the restored setting. */
-  private def withFewShufflePartitions[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, prev)
-  }
+  /** Run `body` with shuffle partitions dialed down to 8 (shared
+    * [[graft.Tables.withShufflePartitions]] discipline). The streaming
+    * keys pay (shuffle partitions) × (micro-batches) state-store tasks
+    * per run — at 32 partitions that fixed overhead dominated their
+    * bench cost (q86 was 22 s at toy scale). 8 keeps the plan shape
+    * identical (the checkpoint is fresh each run, so the state store is
+    * born at 8) and the oracle gate proves results unchanged. Only the
+    * streaming work happens inside `body`; a returned DataFrame's final
+    * read-back sort evaluates later under the restored setting. */
+  private def withFewShufflePartitions[A](s: SparkSession)(body: => A): A =
+    graft.Tables.withShufflePartitions(s, 8)(body)
 
   /** One event `hours` past `maxTs`: advances the global watermark far
     * enough to close every REAL window/session, so an append-mode sink
