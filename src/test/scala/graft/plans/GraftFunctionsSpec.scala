@@ -83,6 +83,40 @@ class GraftFunctionsSpec extends SparkSpec {
       s"expected folded literal in optimized plan:\n$opt")
   }
 
+  test("sign_lsh_code equals the per-plane seq_dot formulation") {
+    // the q73 kernel vs the r4 shape it replaced: for random vectors
+    // (including exact-zero dots, which both sides must call NOT > 0),
+    // bit j of the packed code must equal when(seq_dot(v, plane_j) > 0)
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    val planes = 4; val dims = 8
+    def sign(i: Int, j: Int): Double =
+      if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0 else -1.0
+    val signs = Array.tabulate(planes * dims)(idx =>
+      sign(idx % dims + 1, idx / dims))
+    val rnd = new scala.util.Random(573)
+    val vecs = Seq.fill(40)(Seq.fill(dims)(rnd.nextFloat() * 2f - 1f)) ++
+      Seq(Seq.fill(dims)(0f)) // all-zero vector: every dot is 0 → bit 0
+    val df = vecs.toDF("v").select($"v".cast("array<float>").as("v"))
+    val bitCols = (0 until planes).map { j =>
+      val plane = array((1 to dims).map(i => lit(sign(i, j).toFloat)): _*)
+      when(GraftExpressions.seq_dot($"v", plane) > 0, 1)
+        .otherwise(0).as(s"bit$j")
+    }
+    val withCode = df.select(
+      GraftExpressions.sign_lsh_code($"v", signs, planes, dims).as("code")
+        +: bitCols: _*)
+    withCode.collect().foreach { r =>
+      val code = r.getInt(0)
+      for (j <- 0 until planes) {
+        val expected = r.getInt(1 + j)
+        val actual = (code >> (planes - 1 - j)) & 1
+        assert(actual === expected, s"plane $j of code $code")
+      }
+    }
+  }
+
   test("wrong input types are rejected at analysis, not mid-job") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception] {

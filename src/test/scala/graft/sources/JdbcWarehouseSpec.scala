@@ -78,6 +78,25 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(back.toSeq === Seq((1L, 5.0), (2L, 2.0)))
   }
 
+  test("upsert matches NULL keys null-safely instead of re-inserting") {
+    val sess = spark
+    import sess.implicits._
+    val url = freshUrl()
+    JdbcWarehouse.upsert(
+      Seq((Some(1L), 1.0), (None, 7.0)).toDF("id", "v"),
+      url, "t_nk", Seq("id"))
+    // a bare t.id = s.id would see NULL != NULL, take NOT MATCHED, and
+    // append a duplicate NULL-key row on every batch
+    JdbcWarehouse.upsert(
+      Seq((Option.empty[Long], 8.0)).toDF("id", "v"),
+      url, "t_nk", Seq("id"))
+    val back = JdbcWarehouse.readTable(spark, url, "t_nk")
+      .orderBy(col("id").asc_nulls_last).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getDouble(1)))
+    assert(back.toSeq === Seq((Some(1L), 1.0), (None, 8.0)),
+      "the NULL-key row must be UPDATED, not duplicated")
+  }
+
   test("foreachBatch streams micro-batches into the warehouse upsert") {
     // the full reference-shaped pipeline: incremental stream -> staging
     // write -> warehouse MERGE per micro-batch, converging the serving
