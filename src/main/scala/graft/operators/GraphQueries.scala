@@ -24,7 +24,45 @@ import graft.Tables._
 object GraphQueries {
 
   private val Iters = 6
+  /** q89's pair graph is near-dup chains — tiny diameters; 4 fixed
+    * steps with the same unrolled-oracle discipline as q87. */
+  private val ClusterIters = 4
   private val LoopShufflePartitions = 8
+
+  /** `iters` synchronous min-label steps over a DIRECTED edge frame
+    * (src, dst) — callers pass a symmetrized list for undirected
+    * semantics. Returns (node, lbl). The shared iterated-Pregel
+    * discipline for every graph key:
+    *  - edges cached ALREADY HASH-PARTITIONED on the join key, so each
+    *    iteration's join reuses the layout instead of re-exchanging the
+    *    (larger) edge side — only the label frame moves per step;
+    *  - `labels` feeds both the join and the union each step, so each
+    *    iteration eagerly localCheckpoints (untruncated lineage would
+    *    embed the previous step's subtree twice — doubling per
+    *    iteration);
+    *  - the loop runs at few shuffle partitions (label frames are tiny;
+    *    at the session's 32 partitions each step pays 2×32 near-empty
+    *    tasks of pure scheduling overhead) — every iteration fully
+    *    materializes inside the scope, so the restored setting governs
+    *    nothing here. On a real cluster the knob rises with data
+    *    volume; the plan shape is unchanged. */
+  def minLabel(s: SparkSession, edgeList: DataFrame, iters: Int): DataFrame = {
+    val edges = edgeList.select(col("src"), col("dst"))
+      .repartition(LoopShufflePartitions, col("src")).cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    graft.Tables.withShufflePartitions(s, LoopShufflePartitions) {
+      for (_ <- 1 to iters) {
+        val prop = edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lbl"))
+        labels = labels.unionByName(prop)
+          .groupBy("node").agg(min("lbl").as("lbl"))
+          .localCheckpoint(true)
+      }
+    }
+    edges.unpersist()
+    labels
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Connected components of the bipartite customer–supplier graph
@@ -39,39 +77,10 @@ object GraphQueries {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      // symmetric edge list, reused every iteration — cache it ALREADY
-      // HASH-PARTITIONED on the join key: the cached InMemoryRelation
-      // reports its outputPartitioning, so each iteration's join reuses
-      // the layout instead of re-exchanging the (larger) edge side —
-      // only the label frame moves per step
       val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(LoopShufflePartitions, col("src")).cache()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-      // The loop materializes Iters tiny shuffles (the label frame is
-      // ~2·|keys| rows); at the session's 32 shuffle partitions each
-      // iteration pays 2×32 near-empty tasks of pure scheduling overhead.
-      // Dial partitions down for the loop ONLY (every iteration is fully
-      // materialized inside by the eager checkpoint, so the restored
-      // setting governs nothing here); on a real cluster this knob rises
-      // with data volume — the plan shape is unchanged.
-      graft.Tables.withShufflePartitions(s, LoopShufflePartitions) {
-        for (_ <- 1 to Iters) {
-          val prop = edges.join(labels, col("src") === col("node"))
-            .select(col("dst").as("node"), col("lbl"))
-          // `labels` is referenced twice per step (join input + union arm):
-          // without truncation each unexecuted plan embeds TWO copies of the
-          // previous step's subtree, so lineage — and re-execution cost —
-          // doubles per iteration. Eagerly checkpointing every step keeps the
-          // per-iteration plan one join + one agg over a materialized frame:
-          // the standard iterated-Pregel discipline.
-          labels = labels.unionByName(prop)
-            .groupBy("node").agg(min("lbl").as("lbl"))
-            .localCheckpoint(true)
-        }
-      }
-      labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+      minLabel(s, edges, Iters)
+        .groupBy("lbl").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_components"),
           max("sz").as("max_size"),
           sum(when(col("sz") === 1, 1L).otherwise(0L)).cast("long")
@@ -82,33 +91,97 @@ object GraphQueries {
           // component count happens to converge early
           sum(col("lbl") * col("sz")).cast("long").as("label_sum"))
     },
+
+    // Near-dup CLUSTER ASSIGNMENT — the dedup output a training
+    // pipeline actually consumes: q44's MinHash near-dup pairs as an
+    // undirected graph, ClusterIters min-label steps, then each
+    // clustered doc labeled with its cluster's canonical (minimum)
+    // doc_id. Docs in no near-dup pair are trivially their own cluster
+    // and are excluded (the interesting rows are the ones where
+    // keep-canonical / drop-rest decisions happen). Composition of two
+    // independently-gated operators (q44 pairs × q87 propagation), so a
+    // drift in either surfaces here too.
+    "q89_dedup_clusters" -> { (s, dir) =>
+      val pairs = LlmQueries.minhashPairs(tWide(s, dir, "documents"))
+        .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(
+          pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      minLabel(s, edges, ClusterIters)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    },
   )
 
-  /** The oracle unrolls the same fixed iteration count as explicit CTE
-    * stages (DuckDB's recursive CTEs disallow aggregation in the
-    * recursive term, and unrolling makes the step count visibly equal
-    * to the Spark side's). */
-  private val q87Sql: String = {
-    val steps = (1 to Iters).map { i =>
+  /** Unrolled min-label CTE stages over `edges`/`l0` (shared by both
+    * graph oracles — DuckDB's recursive CTEs disallow aggregation in
+    * the recursive term, and unrolling makes the step count visibly
+    * equal to the Spark side's). */
+  private def labelSteps(iters: Int): String =
+    (1 to iters).map { i =>
       s"""l$i AS (SELECT node, min(lbl) AS lbl FROM (
          |  SELECT node, lbl FROM l${i - 1}
          |  UNION ALL
          |  SELECT e.dst AS node, l.lbl FROM l${i - 1} l
          |    JOIN edges e ON e.src = l.node) GROUP BY node)""".stripMargin
     }.mkString(",\n")
+
+  private val q87Sql: String =
     s"""WITH eraw AS (
        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |edges AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-       |$steps,
+       |${labelSteps(Iters)},
        |c AS (SELECT lbl, count(*) AS sz FROM l$Iters GROUP BY lbl)
        |SELECT count(*) AS n_components, CAST(max(sz) AS BIGINT) AS max_size,
        |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
        |  CAST(sum(sz) AS BIGINT) AS n_nodes,
        |  CAST(sum(lbl * sz) AS BIGINT) AS label_sum
        |FROM c""".stripMargin
-  }
 
-  def oracle: Map[String, String] = Map("q87_components" -> q87Sql)
+  /** q89's oracle: q44's full MinHash pair replay (shingles → portable
+    * poly-hash → 32 LCG permutations → 8×4 band keys → candidate join →
+    * signature agreement ≥ 26) feeding the same unrolled label steps. */
+  private val q89Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+       |    range(0, len(string_split(text,' ')) - 2),
+       |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+       |    (a,b) -> (a*131 + b) % 2147483647) AS h
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
+       |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
+       |  GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |   JOIN sig sa ON sa.doc_id = doc_a
+       |   JOIN sig sb ON sb.doc_id = doc_b
+       |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) >= 26),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |${labelSteps(ClusterIters)}
+       |SELECT node AS doc_id, lbl AS cluster_id FROM l$ClusterIters
+       |ORDER BY doc_id""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q87_components" -> q87Sql,
+    "q89_dedup_clusters" -> q89Sql,
+  )
 }
