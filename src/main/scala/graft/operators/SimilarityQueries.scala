@@ -40,6 +40,39 @@ object SimilarityQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quantized-vector similarity search: the memory-cut retrieval path
+    // (int8 codes are ¼ of float32 — q83's storage trick applied to
+    // SEARCH). Corpus and queries quantize once via the q83 formula
+    // (round(x·254) clamp ±127 at scale 0.5), then top-5 per query by
+    // EXACT INTEGER dot product — the codegen SeqDotLong kernel; every
+    // arithmetic step is integer, so the DuckDB twin matches
+    // value-for-value with no float dance at all. Query set bounded
+    // (vec_id % 50 = 0), query codes broadcast, corpus side one linear
+    // scan + per-query top-k — q45's exact-float twin, quantized; the
+    // IVF path (q57) composes the same way at cluster scale. Coding
+    // runs the interpreted int8Codes HOF once per vector (corpus-linear,
+    // 100× off the pairwise hot path, and deliberately the same
+    // expression VectorOpsSpec pins against the q83 kernel).
+    "q90_sim_quantized" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.seq_dot_long
+      val coded = tWide(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorOps.int8Codes(col("embedding"), 0.5)
+            .as("codes"))
+      val q = coded.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("codes").as("qc"))
+      val v = coded.select(col("vec_id").as("nid"), col("codes").as("vc"))
+      val w = Window.partitionBy("qid").orderBy(desc("dot"), col("nid"))
+      broadcast(q).crossJoin(v)
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          seq_dot_long(col("qc"), col("vc")).as("dot"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid"), col("dot"))
+        .orderBy("qid", "rnk")
+    },
+
     // SimHash pairs: 4×15-bit chunk candidates, hamming ≤ 8.
     "q54_simhash" -> { (s, dir) =>
       val sh = simhash(tWide(s, dir, "documents"))
@@ -213,6 +246,27 @@ object SimilarityQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // all-integer replay: same quantize formula as q83's oracle, exact
+    // integer dot, same (dot DESC, nid) ranking
+    "q90_sim_quantized" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> GREATEST(-127, LEAST(127,
+        |      CAST(round(CAST(x AS DOUBLE) * 254.0) AS BIGINT)))) AS codes
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, codes AS qc FROM c WHERE vec_id % 50 = 0),
+        |p AS (
+        |  SELECT qid, c.vec_id AS nid,
+        |    list_reduce(list_transform(range(1, 65), i -> qc[i] * codes[i]),
+        |      (a, b) -> a + b) AS dot
+        |  FROM q JOIN c ON c.vec_id != qid),
+        |r AS (SELECT qid, nid, dot,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+        |  FROM p)
+        |SELECT qid, rnk, nid, CAST(dot AS BIGINT) AS dot
+        |FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
     "q54_simhash" ->
       """WITH wc AS (
         |  SELECT doc_id, tk, count(*)::BIGINT AS cnt FROM

@@ -358,6 +358,73 @@ case class QuantizeInt8Stats(child: Expression, scale: Double)
     copy(child = newChild)
 }
 
+/** Sequential dot product over two long arrays (int8 quantized codes):
+  * exact integer arithmetic, no rounding anywhere — |code| ≤ 127 keeps
+  * any realistic dimensionality far from int64 overflow (64 dims ≤
+  * 2^20). Null elements are rejected by neither side reading them:
+  * mismatched lengths throw (dotting a truncated code vector would rank
+  * a corrupt row with a plausible score); null SLOTS contribute 0 via
+  * the isNullAt guard. The integer twin of [[SeqDotProduct]]. */
+case class SeqDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_seq_dot_long"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_seq_dot_long: length mismatch ($n vs ${b.numElements()})")
+    }
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_seq_dot_long: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SeqDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Packed sign-LSH code over a float vector: for each of `planes` fixed
   * hyperplanes (rows of `signs`, row-major `planes × dims`, entries ±1),
   * compute the sequential dot product (double accumulation, left-to-right
@@ -462,4 +529,8 @@ object GraftExpressions {
   def sign_lsh_code(v: Column, signs: Array[Double],
       planes: Int, dims: Int): Column =
     toColumn(SignLshCode(toExpression(v), signs, planes, dims))
+
+  /** Column wrapper: exact integer dot product of two long arrays. */
+  def seq_dot_long(a: Column, b: Column): Column =
+    toColumn(SeqDotLong(toExpression(a), toExpression(b)))
 }

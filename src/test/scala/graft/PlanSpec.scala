@@ -143,6 +143,14 @@ class PlanSpec extends SparkSpec {
       s"expected a broadcast left-semi join on gram hashes:\n$p")
   }
 
+  test("q90 quantized search broadcasts queries and dots with the codegen kernel") {
+    val p = plan("q90_sim_quantized")
+    assert(p.contains("graft_seq_dot_long"),
+      s"pairwise dot must be the codegen integer kernel:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the bounded query side must broadcast:\n$p")
+  }
+
   test("q14 aggregates map-side (partial + final HashAggregate)") {
     assert("HashAggregate".r.findAllIn(plan("q14_agg_group")).size >= 2,
       "two-phase aggregation is the map-side-combine guarantee")

@@ -117,6 +117,28 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("seq_dot_long equals the interpreted zip_with+aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(90)
+    val vecs = Seq.fill(20)((
+      Seq.fill(16)(rnd.nextInt(255).toLong - 127),
+      Seq.fill(16)(rnd.nextInt(255).toLong - 127)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      GraftExpressions.seq_dot_long($"a", $"b").as("k"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("i")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // length mismatch fails loudly, not a truncated-prefix dot
+    val ragged = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(GraftExpressions.seq_dot_long($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("wrong input types are rejected at analysis, not mid-job") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception] {
