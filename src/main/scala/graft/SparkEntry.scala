@@ -30,6 +30,7 @@ object SparkEntry {
     SimilarityQueries.queries ++
     ExtraQueries.queries ++
     CorpusQueries.queries ++
+    CurationQueries.queries ++
     GraphQueries.queries ++
     MultimodalQueries.queries ++
     UdfQueries.queries
@@ -51,6 +52,7 @@ object SparkEntry {
     SimilarityQueries.oracle ++
     ExtraQueries.oracle ++
     CorpusQueries.oracle ++
+    CurationQueries.oracle ++
     GraphQueries.oracle ++
     MultimodalQueries.oracle ++
     UdfQueries.oracle

@@ -136,6 +136,23 @@ object AggQueries {
               / (col("n") - 1)), 6).as("stddev_qty"))
         .orderBy("l_returnflag")
     },
+
+    // Equi-width histogram over l_extendedprice: one hash aggregation on
+    // a bounded bucket key (bucket count is fixed by the literal width,
+    // not the data size), so at 100 TB this is a map-side-combined agg
+    // shuffling O(buckets) rows per partition. floor(x / width) on
+    // doubles is bit-identical cross-engine; money sums stay DECIMAL.
+    "q95_histogram" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long")
+          .as("bucket"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(dec("l_extendedprice")).cast(D).cast("double").as("sum_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("bucket")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -206,5 +223,13 @@ object AggQueries {
         | ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 6) AS var_qty,
         | ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6) AS stddev_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q95_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        | count(*) AS cnt,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+        | min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.plans.MisraGriesAgg.misra_gries
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization (q91–q93, q96): context-window chunking,
+  * exact heavy-hitter vocabulary mining, BM25 relevance ranking, and
+  * inverted-index (posting-list) construction.
+  *
+  * The reference (santoroc/appstore-aws-etl `README.md:2`) stops at
+  * "load scraped app-store rows into a warehouse"; these keys are the
+  * analytics that warehouse exists to serve once the rows are text.
+  *
+  * Scale notes (100 TB):
+  *  - q91 is a pure narrow pipeline — split/sequence/explode/slice all
+  *    codegen, no shuffle at all (the gate's ORDER BY is presentation
+  *    only). Chunking 100 TB is embarrassingly parallel.
+  *  - q92 is the canonical two-pass exact heavy-hitters: pass 1 ships a
+  *    fixed-size Misra–Gries summary per partition (KBs, independent of
+  *    data size), pass 2 re-counts ONLY the broadcast candidate set.
+  *    Neither pass shuffles the corpus; a naive groupBy on a 100 TB
+  *    token stream would.
+  *  - q93 aggregates on (doc, term) for a bounded term set — the
+  *    explode is filtered to query terms BEFORE the shuffle, so shuffle
+  *    volume is O(matching tokens), not O(corpus); df/N/avgdl ride in
+  *    as broadcasts.
+  *  - q96 shuffles once on token — the unavoidable posting-build
+  *    exchange; hot terms (stopwords) are the known skew case, handled
+  *    in this library by the SkewOps salted-agg pattern if needed.
+  */
+object CurationQueries {
+
+  /** q91: context-window size (tokens) and stride; stride < width gives
+    * the standard overlapping windows. */
+  val ChunkWidth = 32
+  val ChunkStride = 24
+
+  /** q92: Misra–Gries capacity k. Guarantee: every item with frequency
+    * > n/(k+1) survives pass 1, so the pass-2 threshold n/32 (< n/65)
+    * filters a guaranteed-complete candidate set — the result is
+    * EXACTLY the oracle's plain GROUP BY ... HAVING. */
+  val MgCapacity = 64
+
+  /** q93: BM25 free parameters (the universal defaults) and query. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("scan", "merge", "dup")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Overlapping token-window chunking: one row per (doc, window).
+    // sequence() materializes the window starts, explode unrolls them,
+    // slice takes the window — all codegen'd, no UDF, no shuffle.
+    "q91_chunk_docs" -> { (s, dir) =>
+      tWide(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+            lit(ChunkStride))).as("st"))
+        .select(
+          col("doc_id"),
+          expr(s"CAST((st - 1) DIV $ChunkStride AS BIGINT)").as("chunk_id"),
+          size(slice(col("toks"), col("st"), lit(ChunkWidth)))
+            .cast("long").as("n_chunk_tokens"),
+          array_join(slice(col("toks"), col("st"), lit(ChunkWidth)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Two-pass exact heavy hitters over the token stream.
+    // Pass 1: one MG summary (candidates + exact row tally n).
+    // Pass 2: exact recount restricted to the broadcast candidates,
+    // then the real threshold cnt > n/32. MG guarantees candidates ⊇
+    // every item above n/65, so nothing above n/32 can be missed and
+    // the exact recount discards any false positives: output ≡ oracle.
+    "q92_heavy_hitters" -> { (s, dir) =>
+      val toks = tWide(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val pass1 = toks.select(misra_gries(col("tok"), MgCapacity).as("s"))
+        .select(col("s.cand").as("cand"), col("s.n").as("n"))
+      toks.crossJoin(broadcast(pass1))
+        .filter(array_contains(col("cand"), col("tok")))
+        .groupBy("tok", "n")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > col("n") / 32.0)
+        .select(col("tok"), col("cnt"))
+        .orderBy("tok")
+    },
+
+    // BM25 (Robertson/Sparck Jones) document ranking for a fixed term
+    // set. Per-term partial scores are summed in a FIXED order (one
+    // conditional-agg column per term) so the float result is
+    // bit-reproducible against the oracle before rounding.
+    "q93_bm25" -> { (s, dir) =>
+      val docs = tWide(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val dl = docs.select(col("doc_id"),
+        size(col("toks")).cast("double").as("dl"))
+      // dl values are whole numbers: their double sum is exact in any
+      // order, so avg() here is deterministic cross-engine
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("tok")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val w = tf
+        .join(broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))))
+        .withColumn("w",
+          col("idf") * (col("tf") * lit(Bm25K1 + 1.0))
+            / (col("tf") + lit(Bm25K1)
+              * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      val perTerm = Bm25Terms.map(t =>
+        coalesce(sum(when(col("tok") === t, col("w"))), lit(0.0))
+          .as(s"w_$t"))
+      w.groupBy("doc_id")
+        .agg(perTerm.head, perTerm.tail: _*)
+        .select(col("doc_id"),
+          round(Bm25Terms.map(t => col(s"w_$t")).reduce(_ + _), 6)
+            .as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20)
+    },
+
+    // Inverted index: token → document frequency, total term count,
+    // sorted posting list (rendered to CSV so the gate compares a
+    // scalar; the library shape is the array before array_join).
+    "q96_inverted_index" -> { (s, dir) =>
+      tWide(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(
+          countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf_total"),
+          array_join(
+            transform(sort_array(collect_set(col("doc_id"))),
+              _.cast("string")), ",").as("postings"))
+        .orderBy("tok")
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q91_chunk_docs" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks), 1), $ChunkStride)) AS st
+         | FROM d)
+         |SELECT doc_id,
+         | CAST((st - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+         | CAST(len(toks[st : st + ${ChunkWidth - 1}]) AS BIGINT) AS n_chunk_tokens,
+         | array_to_string(toks[st : st + ${ChunkWidth - 1}], ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q92_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT tok, count(*) AS cnt FROM t, n
+        |GROUP BY tok, n.n HAVING count(*) > n.n / 32.0
+        |ORDER BY tok""".stripMargin,
+
+    "q93_bm25" -> {
+      val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
+      val sumExpr = Bm25Terms
+        .map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN w END), 0)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+         |w AS (SELECT tf.doc_id, tf.tok,
+         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |    * (tf * ${Bm25K1 + 1.0})
+         |    / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)) AS w
+         |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats)
+         |SELECT doc_id, round($sumExpr, 6) AS bm25
+         |FROM w GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q96_inverted_index" ->
+      """SELECT tok,
+        | count(DISTINCT doc_id) AS df,
+        | count(*) AS tf_total,
+        | array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
+        |   x -> CAST(x AS VARCHAR)), ',') AS postings
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY tok""".stripMargin,
+  )
+}

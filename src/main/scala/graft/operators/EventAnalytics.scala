@@ -48,6 +48,37 @@ object EventAnalytics {
         .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
     },
+
+    // SCD type-2 dimension build: collapse each user's event_type
+    // timeline into change segments with [valid_from, valid_to)
+    // validity intervals (valid_to NULL = current) — the classic
+    // warehouse-dimension load the reference's Redshift target implies.
+    //
+    // Scale note: ONE shuffle on user_id serves everything — the lag
+    // window, the running-sum window, the segment groupBy, and the
+    // lead window all share the user_id partitioning, so Catalyst
+    // reuses the exchange; per-user state is a sort, never a
+    // materialized timeline.
+    "q94_scd2" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byVersion = Window.partitionBy("user_id").orderBy("version")
+      loadEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(byTs).isNull
+            || lag(col("event_type"), 1).over(byTs) =!= col("event_type"),
+            lit(1)).otherwise(lit(0)))
+        .withColumn("version", sum(col("chg")).over(runs).cast("long"))
+        .groupBy(col("user_id"), col("version"))
+        .agg(max(col("event_type")).as("event_type"), // constant per segment
+          min(col("ts")).as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+        .select("user_id", "version", "event_type", "valid_from", "valid_to")
+        .orderBy("user_id", "version")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -73,5 +104,22 @@ object EventAnalytics {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM c) AS n_click_after_view,
         |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin,
+
+    "q94_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |        OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |      FROM c),
+        |g AS (SELECT user_id, version, max(event_type) AS event_type,
+        |        min(ts) AS valid_from
+        |      FROM s GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+        |FROM g ORDER BY user_id, version""".stripMargin,
   )
 }
