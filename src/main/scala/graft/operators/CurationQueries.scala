@@ -135,16 +135,24 @@ object CurationQueries {
     // Inverted index: token → document frequency, total term count,
     // sorted posting list (rendered to CSV so the gate compares a
     // scalar; the library shape is the array before array_join).
+    // df is size(collect_set), NOT countDistinct: a distinct aggregate
+    // alongside collect_set would trigger Spark's two-shuffle distinct
+    // rewrite (re-keying on (tok, doc_id) first) — deriving df from the
+    // posting set we already build keeps the whole index to ONE
+    // exchange on tok.
     "q96_inverted_index" -> { (s, dir) =>
       tWide(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok")
         .agg(
-          countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf_total"),
-          array_join(
-            transform(sort_array(collect_set(col("doc_id"))),
-              _.cast("string")), ",").as("postings"))
+          sort_array(collect_set(col("doc_id"))).as("plist"))
+        .select(
+          col("tok"),
+          size(col("plist")).cast("long").as("df"),
+          col("tf_total"),
+          array_join(transform(col("plist"), _.cast("string")), ",")
+            .as("postings"))
         .orderBy("tok")
     },
   )

@@ -162,4 +162,49 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
       s"expected exactly the two key-cluster exchanges:\n$p")
   }
+
+  test("q91 chunking is shuffle-free (narrow generate, no hash exchange)") {
+    // chunking 100 TB must be embarrassingly parallel: only the tWide
+    // round-robin and the presentation sort's range exchange may appear
+    val p = plan("q91_chunk_docs")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle on any key:\n$p")
+    assert(p.contains("Generate explode"), s"windows come from explode:\n$p")
+  }
+
+  test("q92 filters to broadcast MG candidates BEFORE the recount exchange") {
+    val p = plan("q92_heavy_hitters")
+    assert(p.contains("graft_misra_gries"),
+      s"pass 1 must be the MG summary aggregate:\n$p")
+    // the candidate filter must fuse into the broadcast join (upstream
+    // of the recount exchange), so only candidate rows ever shuffle
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    val filterIdx = p.indexOf("array_contains")
+    assert(joinIdx >= 0 && filterIdx >= 0,
+      s"expected broadcast join with array_contains condition:\n$p")
+    assert(math.abs(filterIdx - joinIdx) < 400,
+      s"candidate filter must sit at the broadcast join, not post-agg:\n$p")
+  }
+
+  test("q94 SCD2 serves both windows and the segment agg from ONE exchange") {
+    val p = plan("q94_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"lag/sum windows, groupBy and lead must all reuse the user_id exchange:\n$p")
+  }
+
+  test("q95 histogram is a two-phase agg on the bucket key, one exchange") {
+    val p = plan("q95_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bucket counts must combine map-side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"only the bucket-key exchange may shuffle:\n$p")
+  }
+
+  test("q96 inverted index builds in ONE exchange (no distinct rewrite)") {
+    // df = size(collect_set) — a countDistinct alongside collect_set
+    // would re-key on (tok, doc_id) and shuffle twice
+    val p = plan("q96_inverted_index")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"posting build must shuffle once on tok:\n$p")
+  }
 }
