@@ -245,6 +245,49 @@ object CorpusQueries {
           sum(dec("o_totalprice")).cast(D).cast("double").as("total_spend"))
         .orderBy("c_mktsegment")
     },
+
+    // q81's decontamination with a Bloom-sketch prefilter: the eval
+    // gram set aggregates into a fixed-size Bloom filter (Spark's own
+    // BloomFilterAggregate — the runtime-row-group-filter machinery),
+    // the corpus gram stream is prefiltered by the codegen'd
+    // might_contain probe, and only survivors reach the exact
+    // semi-join. Result is EXACT (the semi-join removes Bloom false
+    // positives), so the oracle is plain SQL.
+    //
+    // 100 TB story: q81 broadcasts the full distinct eval-gram set —
+    // fine while it fits executor memory. The Bloom summary is ~100 KB
+    // at a 1% FPR for this eval size REGARDLESS of gram width, so the
+    // cheap probe discards ~99% of the corpus gram stream before the
+    // (broadcast) exact join ever sees it; if the eval set ever
+    // outgrows broadcast, the exact pass degrades to a shuffled
+    // semi-join over just the pre-filtered ~1%+hits stream instead of
+    // the whole corpus. The one-row sketch materialization mirrors how
+    // Catalyst ships its injected runtime filters (subquery → literal).
+    "q98_decontaminate_bloom" -> { (s, dir) =>
+      import graft.operators.LlmQueries.shingles
+      import graft.plans.GraftExpressions.poly_hash
+      import graft.plans.SketchBridge.{bloom_agg, might_contain}
+      val docs = tWide(s, dir, "documents")
+      def grams(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), explode(shingles(col("text"), 4)).as("g"))
+          .select(col("doc_id"), poly_hash(col("g")).as("h"))
+      val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
+        .select("h").distinct()
+      val sketch = evalGrams
+        .select(bloom_agg(col("h"), 100000L, 800000L).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val contamIds = grams(corpus)
+        .filter(might_contain(lit(sketch), col("h")))
+        .join(broadcast(evalGrams), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      corpus
+        .join(contamIds.withColumn("hit", lit(1)), Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("hit")).as("n_contaminated"))
+        .orderBy("source")
+    },
   )
 
   /** DuckDB-side dot product of `embedding` with plane j — the q45 D7
@@ -384,5 +427,27 @@ object CorpusQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // exact result (the Bloom sketch only PREfilters; the semi-join is
+    // exact), so the oracle is q81's shape grouped by source
+    "q98_decontaminate_bloom" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text,' ')) - 3),
+        |    i -> array_to_string(string_split(text,' ')[i+1:i+4], ' ')))) AS g
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(g,''), ch -> ascii(ch)::BIGINT)),
+        |    (a,b) -> (a*131 + b) % 2147483647) AS h
+        |  FROM g),
+        |eg AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM h
+        |  WHERE doc_id % 97 != 0 AND h IN (SELECT h FROM eg))
+        |SELECT source, count(*) AS n_docs, count(c.doc_id) AS n_contaminated
+        |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id % 97 != 0
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -79,6 +79,23 @@ object EventAnalytics {
         .select("user_id", "version", "event_type", "valid_from", "valid_to")
         .orderBy("user_id", "version")
     },
+
+    // SkewOps.saltedSumCount under the oracle gate (the aggregation
+    // twin of q74's salted join): event_type is the classic 5-hot-keys
+    // shape — a plain groupBy sends each key to ONE reducer, the salted
+    // two-phase agg spreads each over 8 (key, salt) partials first.
+    // Decimal partials keep exactness, so the result equals the plain
+    // GROUP BY bit-for-bit.
+    "q97_agg_salted" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+        .select(col("event_type"), dec(col("value")).as("v"), col("event_id"))
+      SkewOps.saltedSumCount(ev, col("event_type"), col("v"),
+          col("event_id"), 8)
+        .select(col("k").as("event_type"),
+          col("sum_value").cast(D).cast("double").as("sum_value"),
+          col("cnt"))
+        .orderBy("event_type")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -121,5 +138,11 @@ object EventAnalytics {
         |SELECT user_id, version, event_type, valid_from,
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
         |FROM g ORDER BY user_id, version""".stripMargin,
+
+    "q97_agg_salted" ->
+      """SELECT event_type,
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

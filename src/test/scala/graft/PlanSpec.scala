@@ -207,4 +207,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"posting build must shuffle once on tok:\n$p")
   }
+
+  test("q97 salted agg adds exactly one extra exchange over a plain groupBy") {
+    // (key, salt) partial stage + final key stage — the hot-key spread
+    // costs one bounded-size shuffle, never a third
+    val p = plan("q97_agg_salted")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"expected the salted partial + final exchanges:\n$p")
+  }
+
+  test("q98 probes the Bloom sketch BEFORE the exact semi-join") {
+    val p = plan("q98_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      s"corpus gram stream must be Bloom-prefiltered:\n$p")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      s"exact verification must stay a broadcast semi-join:\n$p")
+    // the probe must sit below the join: survivors only
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"might_contain must filter the stream feeding the semi-join:\n$p")
+  }
 }

@@ -45,4 +45,27 @@ class CorpusSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4 - 1e-9)
     }
   }
+
+  test("Bloom sketch bridge: no false negatives, bounded false positives") {
+    import graft.plans.SketchBridge.{bloom_agg, might_contain}
+    val sess = spark
+    import sess.implicits._
+    val members = (0L until 5000L).map(_ * 2654435761L % 1000003L).distinct
+    val sketch = members.toDF("h")
+      .select(bloom_agg(col("h"), 10000L, 80000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // every inserted element must probe true (Bloom's core guarantee —
+    // this is what makes q98's prefilter safe before the exact join)
+    val misses = members.toDF("h")
+      .filter(!might_contain(lit(sketch), col("h"))).count()
+    assert(misses === 0L, "Bloom filters must have zero false negatives")
+    // non-members: FPR should be in the vicinity of the m/n design
+    // point, not degenerate (all-true would make the prefilter useless)
+    val nonMembers = (1L to 20000L).map(v => v * 48271L + 7L)
+      .filterNot(members.toSet)
+    val fp = nonMembers.toDF("h")
+      .filter(might_contain(lit(sketch), col("h"))).count()
+    assert(fp.toDouble / nonMembers.size < 0.10,
+      s"false-positive rate ${fp.toDouble / nonMembers.size} out of design range")
+  }
 }
