@@ -65,6 +65,26 @@ object WindowQueries {
         .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
         .orderBy("c_mktsegment", "rn")
     },
+
+    // q25's semantics on the HIGH-cardinality group shape (per
+    // customer, not per 5-segment), computed by the bounded-heap
+    // aggregate instead of a window: the window form shuffles and
+    // sorts every order row; TopKAgg ships <= k (value, id) pairs per
+    // (map partition, customer) and merges heaps. Same result, shuffle
+    // volume O(groups*k) instead of O(rows) — see
+    // graft.plans.TopKAgg scaladoc.
+    "q99_topk_agg" -> { (s, dir) =>
+      import graft.plans.TopKAgg.topk_agg
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(topk_agg(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"),
+          (col("pos") + 1).cast("long").as("rn"),
+          col("col.id").as("o_orderkey"),
+          col("col.value").as("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -105,5 +125,14 @@ object WindowQueries {
         | FROM orders JOIN customer ON o_custkey = c_custkey) ranked
         |WHERE rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q99_topk_agg" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) ranked
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
   )
 }

@@ -228,4 +228,14 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       s"might_contain must filter the stream feeding the semi-join:\n$p")
   }
+
+  test("q99 top-k per group aggregates heaps — no Window, no row sort") {
+    // the whole point vs q25: partial heaps combine map-side, so the
+    // shuffle carries <= k pairs per (partition, group), never the rows
+    val p = plan("q99_topk_agg")
+    assert(!p.contains("Window"), s"top-k agg must not plan a window:\n$p")
+    assert(p.contains("graft_topk"), s"expected the TopKAgg kernel:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"partial + final heap aggregation is the map-side-combine guarantee:\n$p")
+  }
 }

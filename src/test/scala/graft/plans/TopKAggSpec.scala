@@ -1,0 +1,55 @@
+package graft.plans
+
+import scala.util.Random
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.plans.TopKAgg.topk_agg
+
+/** TopKAgg correctness against the window formulation it replaces,
+  * under shapes the q99 fixture doesn't stress: duplicate values
+  * (tiebreak), groups smaller than k, and many partitions (merge
+  * path). */
+class TopKAggSpec extends SparkSpec {
+
+  test("heap aggregate equals row_number window on adversarial data") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new Random(7)
+    // 200 groups, skewed sizes 1..60, values drawn from a SMALL set so
+    // ties are everywhere and the id tiebreak is load-bearing
+    val rows = (0 until 200).flatMap { g =>
+      (0 until (1 + rnd.nextInt(60))).map { _ =>
+        (g.toLong, rnd.nextInt(8).toDouble, rnd.nextLong().abs)
+      }
+    }
+    val df = rows.toDF("g", "v", "id").repartition(13)
+
+    val viaAgg = df.groupBy("g")
+      .agg(topk_agg(col("v"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("id"), col("col.value").as("v"))
+
+    val w = Window.partitionBy("g").orderBy(desc("v"), col("id"))
+    val viaWindow = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("g", "rn", "id", "v")
+
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
+      "bounded-heap top-k must equal the window formulation exactly")
+  }
+
+  test("groups smaller than k emit all their rows, strongest first") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1L, 2.0, 10L), (1L, 9.0, 11L)).toDF("g", "v", "id")
+    val out = df.groupBy("g")
+      .agg(topk_agg(col("v"), col("id"), 5).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.value")).as[Double].collect()
+    assert(out.toSeq === Seq(9.0, 2.0))
+  }
+}
