@@ -224,4 +224,48 @@ object GraftProperties extends Properties("graft") {
       val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 32.0
       math.abs(est - exact) < 0.35
     }
+
+  // items from a tiny alphabet with geometric-ish skew so some exceed
+  // the n/(k+1) bar and eviction actually happens at capacity 4
+  private val skewGen: Gen[List[String]] =
+    Gen.listOfN(300, Gen.frequency(
+      8 -> Gen.const("a"), 4 -> Gen.const("b"), 2 -> Gen.const("c"),
+      1 -> Gen.oneOf((0 until 40).map(i => s"t$i"))))
+
+  property("Misra-Gries summary always covers items above n/(k+1)") =
+    Prop.forAll(skewGen) { xs =>
+      import graft.plans.MisraGriesAgg.misra_gries
+      val sess = spark
+      import sess.implicits._
+      val k = 4
+      val row = xs.toDF("item").repartition(5)
+        .select(misra_gries(col("item"), k).as("s"))
+        .select(col("s.cand"), col("s.n")).head()
+      val cand = row.getSeq[String](0).toSet
+      val n = row.getLong(1)
+      val exact = xs.groupBy(identity).view.mapValues(_.size).toMap
+      n == xs.size.toLong &&
+        cand.size <= k &&
+        exact.forall { case (item, c) =>
+          c <= n.toDouble / (k + 1) || cand.contains(item)
+        }
+    }
+
+  property("TopKAgg equals sort-take on any (value, id) multiset") =
+    Prop.forAll(Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 30L)))) { xs =>
+      import graft.plans.TopKAgg.topk_agg
+      val sess = spark
+      import sess.implicits._
+      val got = xs.map { case (v, i) => (v.toDouble, i) }
+        .toDF("v", "id").repartition(3)
+        .select(topk_agg(col("v"), col("id"), 4).as("t"))
+        .select(explode(col("t"))).select("col.value", "col.id")
+        .as[(Double, Long)].collect().toSeq
+      // full multiset sort of the raw list; equal (v, id) duplicates are
+      // interchangeable, so heap-drop vs take-drop picks the same set
+      val wantAll = xs.map { case (v, i) => (v.toDouble, i) }
+        .sortBy { case (v, i) => (-v, i) }.take(4)
+      got == wantAll
+    }
 }
