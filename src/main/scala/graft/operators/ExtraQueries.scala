@@ -95,6 +95,29 @@ object ExtraQueries {
           round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"))
         .orderBy("l_returnflag")
     },
+
+    // Z-order layout audit: Morton-interleave (l_partkey, l_suppkey),
+    // bucket rows by z >> 12 (4096-code tiles, i.e. 64x64 rectangles)
+    // and report each bucket's (partkey, suppkey) bounding box. Because
+    // a contiguous z-range maps to a small RECTANGLE, both dimensions'
+    // per-bucket min/max ranges stay within 64 — this is exactly the
+    // property that makes zorder-clustered parquet files prunable by
+    // row-group stats on EITHER predicate column at 100 TB, where a
+    // single-column sort prunes only itself. The interleave is the
+    // codegen MortonCode kernel; the bucket agg is a bounded-key
+    // two-phase hash agg.
+    "q100_zorder_layout" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.morton
+      t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(65536)).cast("long").as("px"),
+          pmod(col("l_suppkey"), lit(65536)).cast("long").as("py"))
+        .withColumn("z", morton(col("px"), col("py")))
+        .groupBy(shiftright(col("z"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min("px").as("min_px"), max("px").as("max_px"),
+          min("py").as("min_py"), max("py").as("max_py"))
+        .orderBy("zbucket")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -149,5 +172,24 @@ object ExtraQueries {
         | round(quantile_cont(l_quantity, 0.75), 6) AS p75
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q100_zorder_layout" -> {
+      // the same magic-mask spread chain as MortonCode, in BIGINT SQL
+      def spread(e: String): String =
+        Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+          (1, 0x55555555L))
+          .foldLeft(s"($e & 65535)") { case (acc, (sh, m)) =>
+            s"(($acc | ($acc << $sh)) & $m)"
+          }
+      s"""WITH p AS (
+         |  SELECT l_partkey % 65536 AS px, l_suppkey % 65536 AS py
+         |  FROM lineitem),
+         |b AS (SELECT px, py,
+         |  ${spread("px")} | (${spread("py")} << 1) AS z FROM p)
+         |SELECT z >> 12 AS zbucket, count(*) AS cnt,
+         | min(px) AS min_px, max(px) AS max_px,
+         | min(py) AS min_py, max(py) AS max_py
+         |FROM b GROUP BY 1 ORDER BY zbucket""".stripMargin
+    },
   )
 }

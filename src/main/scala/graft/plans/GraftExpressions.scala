@@ -503,6 +503,65 @@ case class SignLshCode(child: Expression, signs: Array[Double],
     copy(child = newChild)
 }
 
+/** 32-bit Morton (Z-order) code: interleaves the low 16 bits of two
+  * longs (x in even bit positions, y in odd), via the classic
+  * magic-mask bit spreading — branch-free straight-line codegen.
+  *
+  * This is the write-time layout kernel for multi-dimension data
+  * skipping (q100): rows sorted/range-partitioned by their Morton code
+  * land in files covering small RECTANGLES of (x, y) space, so parquet
+  * min/max stats prune scans filtered on EITHER dimension — a single-
+  * column sort only ever prunes its own column. The same mask chain is
+  * expressible with BIGINT bitwise ops in ANSI SQL, which is what the
+  * DuckDB oracle twin does. */
+case class MortonCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_morton"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BIGINT, BIGINT), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  @inline private def spread(v: Long): Long = {
+    var x = v & 0xFFFFL
+    x = (x | (x << 8)) & 0x00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0FL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    x
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    spread(a.asInstanceOf[Long]) | (spread(b.asInstanceOf[Long]) << 1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+      def spreadJava(src: String, dst: String): String =
+        s"""
+           |long $dst = $src & 0xFFFFL;
+           |$dst = ($dst | ($dst << 8)) & 0x00FF00FFL;
+           |$dst = ($dst | ($dst << 4)) & 0x0F0F0F0FL;
+           |$dst = ($dst | ($dst << 2)) & 0x33333333L;
+           |$dst = ($dst | ($dst << 1)) & 0x55555555L;
+         """.stripMargin
+      s"""
+         |${spreadJava(a, xs)}
+         |${spreadJava(b, ys)}
+         |${ev.value} = $xs | ($ys << 1);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonCode =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   /** Column wrapper: engine-portable polynomial string hash. */
   def poly_hash(c: Column, base: Int = 131, mod: Long = 2147483647L): Column =
@@ -533,4 +592,8 @@ object GraftExpressions {
   /** Column wrapper: exact integer dot product of two long arrays. */
   def seq_dot_long(a: Column, b: Column): Column =
     toColumn(SeqDotLong(toExpression(a), toExpression(b)))
+
+  /** Column wrapper: 32-bit Morton (Z-order) interleave of two BIGINTs. */
+  def morton(x: Column, y: Column): Column =
+    toColumn(MortonCode(toExpression(x), toExpression(y)))
 }

@@ -170,4 +170,33 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)   // must not throw
   }
+
+  test("morton interleave: reference equality, injectivity, tile locality") {
+    import org.apache.spark.sql.functions._
+    import GraftExpressions.morton
+    val sess = spark
+    import sess.implicits._
+    // plain-Scala reference interleave
+    def spreadRef(v: Long): Long = {
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((v >> i) & 1L) << (2 * i))
+      }
+    }
+    val rnd = new scala.util.Random(3)
+    val pts = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), morton(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z === (spreadRef(x) | (spreadRef(y) << 1)),
+        s"magic-mask spread must equal the naive bit loop for ($x,$y)")
+    }
+    // injective on the 16-bit domain
+    assert(got.map(_._3).distinct.length === got.map(t => (t._1, t._2)).distinct.length)
+    // tile locality: same z>>26 bucket => both coords within a 2^13 tile
+    got.groupBy(_._3 >> 26).foreach { case (_, g) =>
+      assert(g.map(_._1).max - g.map(_._1).min < 8192)
+      assert(g.map(_._2).max - g.map(_._2).min < 8192)
+    }
+  }
 }
