@@ -50,6 +50,43 @@ object GraftFunctions {
       "graft_zip_equal(a, b) takes 2 arguments")
   }
 
+  private def mortonBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(x, y) => MortonCode(x, y)
+    case _ => throw new IllegalArgumentException(
+      "graft_morton(x, y) takes 2 arguments")
+  }
+
+  private def dotLongBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => SeqDotLong(a, b)
+    case _ => throw new IllegalArgumentException(
+      "graft_seq_dot_long(a, b) takes 2 arguments")
+  }
+
+  /** k (capacity) must be a compile-time integer literal — the same
+    * constraint Spark's own approx aggregates place on their accuracy
+    * argument. */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
+        if v != null => v.intValue()
+    case _ => throw new IllegalArgumentException(
+      s"$fn: capacity/k must be a non-null integer literal")
+  }
+
+  private def misraGriesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(item, k) =>
+      MisraGriesAgg(item, litInt(k, "graft_misra_gries"))
+        .toAggregateExpression()
+    case _ => throw new IllegalArgumentException(
+      "graft_misra_gries(item, k) takes 2 arguments")
+  }
+
+  private def topkBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(v, id, k) =>
+      TopKAgg(v, id, litInt(k, "graft_topk")).toAggregateExpression()
+    case _ => throw new IllegalArgumentException(
+      "graft_topk(value, id, k) takes 3 arguments")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
@@ -63,7 +100,19 @@ object GraftFunctions {
       intersectBuilder),
     (FunctionIdentifier("graft_zip_equal"),
       new ExpressionInfo(classOf[ZipEqualCount].getName, "graft_zip_equal"),
-      zipEqualBuilder))
+      zipEqualBuilder),
+    (FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonCode].getName, "graft_morton"),
+      mortonBuilder),
+    (FunctionIdentifier("graft_seq_dot_long"),
+      new ExpressionInfo(classOf[SeqDotLong].getName, "graft_seq_dot_long"),
+      dotLongBuilder),
+    (FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
+      misraGriesBuilder),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      topkBuilder))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit = functions.foreach {

@@ -171,6 +171,32 @@ class GraftFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)   // must not throw
   }
 
+  test("round-5 kernels are SQL-callable: morton, seq_dot_long, MG, topk") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_morton(3L, 1L) AS z,
+        |       graft_seq_dot_long(array(1L, 2L), array(3L, 4L)) AS d
+        |""".stripMargin).head()
+    // x=3 -> bits 0,2 set (0b0101); y=1 -> bit 1 set (0b0010) => 0b0111
+    assert(r.getLong(0) === 7L)
+    assert(r.getLong(1) === 11L)
+    val agg = spark.sql(
+      """SELECT s.cand AS cand, s.n AS n, t AS top FROM (
+        |  SELECT graft_misra_gries(g, 4) AS s, graft_topk(v, id, 2) AS t
+        |  FROM VALUES ('a', 1.0D, 10L), ('a', 3.0D, 11L), ('b', 2.0D, 12L)
+        |    AS data(g, v, id))
+        |""".stripMargin).head()
+    assert(agg.getSeq[String](0).toSet === Set("a", "b"))
+    assert(agg.getLong(1) === 3L)
+    val top = agg.getSeq[org.apache.spark.sql.Row](2)
+    assert(top.map(_.getDouble(0)) === Seq(3.0, 2.0))
+    // non-literal k must be rejected, not miscompiled
+    intercept[Exception] {
+      spark.sql("SELECT graft_topk(v, id, id) FROM VALUES (1.0D, 1L) AS d(v, id)")
+        .collect()
+    }
+  }
+
   test("morton interleave: reference equality, injectivity, tile locality") {
     import org.apache.spark.sql.functions._
     import GraftExpressions.morton
