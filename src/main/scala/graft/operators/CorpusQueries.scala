@@ -271,8 +271,12 @@ object CorpusQueries {
       def grams(d: org.apache.spark.sql.DataFrame) =
         d.select(col("doc_id"), explode(shingles(col("text"), 4)).as("g"))
           .select(col("doc_id"), poly_hash(col("g")).as("h"))
+      // persisted: the sketch build materializes this eagerly (head()),
+      // and the exact semi-join re-reads it at execution — without the
+      // persist the eval shard would be scanned, shingled and hashed
+      // twice. Verify/Bench clearCache() between keys.
       val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
-        .select("h").distinct()
+        .select("h").distinct().persist()
       val sketch = evalGrams
         .select(bloom_agg(col("h"), 100000L, 800000L).as("bf"))
         .head().getAs[Array[Byte]](0)

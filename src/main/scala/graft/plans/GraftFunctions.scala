@@ -62,14 +62,19 @@ object GraftFunctions {
       "graft_seq_dot_long(a, b) takes 2 arguments")
   }
 
-  /** k (capacity) must be a compile-time integer literal — the same
+  /** k (capacity) must be a compile-time INTEGRAL literal — the same
     * constraint Spark's own approx aggregates place on their accuracy
-    * argument. */
-  private def litInt(e: Expression, fn: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
-        if v != null => v.intValue()
-    case _ => throw new IllegalArgumentException(
-      s"$fn: capacity/k must be a non-null integer literal")
+    * argument. Fractional literals are rejected, not truncated: a user
+    * writing graft_topk(v, id, 2.9) should get an error, not k = 2. */
+  private def litInt(e: Expression, fn: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    e match {
+      case Literal(v: Number, ByteType | ShortType | IntegerType | LongType)
+          if v != null => v.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$fn: capacity/k must be a non-null INTEGRAL literal")
+    }
   }
 
   private def misraGriesBuilder(args: Seq[Expression]): Expression = args match {

@@ -57,6 +57,14 @@ case class MisraGriesAgg(
     StructField("n", LongType, nullable = false)))
   override def prettyName: String = "graft_misra_gries"
 
+  // reject non-string items at analysis time rather than letting the
+  // registered SQL surface ClassCastException inside the aggregation exec
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING item column, got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): MisraGriesAgg.Buffer =
     new MisraGriesAgg.Buffer(mutable.HashMap.empty, 0L)
 

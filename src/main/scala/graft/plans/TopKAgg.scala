@@ -41,6 +41,16 @@ case class TopKAgg(
     StructField("id", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_topk"
 
+  // without this, a DECIMAL/STRING value column through the registered
+  // SQL surface passes analysis and then ClassCastExceptions mid-job
+  // (Spark's Decimal is not a java.lang.Number)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (value.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (DOUBLE value, BIGINT id), got " +
+        s"(${value.dataType.sql}, ${id.dataType.sql})")
+
   override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
 
   override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
@@ -102,9 +112,15 @@ object TopKAgg {
     private val ids = new Array[Long](k)
     private var n = 0
 
-    /** true if (v1,i1) is WEAKER than (v2,i2) under the top-k order. */
-    @inline private def weaker(v1: Double, i1: Long, v2: Double, i2: Long) =
-      v1 < v2 || (v1 == v2 && i1 > i2)
+    /** true if (v1,i1) is WEAKER than (v2,i2) under the top-k order.
+      * Double.compare gives the TOTAL order (NaN greater than every
+      * double, matching both Spark's sort order and the DuckDB
+      * oracle's ORDER BY v DESC) — raw </== would silently corrupt the
+      * heap on NaN input. */
+    @inline private def weaker(v1: Double, i1: Long, v2: Double, i2: Long) = {
+      val c = java.lang.Double.compare(v1, v2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
 
     def offer(v: Double, i: Long): Unit = {
       if (n < k) {

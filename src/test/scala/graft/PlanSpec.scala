@@ -177,13 +177,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_misra_gries"),
       s"pass 1 must be the MG summary aggregate:\n$p")
     // the candidate filter must fuse into the broadcast join (upstream
-    // of the recount exchange), so only candidate rows ever shuffle
+    // of the recount exchange), so only candidate rows ever shuffle.
+    // Tree prints parents first, so "below the recount exchange" ==
+    // "after its first occurrence in the rendered plan"
     val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
     val filterIdx = p.indexOf("array_contains")
-    assert(joinIdx >= 0 && filterIdx >= 0,
-      s"expected broadcast join with array_contains condition:\n$p")
-    assert(math.abs(filterIdx - joinIdx) < 400,
-      s"candidate filter must sit at the broadcast join, not post-agg:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(joinIdx >= 0 && filterIdx >= 0 && exchangeIdx >= 0,
+      s"expected recount exchange over broadcast join with array_contains:\n$p")
+    assert(exchangeIdx < joinIdx && joinIdx <= filterIdx,
+      s"candidate filter must sit at the join BELOW the recount exchange:\n$p")
   }
 
   test("q94 SCD2 serves both windows and the segment agg from ONE exchange") {

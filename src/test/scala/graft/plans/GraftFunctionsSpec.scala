@@ -195,6 +195,21 @@ class GraftFunctionsSpec extends SparkSpec {
       spark.sql("SELECT graft_topk(v, id, id) FROM VALUES (1.0D, 1L) AS d(v, id)")
         .collect()
     }
+    // fractional k must be rejected, not truncated to 2
+    intercept[Exception] {
+      spark.sql("SELECT graft_topk(v, id, 2.9) FROM VALUES (1.0D, 1L) AS d(v, id)")
+        .collect()
+    }
+    // wrong input types fail at ANALYSIS, not mid-job ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_topk(CAST(v AS DECIMAL(10,2)), id, 3) FROM VALUES (1.0D, 1L) AS d(v, id)")
+        .collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_misra_gries(id, 4) FROM VALUES (1L) AS d(id)")
+        .collect()
+    }
   }
 
   test("morton interleave: reference equality, injectivity, tile locality") {
