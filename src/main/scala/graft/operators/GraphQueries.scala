@@ -64,22 +64,32 @@ object GraphQueries {
     labels
   }
 
+  /** Symmetrized bipartite customer–supplier graph: an edge per
+    * distinct (custkey, suppkey) pair appearing on an order; node ids
+    * disjoint by parity (customer = 2·custkey, supplier = 2·suppkey+1).
+    * Shared by q87 (components) and q101 (PageRank). */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** q101: fixed PageRank steps in MICRO-UNIT integer arithmetic
+    * (rank×10⁶ as BIGINT): contributions are integer divisions, the
+    * damping step is (85·Σ) div 100 — every operation is exact long
+    * math, so both engines agree bit-for-bit with no float-order risk.
+    * 3 steps, same unrolled-oracle discipline as q87/q89. */
+  private val RankIters = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Connected components of the bipartite customer–supplier graph
-    // (an edge per distinct (custkey, suppkey) pair appearing on an
-    // order): Iters synchronous min-label steps, then component stats.
-    // Node ids are disjoint by parity: customer = 2·custkey,
-    // supplier = 2·suppkey + 1.
+    // Connected components of the bipartite customer–supplier graph:
+    // Iters synchronous min-label steps, then component stats.
     "q87_components" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(li, col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
-      minLabel(s, edges, Iters)
+      minLabel(s, bipartiteEdges(s, dir), Iters)
         .groupBy("lbl").agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_components"),
           max("sz").as("max_size"),
@@ -111,6 +121,35 @@ object GraphQueries {
       minLabel(s, edges, ClusterIters)
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
+    },
+
+    // PageRank (damping 0.85, un-normalized per-node base) over the
+    // customer–supplier graph in exact integer micro-units; top-20
+    // most central nodes. Same iterated-Pregel shape as minLabel: the
+    // (edge ⋈ degree) frame is cached pre-partitioned on src so each
+    // step re-exchanges only the small rank frame; ranks are
+    // localCheckpoint'd per step (linear lineage, kept truncated).
+    // The symmetric graph has no dangling nodes, so mass handling
+    // stays a per-node base term — the standard simplification.
+    "q101_pagerank" -> { (s, dir) =>
+      val edges = bipartiteEdges(s, dir)
+        .repartition(LoopShufflePartitions, col("src"))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val edgesDeg = edges.join(deg, "src")
+        .repartition(LoopShufflePartitions, col("src")).cache()
+      var ranks = deg.select(col("src").as("node"),
+        lit(1000000L).as("pr"))
+      graft.Tables.withShufflePartitions(s, LoopShufflePartitions) {
+        for (_ <- 1 to RankIters) {
+          ranks = edgesDeg.join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("pr div outdeg").as("c"))
+            .groupBy("dst").agg(sum("c").as("sc"))
+            .selectExpr("dst AS node", "150000 + (85 * sc) div 100 AS pr")
+            .localCheckpoint(true)
+        }
+      }
+      edgesDeg.unpersist()
+      ranks.orderBy(desc("pr"), col("node")).limit(20)
     },
   )
 
@@ -180,8 +219,32 @@ object GraphQueries {
        |SELECT node AS doc_id, lbl AS cluster_id FROM l$ClusterIters
        |ORDER BY doc_id""".stripMargin
 
+  /** Unrolled integer-PageRank stages (q101): per-edge floor-divided
+    * contributions, damped with (85·Σ) // 100 — positive operands, so
+    * DuckDB's floor // equals Spark's truncating `div`. */
+  private def rankSteps(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  150000 + (85 * CAST(sum(r.pr // d.outdeg) AS BIGINT)) // 100 AS pr
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+
+  private val q101Sql: String =
+    s"""WITH eraw AS (
+       |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |${rankSteps(RankIters)}
+       |SELECT node, pr FROM r$RankIters
+       |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q87_components" -> q87Sql,
     "q89_dedup_clusters" -> q89Sql,
+    "q101_pagerank" -> q101Sql,
   )
 }
