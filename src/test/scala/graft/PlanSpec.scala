@@ -232,6 +232,15 @@ class PlanSpec extends SparkSpec {
       s"might_contain must filter the stream feeding the semi-join:\n$p")
   }
 
+  test("q100 zorder audit: morton kernel in-plan, pruned scan, one exchange") {
+    val p = plan("q100_zorder_layout")
+    assert(p.contains("graft_morton"), s"expected the MortonCode kernel:\n$p")
+    assert(!p.contains("l_extendedprice"),
+      s"scan must prune to the two key columns:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"only the bucket agg may shuffle:\n$p")
+  }
+
   test("q99 top-k per group aggregates heaps — no Window, no row sort") {
     // the whole point vs q25: partial heaps combine map-side, so the
     // shuffle carries <= k pairs per (partition, group), never the rows
