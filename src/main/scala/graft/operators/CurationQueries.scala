@@ -132,6 +132,55 @@ object CurationQueries {
         .limit(20)
     },
 
+    // q92's candidate pass maintained INCREMENTALLY under the gate:
+    // the corpus replays as two deterministic micro-batches (doc-id
+    // parity split staged as mtime-ordered single files), a
+    // complete-mode streaming aggregation carries the Misra–Gries
+    // buffer in the state store across batches (the same mergeable-
+    // summary property that makes it map-side combinable makes it
+    // streaming-maintainable), foreachBatch overwrites the summary
+    // each trigger, and the final streamed candidates feed q92's exact
+    // batch recount. The MG guarantee is merge-order-free, so the
+    // result must equal the one-shot oracle — continuous-monitoring
+    // candidate generation with batch verification, end-to-end.
+    "q102_stream_heavy_hitters" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = freshBase(s, dir, "q102")
+      val src = stageBatches(s, base, Seq(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0)))
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val agg = stream
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy()
+          .agg(misra_gries(col("tok"), MgCapacity).as("sm"))
+          .select(col("sm.cand").as("cand"), col("sm.n").as("n"))
+        val q = agg.writeStream.outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("overwrite").parquet(outDir)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val pass1 = s.read.parquet(outDir)
+      tWide(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .crossJoin(broadcast(pass1))
+        .filter(array_contains(col("cand"), col("tok")))
+        .groupBy("tok", "n")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > col("n") / 32.0)
+        .select(col("tok"), col("cnt"))
+        .orderBy("tok")
+    },
+
     // Inverted index: token → document frequency, total term count,
     // sorted posting list (rendered to CSV so the gate compares a
     // scalar; the library shape is the array before array_join).
@@ -170,6 +219,14 @@ object CurationQueries {
          |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q92_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT tok, count(*) AS cnt FROM t, n
+        |GROUP BY tok, n.n HAVING count(*) > n.n / 32.0
+        |ORDER BY tok""".stripMargin,
+
+    // incremental candidates + exact recount ≡ the one-shot exact query
+    "q102_stream_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |n AS (SELECT count(*) AS n FROM t)
         |SELECT tok, count(*) AS cnt FROM t, n

@@ -17,7 +17,7 @@ object EventQueries {
     * skip-if-exists guard would both accept a partially-written area
     * after a crash (silent wrong answer) and let benchmark re-runs
     * measure only the read-back. */
-  private def freshBase(s: SparkSession, dir: String, tag: String): String = {
+  private[graft] def freshBase(s: SparkSession, dir: String, tag: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
     graft.sources.Staging.vacuumStale(s, tmp, s"graft_${tag}_")
     val base = s"$tmp/graft_${tag}_" +
@@ -30,7 +30,7 @@ object EventQueries {
     * explicitly increasing modification times: the file source replays
     * the initial listing oldest-first, so with maxFilesPerTrigger=1
     * this is a deterministic micro-batch replay of `parts` in order. */
-  private def stageBatches(s: SparkSession, base: String,
+  private[graft] def stageBatches(s: SparkSession, base: String,
       parts: Seq[DataFrame]): String = {
     import org.apache.hadoop.fs.Path
     val src = s"$base/src"
