@@ -132,13 +132,20 @@ object GraphQueries {
     // The symmetric graph has no dangling nodes, so mass handling
     // stays a per-node base term — the standard simplification.
     "q101_pagerank" -> { (s, dir) =>
-      val edges = bipartiteEdges(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      // ONE cached frame carries everything the loop needs: outdeg is
+      // a count() window over the src partitioning (satisfied by the
+      // repartition — no extra exchange, no separate degree join), and
+      // the rank init is a distinct over the same cache. A separate
+      // deg aggregate + join would materialize the heavy
+      // orders⋈lineitem→distinct pipeline twice.
+      val edgesDeg = bipartiteEdges(s, dir)
         .repartition(LoopShufflePartitions, col("src"))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val edgesDeg = edges.join(deg, "src")
-        .repartition(LoopShufflePartitions, col("src")).cache()
-      var ranks = deg.select(col("src").as("node"),
-        lit(1000000L).as("pr"))
+        .withColumn("outdeg",
+          count(lit(1)).over(Window.partitionBy("src")))
+        .cache()
+      var ranks = edgesDeg.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(1000000L))
       graft.Tables.withShufflePartitions(s, LoopShufflePartitions) {
         for (_ <- 1 to RankIters) {
           ranks = edgesDeg.join(ranks, col("src") === col("node"))
