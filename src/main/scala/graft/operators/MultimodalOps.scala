@@ -170,6 +170,67 @@ object MultimodalOps {
     }
   }
 
+  /** 64-bit difference hash (dHash) — the standard perceptual
+    * fingerprint for IMAGE near-dup detection in a training-data
+    * pipeline: decode, block-average to a 9×8 grayscale grid with
+    * integer arithmetic (deterministic across JVMs — no
+    * getScaledInstance, whose filtering is implementation-defined),
+    * set bit r·8+c iff cell (r,c) is brighter than its right
+    * neighbor. Re-encodes, mild noise and mild resizes land within a
+    * few hamming bits; unrelated images differ in ~32. Downstream
+    * clustering reuses the library's LSH machinery (band the 64 bits
+    * exactly like q44's signature bands, or feed hamming pairs into
+    * [[GraphQueries.minLabel]] for cluster ids). None when the bytes
+    * aren't a decodable image. */
+  def dHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.filter(bi => bi.getWidth > 0 && bi.getHeight > 0).map { bi =>
+      val (w, h) = (bi.getWidth, bi.getHeight)
+      // integer block-average 9×8 luma grid: cell (gx, gy) covers pixel
+      // x ∈ [gx·w/9, (gx+1)·w/9) etc. (floor bounds; every cell
+      // non-empty for any w,h >= 1 need not hold — empty cells reuse
+      // the single nearest pixel via the max(1, …) span guard)
+      val grid = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9; val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+          val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = bi.getRGB(x, y)
+              sum += ((rgb >> 16 & 0xff) * 299 +
+                (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          grid(gy)(gx) = if (n == 0) 0L else sum / n
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (grid(r)(c) > grid(r)(c + 1)) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+  }
+
   /** Real audio decode via `javax.sound.sampled` (WAV/AIFF/AU are
     * JDK-native): everything is converted to 16-bit signed PCM first, so
     * 8-bit/unsigned/big-endian sources all land on one sample path.

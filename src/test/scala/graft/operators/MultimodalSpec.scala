@@ -202,4 +202,43 @@ class MultimodalSpec extends SparkSpec {
     val r = back.head()
     assert(r.getAs[Array[Byte]]("payload").toSeq === Seq[Byte](1, 2, 3))
   }
+
+  test("dHash: perceptual near-dups cluster, unrelated images don't") {
+    // NB a smooth gradient or a fine checkerboard is DEGENERATE for
+    // dHash (every cell mean equal or monotone → hash ≈ 0); the
+    // discriminative fixture is a seeded random 9×8 block image where
+    // all 64 adjacent-cell comparisons carry signal
+    def cellImage(w: Int, h: Int, seed: Int, noiseSeed: Int): Array[Byte] = {
+      val lv = {
+        val r = new scala.util.Random(seed)
+        Array.fill(8, 9)(r.nextInt(256))
+      }
+      val rn = new scala.util.Random(noiseSeed)
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = lv(y * 8 / h)(x * 9 / w)
+        val v = if (noiseSeed == 0) base
+        else math.min(255, math.max(0, base + rn.nextInt(11) - 5))
+        bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      bos.toByteArray
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+
+    val base = MultimodalOps.dHash(cellImage(64, 48, 1, 0)).get
+    val noisy = MultimodalOps.dHash(cellImage(64, 48, 1, 7)).get
+    val resized = MultimodalOps.dHash(cellImage(96, 72, 1, 0)).get
+    val other = MultimodalOps.dHash(cellImage(64, 48, 2, 0)).get
+    assert(hamming(base, noisy) <= 6,
+      s"mild noise must stay within a few bits, got ${hamming(base, noisy)}")
+    assert(hamming(base, resized) <= 6,
+      s"resize must stay within a few bits, got ${hamming(base, resized)}")
+    assert(hamming(base, other) >= 16,
+      s"unrelated structure must be far, got ${hamming(base, other)}")
+    // not an image → None, never a bogus hash
+    assert(MultimodalOps.dHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
