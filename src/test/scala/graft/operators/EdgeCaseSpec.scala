@@ -111,4 +111,49 @@ class EdgeCaseSpec extends SparkSpec {
         s"$tpe: approx $ap vs exact $ex exceeds 3·rsd")
     }
   }
+
+  test("round-5 kernels skip nulls and survive degenerate inputs") {
+    import graft.plans.MisraGriesAgg.misra_gries
+    import graft.plans.TopKAgg.topk_agg
+    val sess = spark
+    import sess.implicits._
+    // MG: null items count toward neither the summary nor the tally
+    val mg = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("item")
+      .select(misra_gries(col("item"), 4).as("s"))
+      .select(col("s.cand"), col("s.n")).head()
+    assert(mg.getSeq[String](0).toSet === Set("a", "b"))
+    assert(mg.getLong(1) === 3L, "null items must not inflate n")
+    // MG on an all-null column: empty candidates, zero tally
+    val mg0 = Seq[Option[String]](None, None).toDF("item")
+      .select(misra_gries(col("item"), 4).as("s"))
+      .select(col("s.cand"), col("s.n")).head()
+    assert(mg0.getSeq[String](0).isEmpty && mg0.getLong(1) === 0L)
+    // top-k: null value or id drops the row (same as the window
+    // formulation after a WHERE v IS NOT NULL guard); an all-null
+    // group emits an EMPTY array, which posexplode then erases —
+    // no phantom rows
+    val tk = Seq(
+        (1L, Some(5.0), Some(10L)), (1L, None, Some(11L)),
+        (1L, Some(7.0), None), (2L, None, None))
+      .toDF("g", "v", "id")
+      .groupBy("g")
+      .agg(topk_agg(col("v"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.value"), col("col.id"))
+      .as[(Long, Double, Long)].collect().toSet
+    assert(tk === Set((1L, 5.0, 10L)))
+    // chunking a single-token document: exactly one 1-token chunk
+    val one = Seq((9L, "solo")).toDF("doc_id", "text")
+    val chunks = one
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(CurationQueries.ChunkStride))).as("st"))
+      .select(col("doc_id"),
+        size(slice(col("toks"), col("st"), lit(CurationQueries.ChunkWidth)))
+          .as("n"))
+      .collect()
+    assert(chunks.length === 1 && chunks.head.getInt(1) === 1)
+  }
 }
