@@ -181,6 +181,34 @@ object CurationQueries {
         .orderBy("tok")
     },
 
+    // Unigram-LM perplexity quality filter — the statistical
+    // complement to q51's heuristic score and the standard pretraining
+    // "LM filter" shape: fit token log-probs on the corpus itself,
+    // score each doc by its mean token surprisal, surface the top-20
+    // outliers. Surprisal is QUANTIZED to integer micro-nats per token
+    // (floor(-ln p × 1e6)) so the per-doc sum is exact long
+    // arithmetic — order-free, no float-accumulation drift between
+    // engines (the only doubles are |vocab| ln calls, not per-row
+    // folds). Scale: one token-count agg (bounded vocab), the LM
+    // broadcasts, per-doc scoring is a map-side-combinable sum.
+    "q103_perplexity" -> { (s, dir) =>
+      val toks = tWide(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val total = toks.select(count(lit(1)).as("n"))
+      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .select(col("tok"),
+          floor(-log(col("cnt").cast("double") / col("n")) * 1e6)
+            .cast("long").as("lnq"))
+      toks.join(broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(sum("lnq").as("surprisal"), count(lit(1)).as("nt"))
+        .selectExpr("doc_id", "nt",
+          "surprisal div nt AS ppx_micro") // mean surprisal, micro-nats
+        .orderBy(desc("ppx_micro"), col("doc_id"))
+        .limit(20)
+    },
+
     // Inverted index: token → document frequency, total term count,
     // sorted posting list (rendered to CSV so the gate compares a
     // scalar; the library shape is the array before array_join).
@@ -254,6 +282,17 @@ object CurationQueries {
          |FROM w GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
     },
+
+    "q103_perplexity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n FROM t),
+        |lm AS (SELECT tok,
+        |  CAST(floor(-ln(count(*)::DOUBLE / n.n) * 1000000) AS BIGINT) AS lnq
+        | FROM t, n GROUP BY tok, n.n),
+        |s AS (SELECT doc_id, CAST(sum(lnq) AS BIGINT) AS surprisal, count(*) AS nt
+        |      FROM t JOIN lm USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, nt, surprisal // nt AS ppx_micro
+        |FROM s ORDER BY ppx_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "q96_inverted_index" ->
       """SELECT tok,
