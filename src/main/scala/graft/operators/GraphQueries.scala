@@ -144,6 +144,10 @@ object GraphQueries {
         .withColumn("outdeg",
           count(lit(1)).over(Window.partitionBy("src")))
         .cache()
+      // materialize the heavy build (join + distinct + degree window)
+      // at the SESSION's full shuffle parallelism — only the loop's
+      // tiny per-iteration frames belong at LoopShufflePartitions
+      edgesDeg.count()
       var ranks = edgesDeg.select(col("src").as("node")).distinct()
         .withColumn("pr", lit(1000000L))
       graft.Tables.withShufflePartitions(s, LoopShufflePartitions) {
