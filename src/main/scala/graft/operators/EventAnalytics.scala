@@ -17,6 +17,30 @@ import graft.Tables._
   * the funnel. Nothing is quadratic; everything partitions on user_id. */
 object EventAnalytics {
 
+  /** The SCD2 dimension frame shared by q94 (build) and q104 (lookup):
+    * one user_id exchange serves the lag window, the running-sum
+    * window, the segment groupBy and the lead window (exchange reuse —
+    * see q94's scale note). */
+  private def scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    loadEvents(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull
+          || lag(col("event_type"), 1).over(byTs) =!= col("event_type"),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("version", sum(col("chg")).over(runs).cast("long"))
+      .groupBy(col("user_id"), col("version"))
+      .agg(max(col("event_type")).as("event_type"), // constant per segment
+        min(col("ts")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .select("user_id", "version", "event_type", "valid_from", "valid_to")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Weekly retention: users grouped by first-seen day (cohort), then
     // distinct active users per (cohort, week offset).
@@ -60,24 +84,52 @@ object EventAnalytics {
     // reuses the exchange; per-user state is a sort, never a
     // materialized timeline.
     "q94_scd2" -> { (s, dir) =>
+      scd2Dimension(s, dir).orderBy("user_id", "version")
+    },
+
+    // Point-in-time (temporal) dimension lookup: every event joined to
+    // the SCD2 version valid AT its timestamp — the query a type-2
+    // dimension exists to answer, and the integrity proof that q94's
+    // intervals tile each user's timeline exactly (each event matches
+    // exactly one version; the gate compares coverage stats).
+    //
+    // Scale note: both sides shuffle once on user_id; the validity
+    // predicate evaluates inside the sort-merge join on co-located
+    // partitions. Version count per user is small (bounded state), so
+    // the per-user fan-out is bounded — never a cross product.
+    "q104_scd2_lookup" -> { (s, dir) =>
+      val dim = scd2Dimension(s, dir)
+      val ev = loadEvents(s, dir).select(col("user_id"), col("ts"))
+      val matched = ev.join(dim,
+          ev("user_id") === dim("user_id") &&
+          ev("ts") >= dim("valid_from") &&
+          (dim("valid_to").isNull || ev("ts") < dim("valid_to")))
+        .select(dim("user_id"), col("version"))
+      matched.groupBy("user_id", "version")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_versions_hit"),
+          sum("n_events").cast("long").as("n_events_matched"),
+          max("n_events").as("max_events_per_version"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("long")
+            .as("singleton_versions"))
+    },
+
+    // Event-sequence transition matrix (first-order Markov counts):
+    // how often each event_type is followed by each other, per-user
+    // timelines stitched by lead(). The path-analysis primitive behind
+    // funnels/journey maps; one user_id window + one bounded-key agg.
+    "q105_transitions" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val runs = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val byVersion = Window.partitionBy("user_id").orderBy("version")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       loadEvents(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(byTs).isNull
-            || lag(col("event_type"), 1).over(byTs) =!= col("event_type"),
-            lit(1)).otherwise(lit(0)))
-        .withColumn("version", sum(col("chg")).over(runs).cast("long"))
-        .groupBy(col("user_id"), col("version"))
-        .agg(max(col("event_type")).as("event_type"), // constant per segment
-          min(col("ts")).as("valid_from"))
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
-        .select("user_id", "version", "event_type", "valid_from", "valid_to")
-        .orderBy("user_id", "version")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("from_type", "to_type")
     },
 
     // SkewOps.saltedSumCount under the oracle gate (the aggregation
@@ -138,6 +190,45 @@ object EventAnalytics {
         |SELECT user_id, version, event_type, valid_from,
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
         |FROM g ORDER BY user_id, version""".stripMargin,
+
+    "q104_scd2_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |        OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |      FROM c),
+        |g AS (SELECT user_id, version, max(event_type) AS event_type,
+        |        min(ts) AS valid_from
+        |      FROM s GROUP BY user_id, version),
+        |dim AS (SELECT user_id, version, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+        |  FROM g),
+        |m AS (SELECT d.user_id, d.version, count(*) AS n_events
+        |      FROM e ev JOIN dim d ON ev.user_id = d.user_id
+        |        AND ev.ts >= d.valid_from
+        |        AND (d.valid_to IS NULL OR ev.ts < d.valid_to)
+        |      GROUP BY d.user_id, d.version)
+        |SELECT count(*) AS n_versions_hit,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events_matched,
+        |  max(n_events) AS max_events_per_version,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_versions
+        |FROM m""".stripMargin,
+
+    "q105_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, count(*) AS cnt FROM p
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
 
     "q97_agg_salted" ->
       """SELECT event_type,
