@@ -49,6 +49,20 @@ object CurationQueries {
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("scan", "merge", "dup")
 
+  /** Heavy-hitters pass 2, shared by q92 (batch pass 1) and q102
+    * (streaming pass 1): exact recount of the token stream restricted
+    * to the broadcast candidate summary, then the real threshold.
+    * One definition so the two keys cannot silently diverge from each
+    * other or from their shared oracle. */
+  private def exactRecount(toks: DataFrame, pass1: DataFrame): DataFrame =
+    toks.crossJoin(broadcast(pass1))
+      .filter(array_contains(col("cand"), col("tok")))
+      .groupBy("tok", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("n") / 32.0)
+      .select(col("tok"), col("cnt"))
+      .orderBy("tok")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Overlapping token-window chunking: one row per (doc, window).
     // sequence() materializes the window starts, explode unrolls them,
@@ -80,13 +94,7 @@ object CurationQueries {
         .select(explode(split(col("text"), " ")).as("tok"))
       val pass1 = toks.select(misra_gries(col("tok"), MgCapacity).as("s"))
         .select(col("s.cand").as("cand"), col("s.n").as("n"))
-      toks.crossJoin(broadcast(pass1))
-        .filter(array_contains(col("cand"), col("tok")))
-        .groupBy("tok", "n")
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > col("n") / 32.0)
-        .select(col("tok"), col("cnt"))
-        .orderBy("tok")
+      exactRecount(toks, pass1)
     },
 
     // BM25 (Robertson/Sparck Jones) document ranking for a fixed term
@@ -170,15 +178,10 @@ object CurationQueries {
         try q.processAllAvailable() finally q.stop()
       }
       val pass1 = s.read.parquet(outDir)
-      tWide(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .crossJoin(broadcast(pass1))
-        .filter(array_contains(col("cand"), col("tok")))
-        .groupBy("tok", "n")
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > col("n") / 32.0)
-        .select(col("tok"), col("cnt"))
-        .orderBy("tok")
+      exactRecount(
+        tWide(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok")),
+        pass1)
     },
 
     // Unigram-LM perplexity quality filter — the statistical
@@ -194,8 +197,17 @@ object CurationQueries {
     "q103_perplexity" -> { (s, dir) =>
       val toks = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val total = toks.select(count(lit(1)).as("n"))
-      val lm = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // total token count derived from the per-token counts (a
+      // vocab-sized re-agg) — a separate toks.count would scan and
+      // explode the whole corpus a third time
+      val total = counts.agg(sum("cnt").cast("long").as("n"))
+      // residual cross-engine risk, documented: ln is correctly-
+      // rounded to ~1 ulp on both engines, so a token whose
+      // -ln(p)·1e6 lies within an ulp of an integer could floor
+      // differently (~1e-9 per DISTINCT token — the corpus vocab, not
+      // the corpus size, is the exposure, and it is 31 here)
+      val lm = counts
         .crossJoin(broadcast(total))
         .select(col("tok"),
           floor(-log(col("cnt").cast("double") / col("n")) * 1e6)

@@ -90,8 +90,10 @@ object EventAnalytics {
     // Point-in-time (temporal) dimension lookup: every event joined to
     // the SCD2 version valid AT its timestamp — the query a type-2
     // dimension exists to answer, and the integrity proof that q94's
-    // intervals tile each user's timeline exactly (each event matches
-    // exactly one version; the gate compares coverage stats).
+    // half-open intervals tile each user's timeline exactly (each
+    // event matches exactly one version; zero-width versions — two
+    // equal-ts events straddling a type change — match nothing by
+    // construction; the gate compares coverage stats).
     //
     // Scale note: both sides shuffle once on user_id; the validity
     // predicate evaluates inside the sort-merge join on co-located

@@ -144,9 +144,12 @@ object MultimodalOps {
   private def decodeImage(payload: Array[Byte], dim: Int,
       base: MediaFeatures): Option[MediaFeatures] = {
     val img =
+      // NonFatal (see dHash): corrupt-but-claimed payloads throw
+      // unchecked reader exceptions; contract is the histogram
+      // fallback, never a task failure
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { bi =>
       val hist = new Array[Float](dim)
       val (w, h) = (bi.getWidth, bi.getHeight)
@@ -184,15 +187,20 @@ object MultimodalOps {
     * aren't a decodable image. */
   def dHash(payload: Array[Byte]): Option[Long] = {
     val img =
+      // NonFatal, not just IOException: JDK readers throw unchecked
+      // exceptions (AIOOBE from the GIF/LZW decoder, IAE from
+      // malformed headers) on corrupt payloads whose magic bytes a
+      // reader claimed — the contract is None, never a task failure
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.filter(bi => bi.getWidth > 0 && bi.getHeight > 0).map { bi =>
       val (w, h) = (bi.getWidth, bi.getHeight)
-      // integer block-average 9×8 luma grid: cell (gx, gy) covers pixel
-      // x ∈ [gx·w/9, (gx+1)·w/9) etc. (floor bounds; every cell
-      // non-empty for any w,h >= 1 need not hold — empty cells reuse
-      // the single nearest pixel via the max(1, …) span guard)
+      // integer block-average 9×8 luma grid: cell (gx, gy) covers
+      // pixels x ∈ [gx·w/9, max(gx·w/9 + 1, (gx+1)·w/9)) etc. — the
+      // +1 floor on the span means every cell reads at least one
+      // pixel for any w, h >= 1 (cells can overlap when w < 9 or
+      // h < 8, never be empty)
       val grid = Array.ofDim[Long](8, 9)
       var gy = 0
       while (gy < 8) {
@@ -212,7 +220,7 @@ object MultimodalOps {
             }
             y += 1
           }
-          grid(gy)(gx) = if (n == 0) 0L else sum / n
+          grid(gy)(gx) = sum / n // n >= 1 by the span guard above
           gx += 1
         }
         gy += 1
