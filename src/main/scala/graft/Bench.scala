@@ -15,21 +15,27 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // deterministic run order (Map iteration is hash-ordered), and drop
     // any per-query caches so one query's cached RDDs don't tax the next.
-    // Cheap queries run TWICE and report the best: this box is shared and
-    // load swings sub-second runs >3× (two r2 queries regressed on
-    // unchanged code), so per-query minima are the comparable number and
-    // the first run absorbs per-plan codegen compilation. Queries whose
-    // first run exceeds the threshold (the real-streaming and iterative
-    // keys, which redo full multi-job work every invocation) keep the
-    // single measurement: a rerun would double minutes to shave noise
-    // that long runs already average out, and unbounded bench wall-clock
-    // risks the harness's patience. Comparability across rounds: every
-    // key that can exceed the threshold at sane load is NEW this round
-    // (q79/q80/q84–q87), so no prior warm-min number exists to compare
-    // a cold single against; historic keys stay under it except when
-    // load is high enough that all numbers are junk anyway (load_avg is
-    // recorded for exactly that judgment).
-    val RerunBelowSecs = 5.0
+    // Queries run TWICE and report the best: this box is shared and load
+    // swings runs >3× (r2 and r4 both produced phantom regressions on
+    // unchanged code — q76/q77/q78, then q55), so per-query minima are
+    // the comparable number and the first run absorbs per-plan codegen
+    // compilation. Two exclusions keep wall-clock bounded:
+    //  - STREAMING/ITERATIVE keys (listed below) run once regardless:
+    //    each invocation redoes full multi-job stateful work (micro-batch
+    //    replays, Pregel loops with per-iteration checkpoints), so long
+    //    runs already average out scheduler noise and a rerun would
+    //    double the slowest minutes of the bench;
+    //  - anything whose first run exceeds 10 s runs once: unbounded
+    //    bench wall-clock risks the harness's patience. The threshold
+    //    was 5 s through r5; q55's 1.8× phantom regression landed at
+    //    4.86 s — inside the old window only if load stayed low — so
+    //    the window is now wide enough that every non-streaming key
+    //    gets a warm minimum at any sane load.
+    val RerunBelowSecs = 10.0
+    val SingleRun = Set(
+      "q79_stream_upsert_load", "q84_stream_tumble", "q85_stream_session",
+      "q86_stream_join", "q102_stream_heavy_hitters", // micro-batch replays
+      "q87_components", "q89_dedup_clusters", "q101_pagerank") // iterative
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -44,8 +50,9 @@ object Bench {
       // rerun is only a refinement, and marking the query failed would
       // both shrink the reported total and miscount `failed`
       val best =
-        if (r1 >= 0 && r1 < RerunBelowSecs) { val r2 = run(); if (r2 < 0) r1 else math.min(r1, r2) }
-        else r1
+        if (r1 >= 0 && r1 < RerunBelowSecs && !SingleRun(name)) {
+          val r2 = run(); if (r2 < 0) r1 else math.min(r1, r2)
+        } else r1
       name -> best
     }.toMap
     // ms precision: full doubles overflowed the driver's captured tail in
@@ -89,7 +96,7 @@ object Bench {
         s"""{
            |"metric":"total","value":${ms(total)},"unit":"sec",
            |"failed":$failed,"load_avg":${ms(load)},"sf":"$sfDir",
-           |"agg":"min of 2 runs when first run < 5s, else single run",
+           |"agg":"min of 2 runs when first run < 10s, single run for streaming/iterative keys",
            |"queries":{
            |$perQuery
            |}

@@ -271,12 +271,17 @@ object CorpusQueries {
       def grams(d: org.apache.spark.sql.DataFrame) =
         d.select(col("doc_id"), explode(shingles(col("text"), 4)).as("g"))
           .select(col("doc_id"), poly_hash(col("g")).as("h"))
-      // persisted: the sketch build materializes this eagerly (head()),
-      // and the exact semi-join re-reads it at execution — without the
-      // persist the eval shard would be scanned, shingled and hashed
-      // twice. Verify/Bench clearCache() between keys.
+      // eager localCheckpoint, not persist(): the sketch build
+      // materializes this frame (head()) and the exact semi-join re-reads
+      // it at execution — without pinning, the eval shard would be
+      // scanned, shingled and hashed twice. cache() entries sit in the
+      // session CacheManager until an explicit unpersist, which a
+      // returned lazy plan can never schedule (any caller not running
+      // clearCache() between keys would leak it for the session);
+      // checkpoint blocks are freed by the ContextCleaner once the
+      // returned plan becomes unreachable — the Staging.upsert pattern.
       val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
-        .select("h").distinct().persist()
+        .select("h").distinct().localCheckpoint(true)
       val sketch = evalGrams
         .select(bloom_agg(col("h"), 100000L, 800000L).as("bf"))
         .head().getAs[Array[Byte]](0)

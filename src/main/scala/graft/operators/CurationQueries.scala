@@ -202,15 +202,20 @@ object CurationQueries {
       // vocab-sized re-agg) — a separate toks.count would scan and
       // explode the whole corpus a third time
       val total = counts.agg(sum("cnt").cast("long").as("n"))
-      // residual cross-engine risk, documented: ln is correctly-
-      // rounded to ~1 ulp on both engines, so a token whose
-      // -ln(p)·1e6 lies within an ulp of an integer could floor
-      // differently (~1e-9 per DISTINCT token — the corpus vocab, not
-      // the corpus size, is the exposure, and it is 31 here)
+      // cross-engine floor guard: ln is only ~1-ulp accurate on each
+      // engine, so a token whose -ln(p)·1e6 lands within an ulp of an
+      // integer could floor differently between Spark and the oracle.
+      // Snap to the nearest integer when within 1e-6 (both engines
+      // compute the same nearest integer in that branch — half-cases
+      // are 0.5 away and can't enter it), THEN floor; the oracle SQL
+      // applies the identical snap, removing the divergence entirely
+      // instead of merely making it vocabulary-rare.
       val lm = counts
         .crossJoin(broadcast(total))
+        .withColumn("x", -log(col("cnt").cast("double") / col("n")) * 1e6)
         .select(col("tok"),
-          floor(-log(col("cnt").cast("double") / col("n")) * 1e6)
+          floor(when(abs(col("x") - round(col("x"), 0)) < 1e-6,
+              round(col("x"), 0)).otherwise(col("x")))
             .cast("long").as("lnq"))
       toks.join(broadcast(lm), "tok")
         .groupBy("doc_id")
@@ -298,9 +303,11 @@ object CurationQueries {
     "q103_perplexity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |n AS (SELECT count(*) AS n FROM t),
-        |lm AS (SELECT tok,
-        |  CAST(floor(-ln(count(*)::DOUBLE / n.n) * 1000000) AS BIGINT) AS lnq
+        |lmx AS (SELECT tok, -ln(count(*)::DOUBLE / n.n) * 1000000 AS x
         | FROM t, n GROUP BY tok, n.n),
+        |lm AS (SELECT tok,
+        |  CAST(floor(CASE WHEN abs(x - round(x)) < 1e-6 THEN round(x) ELSE x END) AS BIGINT) AS lnq
+        | FROM lmx),
         |s AS (SELECT doc_id, CAST(sum(lnq) AS BIGINT) AS surprisal, count(*) AS nt
         |      FROM t JOIN lm USING (tok) GROUP BY doc_id)
         |SELECT doc_id, nt, surprisal // nt AS ppx_micro

@@ -95,18 +95,40 @@ object EventAnalytics {
     // equal-ts events straddling a type change — match nothing by
     // construction; the gate compares coverage stats).
     //
-    // Scale note: both sides shuffle once on user_id; the validity
-    // predicate evaluates inside the sort-merge join on co-located
-    // partitions. Version count per user is small (bounded state), so
-    // the per-user fan-out is bounded — never a cross product.
+    // Routed through the NATIVE as-of operator (plans/AsOfJoinPlan —
+    // preference-order (c), the same node q61 gates): because q94's
+    // half-open intervals tile each user's timeline, "the version
+    // valid AT ts" ≡ "the LATEST version with valid_from <= ts" — an
+    // as-of join on (user_id, valid_from) with version as tie-break.
+    // Equal-valid_from chains (zero-width versions) resolve to the MAX
+    // version via the (ts, version) right-sort + last-match-wins merge,
+    // exactly the interval answer: a zero-width version's successor
+    // shares its valid_from, so zero-width versions still match
+    // nothing. The oracle keeps the declarative interval join — the
+    // differential check IS the proof of the equivalence.
+    //
+    // Scale note vs the old range-residual SMJ: same two user_id
+    // exchanges (the dimension side reuses q94's build exchange), but
+    // the merge carries ONE last-seen row instead of buffering each
+    // user's version block for the range residual; per-row work is the
+    // monotone merge advance. Hot-key safety: one user's timeline is
+    // one partition here (bounded versions/user); asofSalted is the
+    // escape hatch when a key's event volume outgrows a task.
     "q104_scd2_lookup" -> { (s, dir) =>
       val dim = scd2Dimension(s, dir)
+        .select(col("user_id").as("d_uid"), col("version").as("d_version"),
+          col("valid_from").as("d_from"))
       val ev = loadEvents(s, dir).select(col("user_id"), col("ts"))
-      val matched = ev.join(dim,
-          ev("user_id") === dim("user_id") &&
-          ev("ts") >= dim("valid_from") &&
-          (dim("valid_to").isNull || ev("ts") < dim("valid_to")))
-        .select(dim("user_id"), col("version"))
+      // keep the LEFT key attribute: the as-of node reports the events
+      // side's hashpartitioning(user_id), so grouping on it reuses the
+      // exchange — selecting the right side's d_uid (equal on every
+      // matched row, and every row matches by tiling) would drop the
+      // partitioning attribute and re-shuffle the per-version counts
+      val matched = AsOfJoin.asof(ev, dim,
+          leftKey = "user_id", rightKey = "d_uid",
+          leftTs = "ts", rightTs = "d_from",
+          rightTieBreak = Seq("d_version"))
+        .select(col("user_id"), col("d_version").as("version"))
       matched.groupBy("user_id", "version")
         .agg(count(lit(1)).as("n_events"))
         .groupBy()

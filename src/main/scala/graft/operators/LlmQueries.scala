@@ -83,23 +83,32 @@ object LlmQueries {
     * At 100 TB the same argument holds: 256 B of signature per band row
     * is the standard LSH payload trade, and dedup work scales with the
     * candidate count either way. */
+  /** doc_id → one row per LSH band: (doc_id, sig, bk) where bk is the
+    * composite band key "b:k1,k2,k3,k4" — the band index prefixed so ONE
+    * string column is the whole join key (hash-partitionable, bucketable
+    * by [[graft.sources.Staging.storeBucketed]]; the ':' separator keeps
+    * the encoding unambiguous — band indexes are digits, slice keys hold
+    * only digits and commas). Signatures ride along for verification. */
+  def bandKeys(sig: DataFrame): DataFrame =
+    sig
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("b"))
+      .select(col("doc_id"), col("sig"),
+        concat_ws(":", col("b"),
+          concat_ws(",", slice(col("sig"), col("b") * RowsPerBand + 1,
+            lit(RowsPerBand)))).as("bk"))
+
   def minhashPairs(docs: DataFrame, k: Int = 3): DataFrame = {
     // consumed twice (both sides of the band join); cache avoids
     // recomputing the shingle scan per consumer. NB callers running many
     // corpora in one session should clearCache()/unpersist between runs
     // (Verify and Bench both do)
     val sig = minhashSignatures(docs, k).cache()
-    val bands = sig
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(NumBands - 1))).as("b"))
-      .select(col("doc_id"), col("sig"), col("b"),
-        concat_ws(",", slice(col("sig"), col("b") * RowsPerBand + 1,
-          lit(RowsPerBand))).as("bkey"))
-    val ba = bands.toDF("doc_a", "sig_a", "b_a", "key_a")
-    val bb = bands.toDF("doc_b", "sig_b", "b_b", "key_b")
+    val bands = bandKeys(sig)
+    val ba = bands.toDF("doc_a", "sig_a", "key_a")
+    val bb = bands.toDF("doc_b", "sig_b", "key_b")
     ba.join(bb,
-        col("b_a") === col("b_b") && col("key_a") === col("key_b") &&
-        col("doc_a") < col("doc_b"))
+        col("key_a") === col("key_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         graft.plans.GraftExpressions.zip_equal(col("sig_a"), col("sig_b"))
           .as("match_cnt"))

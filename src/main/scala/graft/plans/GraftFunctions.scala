@@ -71,7 +71,15 @@ object GraftFunctions {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     e match {
       case Literal(v: Number, ByteType | ShortType | IntegerType | LongType)
-          if v != null => v.intValue()
+          if v != null =>
+        // range-check on the LONG value before narrowing: intValue() wraps
+        // silently, so an out-of-range BIGINT literal (k = 2^32 + 2) would
+        // otherwise become k = 2 — truncation, which this contract rejects
+        val lv = v.longValue()
+        if (lv < 1L || lv > Int.MaxValue.toLong)
+          throw new IllegalArgumentException(
+            s"$fn: capacity/k must be in [1, ${Int.MaxValue}], got $lv")
+        lv.toInt
       case _ => throw new IllegalArgumentException(
         s"$fn: capacity/k must be a non-null INTEGRAL literal")
     }

@@ -163,6 +163,19 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the two key-cluster exchanges:\n$p")
   }
 
+  test("q104 point-in-time lookup runs on the native as-of node, dim exchange reused") {
+    // the second real workload through AsOfJoinPlan: the SCD2 dimension
+    // side must SHARE q94's user_id build exchange (its windows, groupBy
+    // and the as-of's ClusteredDistribution all key on user_id), so the
+    // whole lookup costs two exchanges — events clustering + dim build —
+    // plus nothing for the final scalar agg's single-partition collapse
+    val p = plan("q104_scd2_lookup")
+    assert(p.contains("AsOfJoin"),
+      s"lookup must plan the native as-of node, not a range-residual SMJ:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"dim side must reuse the SCD2 build exchange:\n$p")
+  }
+
   test("q91 chunking is shuffle-free (narrow generate, no hash exchange)") {
     // chunking 100 TB must be embarrassingly parallel: only the tWide
     // round-robin and the presentation sort's range exchange may appear

@@ -200,6 +200,17 @@ class GraftFunctionsSpec extends SparkSpec {
       spark.sql("SELECT graft_topk(v, id, 2.9) FROM VALUES (1.0D, 1L) AS d(v, id)")
         .collect()
     }
+    // a BIGINT k outside int range must be rejected, not int-wrapped
+    // (4294967298 = 2^32 + 2 wraps to 2 under Number.intValue)
+    intercept[Exception] {
+      spark.sql("SELECT graft_topk(v, id, 4294967298) FROM VALUES (1.0D, 1L) AS d(v, id)")
+        .collect()
+    }
+    // k < 1 must be rejected with the same contract error
+    intercept[Exception] {
+      spark.sql("SELECT graft_misra_gries(g, 0) FROM VALUES ('a') AS d(g)")
+        .collect()
+    }
     // wrong input types fail at ANALYSIS, not mid-job ClassCastException
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(
