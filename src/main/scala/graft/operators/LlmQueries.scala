@@ -144,6 +144,47 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Incremental (delta-vs-corpus) near-dup — the shape a real training
+    // pipeline runs DAILY: a new ingest batch (doc_id % 10 = 7, ~10%)
+    // asks "which of my docs duplicate the EXISTING corpus" without ever
+    // re-pairing corpus × corpus. The corpus's MinHash signatures + band
+    // keys are persisted BUCKETED on the band key
+    // (Staging.storeBucketed), so the probe is newBatch-bands against a
+    // pre-bucketed table: at 100 TB the corpus side is written once,
+    // appended per ingest (Staging.upsert), and NEVER shuffles again —
+    // each day's join moves only the batch's band rows. Here the batch
+    // is small enough to broadcast (zero shuffle on either side); when a
+    // batch outgrows broadcast, the bucketed layout makes the fallback a
+    // sort-merge join that exchanges ONLY the batch side (pinned by
+    // PlanSpec, the q69 discipline). Batch-internal duplicates are q44's
+    // job, deliberately out of scope here.
+    "q106_dedup_incremental" -> { (s, dir) =>
+      val docs = tWide(s, dir, "documents")
+      val isBatch = col("doc_id") % 10 === 7
+      // bucketed corpus index, session-suffixed like q69's tables;
+      // within a session re-runs drop + rewrite the same table
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.sources.Staging.vacuumStale(s, wh, "graft_corpus_bands_")
+      val tab = "graft_corpus_bands_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      val B = 8
+      graft.sources.Staging.storeBucketed(
+        bandKeys(minhashSignatures(docs.filter(!isBatch)))
+          .repartition(B, col("bk")),
+        tab, Seq("bk"), B)
+      val corpus = s.table(tab).toDF("corpus_doc", "sig_c", "bk")
+      val batch = bandKeys(minhashSignatures(docs.filter(isBatch)))
+        .toDF("batch_doc", "sig_b", "bk_b")
+      corpus.join(broadcast(batch), col("bk") === col("bk_b"))
+        .select(col("batch_doc"), col("corpus_doc"),
+          graft.plans.GraftExpressions.zip_equal(col("sig_b"), col("sig_c"))
+            .as("match_cnt"))
+        .filter(col("match_cnt") >= NearDupMinMatches)
+        .distinct()
+        .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
+        .orderBy("batch_doc", "corpus_doc")
+    },
+
     // Brute-force cosine top-5 per query vector (vec_id % 50 = 0).
     // Norms are precomputed per vector (one linear pass) so the O(|q|·n)
     // pair stage evaluates ONE seq_dot per pair, not three.
@@ -243,6 +284,47 @@ object LlmQueries {
         |SELECT doc_a, doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard
         |FROM est WHERE match_cnt >= 26
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q44's declarative replay restricted to mixed pairs (exactly one
+    // side in the ingest batch), relabeled (batch_doc, corpus_doc):
+    // signatures are per-doc quantities, so the one-shot pair query
+    // with a side filter IS the incremental answer
+    "q106_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+        |    (a,b) -> (a*131 + b) % 2147483647) AS h
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id, i,
+        |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
+        |  GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |  WHERE (x.doc_id % 10 = 7) != (y.doc_id % 10 = 7)),
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
+        |  FROM cand
+        |   JOIN sig sa ON sa.doc_id = doc_a
+        |   JOIN sig sb ON sb.doc_id = doc_b)
+        |SELECT CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS batch_doc,
+        |  CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS corpus_doc,
+        |  match_cnt, match_cnt / 32.0 AS est_jaccard
+        |FROM est WHERE match_cnt >= 26
+        |ORDER BY batch_doc, corpus_doc""".stripMargin,
 
     // norms precomputed per vector in CTE `e` — the same sqrt'd
     // sequential fold the Spark side's l2Norm runs (D7: bit-identical

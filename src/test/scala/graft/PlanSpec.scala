@@ -92,6 +92,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with"), s"interpreted lambda crept back in:\n$p")
   }
 
+  test("q106 incremental dedup reads corpus bands pre-bucketed, shuffles only the batch") {
+    // the 100 TB story: the corpus band index is written once, bucketed
+    // on the band key; the daily probe must never re-shuffle it. At
+    // fixture scale the batch side broadcasts (NO exchange on either
+    // side of the join — only the post-verify distinct may shuffle).
+    val p = plan("q106_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small-batch probe must broadcast the batch bands:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"corpus bands must come from the bucketed table scan:\n$p")
+    // exactly two hash exchanges, BOTH batch-proportional: the batch's
+    // own signature aggregation (doc_id groupBy — inherent to MinHash)
+    // and the pair distinct; the corpus side contributes none
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"corpus side must not shuffle — only batch sig-agg + pair distinct:\n$p")
+    // at-scale shape: a batch too big to broadcast falls back to a
+    // sort-merge join over the bucketed corpus scan, exchanging ONLY the
+    // batch side (q69's discipline, same conf opt-in for bucket order)
+    import org.apache.spark.sql.functions.col
+    val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(orderingConf, "true")
+    val sfx = graft.sources.Staging.sessionSuffix(spark, dir)
+    try {
+      val docs = Tables.tWide(spark, dir, "documents")
+      val batch = graft.operators.LlmQueries.bandKeys(
+          graft.operators.LlmQueries.minhashSignatures(
+            docs.filter(col("doc_id") % 10 === 7)))
+        .toDF("batch_doc", "sig_b", "bk_b")
+      val smj = spark.table(s"graft_corpus_bands_$sfx")
+        .join(batch.hint("merge"), col("bk") === col("bk_b"))
+      val sp = smj.queryExecution.executedPlan.toString
+      assert(sp.contains("SortMergeJoin"), s"expected sort-merge join:\n$sp")
+      assert(sp.contains("Bucketed: true"),
+        s"corpus side must scan the bucketed layout:\n$sp")
+      // two exchanges, both on the BATCH side: its signature agg and its
+      // re-cluster into the corpus's bucket layout; corpus adds none
+      assert("Exchange hashpartitioning".r.findAllIn(sp).size === 2,
+        s"only the batch side may shuffle into the corpus buckets:\n$sp")
+    } finally spark.conf.unset(orderingConf)
+  }
+
   test("q57 reuses its cached bucket assignment instead of recomputing it") {
     // the centroid crossJoin + per-vector window is the expensive
     // subplan; both the query set and the member set consume it, so it
