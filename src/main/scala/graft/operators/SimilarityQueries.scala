@@ -198,24 +198,37 @@ object SimilarityQueries {
         .orderBy("label")
     },
 
-    // IVF ANN: centroids = vec_id % 100 = 0; assign all vectors to their
-    // nearest centroid; probe only the query's bucket, top-3.
-    // The bucket-assignment subplan (centroid crossJoin + per-vector
-    // window — the expensive stage) is cache()'d because BOTH the query
-    // set and the member set consume it; uncached it would run twice per
-    // execution. Norms are precomputed per vector, so assignment and
-    // probe each pay one seq_dot per pair.
+    // IVF ANN with a PERSISTED index: centroids = vec_id % 100 = 0;
+    // every vector is assigned to its nearest centroid ONCE and the
+    // index (vector + norm + assignment) is written hive-partitioned BY
+    // CENTROID; probes then read ONLY the buckets their query centroids
+    // name — a partition-pruned scan (the q75 discipline applied to ANN
+    // serving). This is the 100 TB shape: the build is one bounded
+    // crossJoin with the broadcast centroid table + one window on
+    // vec_id (payload never rides the ×C expansion — assignment is
+    // joined back), amortized across every query batch; each probe
+    // touches corpus/C per centroid probed instead of the corpus. The
+    // probe set's distinct centroid ids are metadata-scale and are
+    // collected to the driver to become the pruning predicate — the
+    // same routing handshake a production ANN service does to pick
+    // shards (cf. q98 collecting its ~100 KB Bloom sketch).
     "q57_ann_ivf" -> { (s, dir) =>
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_ivf_idx_")
+      val idxPath = s"$tmp/graft_ivf_idx_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      // ---- build: nearest-centroid assignment, written once per
+      // (session, sf); re-runs overwrite the same path
       val e = tWide(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
-        .cache()
+        .persist()
       val cent = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           col("nrm").as("cn"))
       val wAsgn = Window.partitionBy("vec_id")
         .orderBy(desc("csim"), col("cid"))
-      val buckets = e.crossJoin(cent)
+      val buckets = e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cid"),
           graft.functions.VectorOps.cosinePre(
             seqDot(col("embedding"), col("ce")), col("nrm"), col("cn"))
@@ -223,16 +236,23 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(wAsgn))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"))
-        .cache()
-      val q = e.join(buckets, "vec_id")
-        .filter(col("vec_id") % 50 === 0)
+      graft.sources.Staging.store(e.join(buckets, "vec_id"), idxPath,
+        partitionBy = Seq("cid"))
+      e.unpersist() // store() is an action — the build is done
+      // ---- probe: queries name their centroids; members come from a
+      // partition-PRUNED read of just those buckets
+      val idx = s.read.parquet(idxPath)
+      val q = idx.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cid").as("qcid"))
-      val members = e.join(buckets, "vec_id")
+      // bounded by the query count; the partition values arrive as the
+      // inference-typed partition column — pass them through raw
+      val qcids = q.select("qcid").distinct().collect().map(_.get(0))
+      val members = idx.filter(col("cid").isin(qcids: _*))
         .select(col("vec_id").as("nid"), col("embedding").as("ne"),
           col("nrm").as("nn"), col("cid").as("ncid"))
       val wTop = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
-      q.join(members, col("qcid") === col("ncid") &&
+      broadcast(q).join(members, col("qcid") === col("ncid") &&
           col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"),
           graft.functions.VectorOps.cosinePre(

@@ -133,13 +133,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(orderingConf)
   }
 
-  test("q57 reuses its cached bucket assignment instead of recomputing it") {
-    // the centroid crossJoin + per-vector window is the expensive
-    // subplan; both the query set and the member set consume it, so it
-    // must come from the cache (r2 verdict: it ran twice uncached)
+  test("q57 probes a partition-PRUNED read of the persisted IVF index") {
+    // the ANN serving shape: the index is written hive-partitioned by
+    // centroid; the member scan must carry the query centroids as
+    // PartitionFilters (directory pruning), never a row filter over the
+    // whole index — and the bounded query side must broadcast
     val p = plan("q57_ann_ivf")
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      s"bucket assignment must be served from cache:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      s"member scan must prune index buckets by query centroid:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the bounded query side must broadcast into the probe:\n$p")
   }
 
   test("q83 quantization runs the one-pass codegen kernel, not HOF lambdas") {
