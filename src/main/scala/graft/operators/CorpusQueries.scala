@@ -42,6 +42,77 @@ object CorpusQueries {
   private val Planes = 16
   private val Bands = 4 // 4 bands × 4 bits
 
+  /** q71's deterministic per-row shuffle key (LCG on doc_id), shared by
+    * the mixing operator: reduce mod p BEFORE the multiply so the
+    * arithmetic never overflows int64 under ANSI mode. */
+  private def shuffleKey(c: Column): Column =
+    pmod(pmod(c, lit(2147483647L)) * 1103515245L + 12345L,
+      lit(2147483647L))
+
+  /** q107's weight table (source → per-mille keep rate), generated from
+    * the numeric source suffix so one formula is the single source of
+    * truth for the Spark side and the oracle's VALUES list. */
+  private[operators] val MixWeights: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (1000 - 45 * i))
+
+  /** Data mixing — per-source weighted sampling with EXACT deterministic
+    * quotas: keep exactly ceil(n_src · wpm / 1000) docs of each source,
+    * chosen by hash rank (the standard pretraining mixture step: a
+    * temperature/weight table turned into per-source cutoffs).
+    *
+    * Equivalent to "row_number() over (partition by source order by
+    * hash) <= quota" — the oracle replays exactly that — but computed
+    * WITHOUT ranking the corpus: a per-source window would sort 100 TB
+    * on a handful of source keys (one reducer per source, the q74 skew
+    * shape). Instead, distributed exact selection:
+    *   1. bucket each row by its hash's high bits (`nBuckets` ranges);
+    *   2. count per (source, bucket) — a bounded two-phase agg — and
+    *      running-sum the counts per source (metadata-scale window);
+    *   3. buckets whose cumulative count fits the quota keep ALL rows;
+    *      the single boundary bucket per source ranks ONLY its own rows
+    *      (corpus/nBuckets of the data) for the remainder; later
+    *      buckets drop without ever shuffling.
+    * Rows shuffle once for the (source, bucket) count (map-combined,
+    * bounded keys) and only the boundary slivers hit a window — per-row
+    * order (hash, doc_id) is bucket-major, so the union equals the rank
+    * cutoff exactly. Sources absent from `weights` keep nothing. */
+  def mixSources(docs: DataFrame, weights: Map[String, Int],
+      nBuckets: Int = 256): DataFrame = {
+    val step = 2147483647L / nBuckets + 1
+    val d = docs
+      .withColumn("__hk", shuffleKey(col("doc_id")))
+      .withColumn("__bkt", expr(s"__hk DIV $step"))
+    val wmap = typedLit(weights)
+    val counts = d.groupBy("source", "__bkt")
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy("source").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = d.groupBy("source").agg(count(lit(1)).as("__n_src"))
+      .withColumn("__wmap", wmap)
+      .withColumn("__quota", expr(
+        "CAST((__n_src * coalesce(element_at(" +
+          "__wmap, source), 0) + 999) DIV 1000 AS BIGINT)"))
+      .select("source", "__quota")
+    // decision per (source, bucket): keep-all / boundary(need) / drop
+    val decision = counts
+      .withColumn("__cum", sum("__cnt").over(wCum))
+      .join(totals, "source")
+      .withColumn("__before", col("__cum") - col("__cnt"))
+      .filter(col("__before") < col("__quota")) // drop-buckets vanish here
+      .select(col("source"), col("__bkt"), col("__cum"), col("__quota"),
+        (col("__quota") - col("__before")).as("__need"))
+    val joined = d.join(broadcast(decision), Seq("source", "__bkt"))
+    val keepAll = joined.filter(col("__cum") <= col("__quota"))
+    val wB = Window.partitionBy("source", "__bkt")
+      .orderBy("__hk", "doc_id")
+    val boundary = joined.filter(col("__cum") > col("__quota"))
+      .withColumn("__rnb", row_number().over(wB))
+      .filter(col("__rnb") <= col("__need"))
+      .drop("__rnb")
+    keepAll.unionByName(boundary)
+      .select(docs.columns.map(col(_)): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 10% corpus sample.
     "q70_sample_hash" -> { (s, dir) =>
@@ -246,6 +317,22 @@ object CorpusQueries {
         .orderBy("c_mktsegment")
     },
 
+    // Data-mixing under the oracle gate: [[mixSources]] with the
+    // generated weight table, summarized per source as (kept count,
+    // kept-id checksum) — kept_id_sum pins the EXACT kept set, so any
+    // divergence between the distributed selection and the oracle's
+    // naive rank-cutoff replay (one window over the whole corpus — the
+    // formulation that does NOT scale) hash-fails the gate. The
+    // differential check is thereby also the equivalence proof for the
+    // bucketed selection algorithm.
+    "q107_mix_sources" -> { (s, dir) =>
+      mixSources(t(s, dir, "documents"), MixWeights.toMap)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").cast("long").as("kept_id_sum"))
+        .orderBy("source")
+    },
+
     // q81's decontamination with a Bloom-sketch prefilter: the eval
     // gram set aggregates into a fixed-size Bloom filter (Spark's own
     // BloomFilterAggregate — the runtime-row-group-filter machinery),
@@ -436,6 +523,28 @@ object CorpusQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // naive declarative twin of the distributed exact selection: rank
+    // per source over (hash, doc_id), keep rn <= quota — identical set
+    // by construction (bucket order is hash-major); VALUES generated
+    // from the same MixWeights formula
+    "q107_mix_sources" -> {
+      val values = MixWeights
+        .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
+      s"""WITH w(source, wpm) AS (VALUES $values),
+         |c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+         |q AS (SELECT c.source, (n_src * wpm + 999) // 1000 AS quota
+         |      FROM c JOIN w USING (source)),
+         |r AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647,
+         |            doc_id) AS rn
+         |      FROM documents)
+         |SELECT r.source, count(*) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+         |FROM r JOIN q ON r.source = q.source AND r.rn <= q.quota
+         |GROUP BY r.source ORDER BY r.source""".stripMargin
+    },
 
     // exact result (the Bloom sketch only PREfilters; the semi-join is
     // exact), so the oracle is q81's shape grouped by source

@@ -24,6 +24,44 @@ class CorpusSpec extends SparkSpec {
     assert(keys.forall(k => k >= 0 && k < 2147483647L))
   }
 
+  test("mixSources equals the naive rank cutoff, exact quotas, drops unknown sources") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed synthetic corpus: source sizes 1, 7, 400, plus an unlisted
+    // source; tiny bucket count forces MANY boundary buckets per source
+    val docs = (
+      (1L to 400L).map(i => (i, "big")) ++
+      (401L to 407L).map(i => (i, "small")) ++
+      Seq((408L, "one"), (409L, "unlisted"))
+    ).toDF("doc_id", "source")
+    val weights = Map("big" -> 337, "small" -> 500, "one" -> 1000)
+    val mixed = CorpusQueries.mixSources(docs, weights, nBuckets = 4)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // exact ceil quotas: big 400*337/1000 -> 135, small ceil(3.5) -> 4
+    val bySrc = mixed.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc === Map("big" -> 135, "small" -> 4, "one" -> 1))
+    // equivalence with the formulation that does not scale: rank per
+    // source by (shuffle key, doc_id), keep rn <= quota
+    val hk = pmod(
+      pmod(col("doc_id"), lit(2147483647L)) * 1103515245L + 12345L,
+      lit(2147483647L))
+    val w = Window.partitionBy("source").orderBy(hk, col("doc_id"))
+    val naive = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("quota",
+        element_at(typedLit(weights), col("source")) * col("n_src"))
+      .filter(col("rn").cast("long") * 1000 <= col("quota") + 999)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mixed === naive, "bucketed selection must equal the rank cutoff")
+    // wpm = 1000 keeps everything; unlisted sources keep nothing
+    assert(mixed.count(_._2 == "one") === 1)
+    assert(!mixed.exists(_._2 == "unlisted"))
+  }
+
   test("stratified sample keeps at most k per stratum, deterministically") {
     val dir = "/root/testdata/sf0.001"
     val run1 = CorpusQueries.queries("q71_sample_stratified")(spark, dir)
