@@ -67,7 +67,20 @@ object MultimodalOps {
       decodeVideoImageIo(payload)
   }
 
-  val defaultVideoDecoders: Seq[VideoDecoder] = Seq(imageIoVideoDecoder)
+  /** Pure-JDK MJPEG-in-AVI codec: RIFF container walk + per-frame JPEG
+    * decode through `javax.imageio` — a REAL multi-frame video path with
+    * no native dependencies, proving the [[VideoDecoder]] seam carries an
+    * actual codec (MP4/WebM stay on the byte-histogram fallback; their
+    * codecs don't ship in a JDK). See [[decodeAviMjpeg]]. */
+  val aviMjpegDecoder: VideoDecoder = new VideoDecoder {
+    def decode(payload: Array[Byte]): Option[VideoFrames] =
+      decodeAviMjpeg(payload)
+  }
+
+  /** Probe order: the AVI sniff is a 12-byte magic check, so it goes
+    * first; ImageIO's reader iteration handles the rest. */
+  val defaultVideoDecoders: Seq[VideoDecoder] =
+    Seq(aviMjpegDecoder, imageIoVideoDecoder)
 
   /** Storage schema for a media table: opaque binary + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -407,6 +420,87 @@ object MultimodalOps {
       case _: java.io.IOException => None
       case scala.util.control.NonFatal(_) => None
     }
+
+  /** MJPEG-in-AVI decode, pure JDK: walk the RIFF chunk tree ('RIFF' /
+    * 'AVI ' magic, chunks = fourcc + u32-LE size + even-padded body,
+    * 'LIST' chunks nest behind a 4-byte list type), pull stream timing
+    * and dimensions from the 'avih' main header (dwMicroSecPerFrame at
+    * +0, dwWidth/dwHeight at +32/+36 — the public AVIMAINHEADER layout),
+    * and decode every video-data chunk ('##dc'/'##db' — MJPEG frames are
+    * standalone JPEGs) with the JDK's JPEG reader. Frame means use the
+    * same integer Rec.601 luma as every other decode path. Dimensions
+    * fall back to the first decoded frame when 'avih' is absent;
+    * duration = decoded frames × µs/frame. None unless the RIFF/AVI
+    * magic matches AND at least one frame chunk decodes — a claimed-but-
+    * corrupt payload degrades to the caller's fallback, never a task
+    * failure. Truncated chunk sizes are clamped to the buffer; the walk
+    * is strictly forward (size+pad advance ≥ 8 guarded), so adversarial
+    * headers can't loop it. */
+  private def decodeAviMjpeg(payload: Array[Byte]): Option[VideoFrames] =
+    try {
+      val b = payload
+      def fourcc(off: Int): String =
+        new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      def u32(off: Int): Long =
+        (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+        (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+      if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return None
+      var usPerFrame = 0L
+      var hdrW = 0
+      var hdrH = 0
+      val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (off, len)
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(off)
+          // clamp a lying size field to the enclosing chunk
+          val size = math.min(u32(off + 4), (end - off - 8).toLong).toInt
+          val body = off + 8
+          if (id == "LIST" && size >= 4) walk(body + 4, body + size)
+          else if (id == "avih" && size >= 40) {
+            usPerFrame = u32(body)
+            hdrW = u32(body + 32).toInt
+            hdrH = u32(body + 36).toInt
+          } else if (id.length == 4 && size > 0 &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += ((body, size))
+          }
+          off = body + size + (size & 1) // bodies pad to even length
+        }
+      }
+      walk(12, b.length)
+      if (frames.isEmpty) return None
+      val means = scala.collection.mutable.ArrayBuffer[Double]()
+      var w = hdrW
+      var h = hdrH
+      frames.foreach { case (off, len) =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, off, len)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img.foreach { bi =>
+          if (w <= 0 || h <= 0) { w = bi.getWidth; h = bi.getHeight }
+          var lum = 0L
+          var y = 0
+          while (y < bi.getHeight) {
+            var x = 0
+            while (x < bi.getWidth) {
+              val rgb = bi.getRGB(x, y)
+              lum += (((rgb >> 16 & 0xff) * 299 +
+                (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000)
+              x += 1
+            }
+            y += 1
+          }
+          means +=
+            lum.toDouble / (bi.getWidth.toLong * bi.getHeight) / 255.0
+        }
+      }
+      if (means.isEmpty) None
+      else Some(VideoFrames(w, h, means.length * usPerFrame / 1000L,
+        means.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Codec-agnostic fold of a [[VideoFrames]] into MediaFeatures: frame
     * means binned into `dim` time segments, normalized by the total

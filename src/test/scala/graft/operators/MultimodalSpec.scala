@@ -132,6 +132,55 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.features(1) - m2 / (m1 + m2)) < 1e-3)
   }
 
+  test("MJPEG-in-AVI decodes through the default codec chain: frames, dims, timing") {
+    // build a real MJPEG AVI: RIFF('AVI ' LIST('hdrl' avih)
+    // LIST('movi' 00dc...)) with each frame an ImageIO-encoded JPEG.
+    // 6 frames fade 0 → 250 gray at 25 fps (40_000 µs/frame); the time
+    // profile must RISE — a byte-histogram stub has no such structure.
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val size = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(body.length).array()
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ size ++ body ++ pad
+    }
+    val (w, h, n, usPerFrame) = (16, 8, 6, 40000)
+    val jpegs = (0 until n).map { i =>
+      val gray = i * 50
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, gray << 16 | gray << 8 | gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0, usPerFrame).putInt(16, n).putInt(32, w).putInt(36, h)
+      .array()
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ chunk("avih", avih))
+    val movi = chunk("LIST",
+      "movi".getBytes("US-ASCII") ++ jpegs.flatMap(j => chunk("00dc", j)))
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = chunk("RIFF", riffBody)
+    val rows = mediaDS(Seq(MediaRow(25L, "video", avi, 0, 0, 0, 0L)))
+    val f = decodeFeatures(rows, dim = 3).collect().head
+    assert(f.decoded_frames === n.toLong,
+      s"every MJPEG frame must really decode, got $f")
+    assert(f.decoded_width === w && f.decoded_height === h)
+    assert(f.decoded_duration_ms === n.toLong * usPerFrame / 1000)
+    // fade-in: 3 segments of 2 frames each, strictly rising energy
+    assert(f.features(0) < f.features(1) && f.features(1) < f.features(2),
+      s"time profile must rise for a fade-in, got ${f.features.toSeq}")
+    assert(math.abs(f.features.sum - 1f) < 1e-5f, "profile is normalized")
+    // a truncated AVI (headers only, no frames) must fall back, not fail
+    val empty = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl)
+    val g = decodeFeatures(
+      mediaDS(Seq(MediaRow(26L, "video", empty, 0, 0, 0, 0L))), dim = 3)
+      .collect().head
+    assert(g.decoded_frames === 0L, "frameless AVI takes the fallback")
+  }
+
   test("a plugged VideoDecoder handles MP4 end-to-end; others unaffected") {
     // the codec-pluggable seam: a decoder registered for a format the
     // JDK can't read (MP4, by its real `ftyp` brand at offset 4) flows
