@@ -123,10 +123,19 @@ object SimilarityQueries {
         size(col("arr")).cast("long").as("n"), explode(col("arr")).as("h"))
       val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")
+      // cached like arrs: BOTH sides of the self-join consume this frame,
+      // and alias-renamed self-join sides defeat ReuseExchange (different
+      // exprIds → different exchange subtrees), so uncached the whole
+      // explode + df-agg + window pipeline runs TWICE — measured 2× the
+      // plan's Window/Generate nodes and ~1.4 s of duplicated work at
+      // sf0.1. The frame is prefix tokens only (4 scalar cols, ~3% of
+      // the corpus token stream) — cache cost is trivial next to the
+      // recompute.
       val prefix = sh.join(dfreq, "h")
         .withColumn("rn", row_number().over(wDoc).cast("long"))
         .filter(col("rn") <= floor(col("n") * 0.5) + 1)
         .select("doc_id", "h", "rn", "n")
+        .cache()
       // Candidate generation with PPJoin's full filter set (measured 409k
       // candidates for 256 results without them):
       //  - length filter: J ≥ t bounds the size ratio to [t, 1/t]
@@ -147,15 +156,23 @@ object SimilarityQueries {
       // occurrences are ~5% (measured 131k occurrences vs 125k pairs at
       // sf0.1), so deduping costs a full shuffle to save 5% of the verify
       // work. Verify every occurrence, dedup the tiny post-threshold set.
+      // verify with the thresholded kernel: J >= 0.5 ⇔ 3·inter >= n_a+n_b
+      // ⇔ inter >= ceil((n_a+n_b)/3) = alpha, so the kernel bails out of
+      // a failing pair's merge at the provable miss point and returns -1
+      // (~131k candidate verifies for 256 survivors — nearly every merge
+      // ends early). Survivors carry their exact count; the -1 filter IS
+      // the threshold filter.
       cand
         .join(arrs.toDF("doc_a", "arr_a"), "doc_a")
         .join(arrs.toDF("doc_b", "arr_b"), "doc_b")
         .withColumn("inter",
-          graft.plans.GraftExpressions.sorted_intersect(
-            col("arr_a"), col("arr_b")))
+          graft.plans.GraftExpressions.sorted_intersect_min(
+            col("arr_a"), col("arr_b"),
+            ceil((size(col("arr_a")) + size(col("arr_b")))
+              / lit(3.0)).cast("long")))
+        .filter(col("inter") >= 0L)
         .withColumn("uni",
           (size(col("arr_a")) + size(col("arr_b"))).cast("long") - col("inter"))
-        .filter(col("inter").cast("double") / col("uni") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
           round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
         .distinct()

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -197,6 +197,89 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[SortedIntersectCount]] with the PPJoin verify early-exit (Xiao et
+  * al., WWW'08 §4): returns the EXACT intersection size when it reaches
+  * `alpha`, or -1 the moment the remaining elements can no longer get
+  * there (cnt + min(remaining_a, remaining_b) < alpha). In a similarity
+  * self-join almost every candidate FAILS the threshold — q55 verifies
+  * ~131k occurrences for 256 survivors — so bailing at the provable
+  * miss point skips most of each failing pair's merge. Same sortedness
+  * and null-skip contract as the base kernel; alpha <= 0 degenerates to
+  * the exact count (every count is >= 0 >= alpha). */
+case class SortedIntersectMin(left: Expression, right: Expression,
+    alpha: Expression) extends TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = alpha
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_min"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val arraysOk = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (arraysOk && alpha.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, ARRAY<BIGINT>, BIGINT), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}, ${alpha.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any, al: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val alphaV = al.asInstanceOf[Long]
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < n && j < m) {
+      val rem = math.min(n - i, m - j)
+      if (cnt + rem < alphaV) return -1L
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { cnt += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    }
+    if (cnt >= alphaV) cnt else -1L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, al) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val cnt = ctx.freshName("cnt"); val rem = ctx.freshName("rem")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $n && $j < $m) {
+         |  int $rem = ($n - $i) < ($m - $j) ? ($n - $i) : ($m - $j);
+         |  if ($cnt + $rem < $al) { break; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $x = $a.getLong($i);
+         |    long $y = $b.getLong($j);
+         |    if ($x == $y) { $cnt++; $i++; $j++; }
+         |    else if ($x < $y) { $i++; } else { $j++; }
+         |  }
+         |}
+         |${ev.value} = ($cnt >= $al) ? $cnt : -1L;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SortedIntersectMin =
+    copy(left = newFirst, right = newSecond, alpha = newThird)
 }
 
 /** Positional agreement count of two equal-length long arrays — the
@@ -574,6 +657,12 @@ object GraftExpressions {
   /** Column wrapper: intersection size of two sorted long arrays. */
   def sorted_intersect(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpression(a), toExpression(b)))
+
+  /** Column wrapper: thresholded sorted intersection (exact count when
+    * >= alpha, -1 on provable miss — the PPJoin verify early-exit). */
+  def sorted_intersect_min(a: Column, b: Column, alpha: Column): Column =
+    toColumn(SortedIntersectMin(toExpression(a), toExpression(b),
+      toExpression(alpha)))
 
   /** Column wrapper: positional agreement count of two long arrays. */
   def zip_equal(a: Column, b: Column): Column =

@@ -50,6 +50,12 @@ object GraftFunctions {
       "graft_zip_equal(a, b) takes 2 arguments")
   }
 
+  private def intersectMinBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b, al) => SortedIntersectMin(a, b, al)
+    case _ => throw new IllegalArgumentException(
+      "graft_sorted_intersect_min(a, b, alpha) takes 3 arguments")
+  }
+
   private def mortonBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(x, y) => MortonCode(x, y)
     case _ => throw new IllegalArgumentException(
@@ -114,6 +120,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_zip_equal"),
       new ExpressionInfo(classOf[ZipEqualCount].getName, "graft_zip_equal"),
       zipEqualBuilder),
+    (FunctionIdentifier("graft_sorted_intersect_min"),
+      new ExpressionInfo(classOf[SortedIntersectMin].getName,
+        "graft_sorted_intersect_min"),
+      intersectMinBuilder),
     (FunctionIdentifier("graft_morton"),
       new ExpressionInfo(classOf[MortonCode].getName, "graft_morton"),
       mortonBuilder),

@@ -139,6 +139,29 @@ object GraftProperties extends Properties("graft") {
       got == expected
     }
 
+  // The thresholded intersect must return the base kernel's exact count
+  // when it is >= alpha and -1 otherwise — the early exit may never
+  // change the answer, only skip work.
+  property("sorted_intersect_min = intersect count gated by alpha") =
+    Prop.forAll(
+      Gen.listOf(Gen.chooseNum(0L, 30L)),
+      Gen.listOf(Gen.chooseNum(0L, 30L)),
+      Gen.chooseNum(-2L, 20L)) { (xs, ys, alpha) =>
+      val sess = spark
+      import sess.implicits._
+      val (a, b) = (xs.distinct.sorted, ys.distinct.sorted)
+      val row = Seq((a, b, alpha)).toDF("a", "b", "al")
+        .select(
+          graft.plans.GraftExpressions.sorted_intersect(col("a"), col("b"))
+            .as("base"),
+          graft.plans.GraftExpressions.sorted_intersect_min(
+            col("a"), col("b"), col("al")).as("min"))
+        .head()
+      val base = row.getLong(0)
+      val got = row.getLong(1)
+      got == (if (base >= alpha) base else -1L)
+    }
+
   // Bucketized band join must equal the theta formulation exactly,
   // including negative values and band-boundary ties.
   property("bucketized band join equals the theta formulation") =
