@@ -34,7 +34,8 @@ object Bench {
     val RerunBelowSecs = 10.0
     val SingleRun = Set(
       "q79_stream_upsert_load", "q84_stream_tumble", "q85_stream_session",
-      "q86_stream_join", "q102_stream_heavy_hitters", // micro-batch replays
+      "q86_stream_join", "q102_stream_heavy_hitters",
+      "q108_stream_dedup_incremental", // micro-batch replays
       "q87_components", "q89_dedup_clusters", "q101_pagerank") // iterative
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {

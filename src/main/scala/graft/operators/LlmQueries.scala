@@ -98,6 +98,27 @@ object LlmQueries {
           concat_ws(",", slice(col("sig"), col("b") * RowsPerBand + 1,
             lit(RowsPerBand)))).as("bk"))
 
+  /** Build (or refresh) the persisted corpus band index shared by the
+    * incremental-dedup keys (q106 batch probe, q108 streaming probe):
+    * signatures + band keys for every NON-batch doc (doc_id % 10 != 7),
+    * written bucketed on the band key via `storeBucketed`. Returns the
+    * session-suffixed table name. At 100 TB this table is written once
+    * and appended per ingest (`Staging.upsert`); it never re-shuffles. */
+  def corpusBandIndex(s: SparkSession, dir: String): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    graft.sources.Staging.vacuumStale(s, wh, "graft_corpus_bands_")
+    val tab = "graft_corpus_bands_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    val B = 8
+    graft.sources.Staging.storeBucketed(
+      bandKeys(minhashSignatures(
+          graft.Tables.tWide(s, dir, "documents")
+            .filter(col("doc_id") % 10 =!= 7)))
+        .repartition(B, col("bk")),
+      tab, Seq("bk"), B)
+    tab
+  }
+
   def minhashPairs(docs: DataFrame, k: Int = 3): DataFrame = {
     // consumed twice (both sides of the band join); cache avoids
     // recomputing the shingle scan per consumer. NB callers running many
@@ -159,27 +180,72 @@ object LlmQueries {
     // PlanSpec, the q69 discipline). Batch-internal duplicates are q44's
     // job, deliberately out of scope here.
     "q106_dedup_incremental" -> { (s, dir) =>
-      val docs = tWide(s, dir, "documents")
-      val isBatch = col("doc_id") % 10 === 7
-      // bucketed corpus index, session-suffixed like q69's tables;
-      // within a session re-runs drop + rewrite the same table
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      graft.sources.Staging.vacuumStale(s, wh, "graft_corpus_bands_")
-      val tab = "graft_corpus_bands_" +
-        graft.sources.Staging.sessionSuffix(s, dir)
-      val B = 8
-      graft.sources.Staging.storeBucketed(
-        bandKeys(minhashSignatures(docs.filter(!isBatch)))
-          .repartition(B, col("bk")),
-        tab, Seq("bk"), B)
+      val tab = corpusBandIndex(s, dir)
       val corpus = s.table(tab).toDF("corpus_doc", "sig_c", "bk")
-      val batch = bandKeys(minhashSignatures(docs.filter(isBatch)))
+      val batch = bandKeys(minhashSignatures(
+          tWide(s, dir, "documents").filter(col("doc_id") % 10 === 7)))
         .toDF("batch_doc", "sig_b", "bk_b")
       corpus.join(broadcast(batch), col("bk") === col("bk_b"))
         .select(col("batch_doc"), col("corpus_doc"),
           graft.plans.GraftExpressions.zip_equal(col("sig_b"), col("sig_c"))
             .as("match_cnt"))
         .filter(col("match_cnt") >= NearDupMinMatches)
+        .distinct()
+        .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
+        .orderBy("batch_doc", "corpus_doc")
+    },
+
+    // q106's probe as a TRUE STREAM: new docs arrive as file-source
+    // micro-batches (two ingest batches, doc_id % 20 splits), each row
+    // computes its own MinHash signature with the per-row
+    // [[graft.plans.MinHashCode]] kernel — NO stateful aggregation, no
+    // stream-side shuffle; the signature is a narrow map — then its
+    // band keys stream-static join against the SAME persisted corpus
+    // index q106 reads. The join is stateless (inner stream-static),
+    // so state-store cost is zero and the watermark machinery isn't
+    // needed: this is the always-on ingest-dedup service shape, where
+    // each arriving document is checked against the corpus within its
+    // micro-batch. Verified pairs append to a parquet sink
+    // (exactly-once file log); the read-back dedups band-collision
+    // repeats. Oracle: identical to q106 — streaming ingest must
+    // reproduce the one-shot batch answer bit-for-bit.
+    "q108_stream_dedup_incremental" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      val tab = corpusBandIndex(s, dir)
+      val corpus = s.table(tab).toDF("corpus_doc", "sig_c", "bk")
+      val base = freshBase(s, dir, "q108")
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val batchDocs = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+      val src = stageBatches(s, base, Seq(
+        batchDocs.filter(col("doc_id") % 20 === 7),
+        batchDocs.filter(col("doc_id") % 20 === 17)))
+      graft.Tables.withShufflePartitions(s, 8) {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val sig = stream
+          .withColumn("arr",
+            transform(shingles(col("text"), 3), sg => polyHash(sg)))
+          // shingle-less docs (< 3 tokens) have no signature — the
+          // group-by form drops them by never seeing a row
+          .filter(size(col("arr")) > 0)
+          .select(col("doc_id"),
+            graft.plans.MinHashAgg.minhash_code(col("arr")).as("sig"))
+        val pairs = bandKeys(sig).toDF("batch_doc", "sig_b", "bk_b")
+          .join(corpus, col("bk") === col("bk_b"))
+          .select(col("batch_doc"), col("corpus_doc"),
+            graft.plans.GraftExpressions.zip_equal(col("sig_b"), col("sig_c"))
+              .as("match_cnt"))
+          .filter(col("match_cnt") >= NearDupMinMatches)
+        val q = graft.streaming.StreamPipelines
+          .writeParquetStream(pairs, outDir, ckpt)
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select("batch_doc", "corpus_doc", "match_cnt")
         .distinct()
         .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
         .orderBy("batch_doc", "corpus_doc")
@@ -243,6 +309,45 @@ object LlmQueries {
     },
   )
 
+  /** Shared twin for q106/q108: the one-shot q44 replay restricted to
+    * mixed (batch, corpus) pairs and relabeled. */
+  private val incrementalDedupSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, len(string_split(text,' ')) - 2),
+      |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+      |    (a,b) -> (a*131 + b) % 2147483647) AS h
+      |  FROM sh),
+      |mh AS (
+      |  SELECT doc_id, i,
+      |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
+      |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
+      |  GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      |  WHERE (x.doc_id % 10 = 7) != (y.doc_id % 10 = 7)),
+      |est AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
+      |  FROM cand
+      |   JOIN sig sa ON sa.doc_id = doc_a
+      |   JOIN sig sb ON sb.doc_id = doc_b)
+      |SELECT CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS batch_doc,
+      |  CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS corpus_doc,
+      |  match_cnt, match_cnt / 32.0 AS est_jaccard
+      |FROM est WHERE match_cnt >= 26
+      |ORDER BY batch_doc, corpus_doc""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q43_dedup_exact" ->
       """WITH s AS (SELECT lang, md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
@@ -288,43 +393,11 @@ object LlmQueries {
     // q44's declarative replay restricted to mixed pairs (exactly one
     // side in the ingest batch), relabeled (batch_doc, corpus_doc):
     // signatures are per-doc quantities, so the one-shot pair query
-    // with a side filter IS the incremental answer
-    "q106_dedup_incremental" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
-        |    range(0, len(string_split(text,' ')) - 2),
-        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
-        |    (a,b) -> (a*131 + b) % 2147483647) AS h
-        |  FROM sh),
-        |mh AS (
-        |  SELECT doc_id, i,
-        |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
-        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
-        |  GROUP BY doc_id, i),
-        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
-        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-        |  WHERE (x.doc_id % 10 = 7) != (y.doc_id % 10 = 7)),
-        |est AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
-        |  FROM cand
-        |   JOIN sig sa ON sa.doc_id = doc_a
-        |   JOIN sig sb ON sb.doc_id = doc_b)
-        |SELECT CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS batch_doc,
-        |  CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS corpus_doc,
-        |  match_cnt, match_cnt / 32.0 AS est_jaccard
-        |FROM est WHERE match_cnt >= 26
-        |ORDER BY batch_doc, corpus_doc""".stripMargin,
+    // with a side filter IS the incremental answer. q108 (the streaming
+    // ingest form) must reproduce the same answer bit-for-bit, so it
+    // shares the twin verbatim.
+    "q106_dedup_incremental" -> incrementalDedupSql,
+    "q108_stream_dedup_incremental" -> incrementalDedupSql,
 
     // norms precomputed per vector in CTE `e` — the same sqrt'd
     // sequential fold the Spark side's l2Norm runs (D7: bit-identical

@@ -74,8 +74,12 @@ object SimilarityQueries {
     },
 
     // SimHash pairs: 4×15-bit chunk candidates, hamming ≤ 8.
+    // sh is consumed FOUR times (both chunk sides + both verify sides)
+    // and alias-renamed consumers defeat ReuseExchange (the q55
+    // finding), so uncached the two-shuffle simhash aggregation would
+    // run 4×.
     "q54_simhash" -> { (s, dir) =>
-      val sh = simhash(tWide(s, dir, "documents"))
+      val sh = simhash(tWide(s, dir, "documents")).cache()
       val chunks = sh
         .select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("c"))

@@ -89,6 +89,86 @@ object MinHashAgg {
 
   def minhash_agg(h: Column): Column =
     toColumn(MinHashAgg(toExpression(h)).toAggregateExpression())
+
+  def minhash_code(hashes: Column): Column =
+    toColumn(MinHashCode(toExpression(hashes)))
+}
+
+/** Per-ROW MinHash signature from an array of shingle hashes — the
+  * expression twin of [[MinHashAgg]] for contexts where a group-by is
+  * unavailable or unwanted: STREAMING ingest (one doc per row, no
+  * stateful aggregation, no shuffle) and any narrow map stage. One
+  * codegen'd pass over the array updating all 32 running minima —
+  * bit-identical to the aggregate for non-empty input (same constants,
+  * same fold). Rows whose array is empty or all-null yield the
+  * aggregate's untouched-buffer sentinels (Long.MaxValue per slot, a
+  * value no real hash can produce — PermMod < 2^33); callers filter
+  * shingle-less docs first, exactly as the group-by form drops them by
+  * never seeing a row. */
+case class MinHashCode(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import MinHashAgg.{NumPerms, PermMod, permA, permB}
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_code"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    val mins = Array.fill(NumPerms)(Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      if (!a.isNullAt(k)) {
+        val h = a.getLong(k)
+        var i = 0
+        while (i < NumPerms) {
+          val p = (h * permA(i) + permB(i)) % PermMod
+          if (p < mins(i)) mins(i) = p
+          i += 1
+        }
+      }
+      k += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val p = ctx.freshName("p"); val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$NumPerms];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $k = 0; $k < $n; $k++) {
+         |  if (!$a.isNullAt($k)) {
+         |    long $h = $a.getLong($k);
+         |    for (int $i = 0; $i < $NumPerms; $i++) {
+         |      long $p = ($h * (1103515245L + 2L * $i) + (12345L + 7L * $i))
+         |        % ${PermMod}L;
+         |      if ($p < $mins[$i]) $mins[$i] = $p;
+         |    }
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): MinHashCode =
+    copy(child = newChild)
 }
 
 /** Shared fixed-width long[] buffer codec for the imperative aggregates. */

@@ -43,6 +43,35 @@ class LlmOpsSpec extends SparkSpec {
       s"minhash estimate $est should approximate exact $exact")
   }
 
+  test("per-row MinHashCode is bit-identical to the MinHashAgg group-by form") {
+    // the streaming-ingest kernel (q108) must produce EXACTLY the
+    // signatures the aggregate produces (q44/q106), or the streaming
+    // and batch probes of the same corpus index would disagree
+    val docs = docsDF(Seq(
+      1L -> (1 to 40).map(i => s"w$i").mkString(" "),
+      2L -> ((1 to 30).map(i => s"w$i") ++ Seq("x", "y", "z")).mkString(" "),
+      3L -> "a b c d e f g",
+      4L -> "exact copy exact copy exact copy"))
+    val viaAgg = LlmQueries.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCode = docs
+      .withColumn("arr", transform(
+        LlmQueries.shingles(col("text"), 3),
+        sg => graft.plans.GraftExpressions.poly_hash(sg)))
+      .filter(size(col("arr")) > 0)
+      .select(col("doc_id"), graft.plans.MinHashAgg.minhash_code(col("arr")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaCode === viaAgg)
+    // empty-array rows yield the untouched-buffer sentinel, not a crash
+    val sentinel = docsDF(Seq(5L -> "too short"))
+      .withColumn("arr", transform(
+        LlmQueries.shingles(col("text"), 3),
+        sg => graft.plans.GraftExpressions.poly_hash(sg)))
+      .select(graft.plans.MinHashAgg.minhash_code(col("arr")))
+      .head().getSeq[Long](0)
+    assert(sentinel.forall(_ == Long.MaxValue))
+  }
+
   test("docs shorter than the shingle size produce no pairs and no crash") {
     val pairs = LlmQueries.minhashPairs(
       docsDF(Seq((1L, "one two"), (2L, "one two"), (3L, "a"))))
