@@ -103,7 +103,9 @@ object LlmQueries {
     * signatures + band keys for every NON-batch doc (doc_id % 10 != 7),
     * written bucketed on the band key via `storeBucketed`. Returns the
     * session-suffixed table name. At 100 TB this table is written once
-    * and appended per ingest (`Staging.upsert`); it never re-shuffles. */
+    * and grows per ingest via `Staging.appendBucketed` (bucket layout
+    * preserved — StagingSpec pins the appended index still joins with
+    * zero index-side exchange); it never re-shuffles or rebuilds. */
   def corpusBandIndex(s: SparkSession, dir: String): String = {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     graft.sources.Staging.vacuumStale(s, wh, "graft_corpus_bands_")

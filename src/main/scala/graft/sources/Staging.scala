@@ -189,6 +189,26 @@ object Staging {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Append rows to a table created by [[storeBucketed]], preserving the
+    * bucket layout — the per-ingest growth path for persisted indexes
+    * (the q106/q108 corpus band index): each ingest's rows hash into the
+    * SAME bucket scheme, so probes keep reading the table bucket-aligned
+    * (no re-shuffle, no rebuild) as the corpus grows. The declared
+    * (keys, buckets) must match the table's existing spec — Spark
+    * refuses mismatched bucketing rather than silently corrupting the
+    * layout. NB each append adds one file per written bucket; the
+    * one-file-per-bucket invariant that lets scans report bucket ORDER
+    * (see q69's PlanSpec conf opt-in) holds only for freshly-built
+    * tables, so long-lived indexes compact periodically ([[compact]]) —
+    * bucket CO-LOCATION (the shuffle-freedom) is unaffected either way. */
+  def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }
 
 /** Named-config provisioning — Spark-native heir of the reference's

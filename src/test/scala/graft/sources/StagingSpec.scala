@@ -73,6 +73,38 @@ class StagingSpec extends SparkSpec {
     spark.sql("DROP TABLE fact_b"); spark.sql("DROP TABLE dim_b")
   }
 
+  test("appendBucketed grows an index without losing bucket co-location") {
+    val sess = spark
+    import sess.implicits._
+    // day-1 corpus build, then a day-2 ingest APPENDS — the q106/q108
+    // per-ingest growth path. The combined table must (a) equal a
+    // one-shot build's row set and (b) still join bucket-aligned with
+    // zero exchange on the index side.
+    val day1 = (1 to 600).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    val day2 = (601 to 900).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    Staging.storeBucketed(day1, "idx_grow", Seq("k"), 8)
+    Staging.appendBucketed(day2, "idx_grow", Seq("k"), 8)
+    val combined = spark.table("idx_grow")
+    assert(combined.count() === 900)
+    assert(combined.select("v").as[Long].collect().toSet === (1L to 900L).toSet)
+    // probe: shuffled batch side joins the index with no index-side
+    // exchange (batch side may shuffle into the bucket scheme)
+    val probe = (0 to 49).map(i => (i.toLong, s"p$i")).toDF("pk", "tag")
+    val joined = combined.join(probe.hint("merge"), $"k" === $"pk")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"appended index must still scan bucketed:\n$plan")
+    // exactly one exchange: the probe side clustering into the buckets
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"only the probe side may shuffle after an append:\n$plan")
+    assert(joined.count() === 900)
+    // mismatched bucket spec must be refused, not silently corrupt
+    intercept[Exception] {
+      Staging.appendBucketed(day2, "idx_grow", Seq("k"), 16)
+    }
+    spark.sql("DROP TABLE idx_grow")
+  }
+
   test("compact rewrites a many-small-files prefix into few files, same rows") {
     val sess = spark
     import sess.implicits._
