@@ -222,6 +222,60 @@ object CorpusQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental embedding near-dup against a PERSISTED sign-LSH
+    // index — q106's pattern in vector space, completing the serving
+    // triad (q106 text probe, q108 streaming probe, q109 vector probe
+    // — all "new data vs persisted index", never corpus × corpus).
+    // Corpus vectors are coded ONCE (16-plane sign-LSH → 4 band keys,
+    // embedding + norm riding each band row — the q44 payload trade)
+    // and stored BUCKETED by band key; a new ingest batch
+    // (vec_id % 10 = 7) codes itself, broadcasts against the
+    // pre-bucketed scan, and survivors verify by exact cosine at 0.4.
+    // At 100 TB the index grows by Staging.appendBucketed per ingest
+    // and never re-shuffles; a batch too big to broadcast falls back
+    // to the SMJ that exchanges only the batch side (the q106 shape,
+    // same bucketed layout).
+    "q109_embed_dedup_incremental" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.sign_lsh_code
+      val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
+      val isBatch = col("vec_id") % 10 === 7
+      val signs = Array.tabulate(Planes * Dims) { idx =>
+        planeSign(idx % Dims + 1, idx / Dims).toDouble
+      }
+      def codedBands(e: org.apache.spark.sql.DataFrame) = {
+        val coded = e.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorOps.l2Norm(col("embedding")).as("nrm"),
+          sign_lsh_code(col("embedding"), signs, Planes, Dims).as("code"))
+        val bks = (0 until Bands).map { b =>
+          concat_ws(":", lit(b),
+            shiftright(col("code"), (Bands - 1 - b) * 4)
+              .bitwiseAND(lit(15)))
+        }
+        coded.select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(array(bks: _*)).as("bk"))
+      }
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.sources.Staging.vacuumStale(s, wh, "graft_embed_bands_")
+      val tab = "graft_embed_bands_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      graft.sources.Staging.storeBucketed(
+        codedBands(emb.filter(!isBatch)).repartition(8, col("bk")),
+        tab, Seq("bk"), 8)
+      val corpus = s.table(tab).toDF("corpus_vec", "e_c", "n_c", "bk")
+      val batch = codedBands(emb.filter(isBatch))
+        .toDF("batch_vec", "e_b", "n_b", "bk_b")
+      corpus.join(broadcast(batch), col("bk") === col("bk_b"))
+        .select(col("batch_vec"), col("corpus_vec"),
+          graft.functions.VectorOps.cosinePre(
+            graft.operators.LlmQueries.seqDot(col("e_b"), col("e_c")),
+            col("n_b"), col("n_c")).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .select(col("batch_vec"), col("corpus_vec"),
+          round(col("sim"), 6).as("sim"))
+        .distinct()
+        .orderBy("batch_vec", "corpus_vec")
+    },
+
     // Benchmark decontamination — the training-data hygiene op: flag
     // every corpus doc sharing at least one word n-gram with the eval
     // set (doc_id % 97 = 0 stands in for a benchmark suite). Real
@@ -398,7 +452,12 @@ object CorpusQueries {
       s"i -> CAST(embedding[i] AS DOUBLE) * ($consts::DOUBLE[])[i]), (a,b)->a+b)"
   }
 
-  private val q73Sql: String = {
+  /** Shared CTE chain for the sign-LSH pair queries (q73 one-shot, q109
+    * incremental): plane bits → band keys → candidate pairs (with an
+    * optional extra candidate predicate) → exact cosine. The final
+    * SELECT is caller-supplied (q73 keeps (id_a, id_b); q109 relabels
+    * to (batch_vec, corpus_vec)). */
+  private def embedLshSql(candExtra: String, finalSelect: String): String = {
     val bitCols = (0 until Planes).map(j =>
       s"CASE WHEN ${planeDotSql(j)} > 0 THEN 1 ELSE 0 END AS bit$j")
       .mkString(",\n    ")
@@ -414,7 +473,7 @@ object CorpusQueries {
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y
-       |    ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id),
+       |    ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id$candExtra),
        |en AS (SELECT vec_id, embedding,
        |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (x,y)->x+y)) AS nrm
        |  FROM embeddings),
@@ -426,10 +485,21 @@ object CorpusQueries {
        |            JOIN en b ON b.vec_id = id_b),
        |p AS (SELECT id_a, id_b,
        |  CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM p0)
-       |SELECT id_a, id_b, round(sim, 6) AS sim
-       |FROM p WHERE sim >= 0.4
-       |ORDER BY id_a, id_b""".stripMargin
+       |$finalSelect""".stripMargin
   }
+
+  private val q73Sql: String = embedLshSql("",
+    """SELECT id_a, id_b, round(sim, 6) AS sim
+      |FROM p WHERE sim >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin)
+
+  private val q109Sql: String = embedLshSql(
+    "\n    WHERE (x.vec_id % 10 = 7) != (y.vec_id % 10 = 7)",
+    """SELECT CASE WHEN id_a % 10 = 7 THEN id_a ELSE id_b END AS batch_vec,
+      |  CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS corpus_vec,
+      |  round(sim, 6) AS sim
+      |FROM p WHERE sim >= 0.4
+      |ORDER BY batch_vec, corpus_vec""".stripMargin)
 
   def oracle: Map[String, String] = Map(
     "q70_sample_hash" ->
@@ -468,6 +538,10 @@ object CorpusQueries {
         |ORDER BY doc_id, rnk""".stripMargin,
 
     "q73_embed_lsh" -> q73Sql,
+
+    // q73's replay restricted to mixed (batch, corpus) pairs — the
+    // vector analog of q106's side-filtered twin
+    "q109_embed_dedup_incremental" -> q109Sql,
 
     "q81_decontaminate" ->
       """WITH g AS (

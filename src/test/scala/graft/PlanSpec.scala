@@ -133,6 +133,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(orderingConf)
   }
 
+  test("q109 embedding probe broadcasts the batch against the bucketed LSH index") {
+    // the vector twin of q106's pin: corpus band index scans bucketed,
+    // batch side broadcasts, and the only hash exchanges are
+    // batch-proportional (the pair distinct; sign-LSH coding is a
+    // narrow map, so unlike q106 there is no batch-side agg exchange)
+    val p = plan("q109_embed_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch bands must broadcast into the probe:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"corpus vectors must come from the bucketed band index:\n$p")
+    assert(p.contains("graft_sign_lsh"),
+      s"batch coding must use the one-pass kernel:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"only the pair distinct may shuffle:\n$p")
+  }
+
   test("q57 probes a partition-PRUNED read of the persisted IVF index") {
     // the ANN serving shape: the index is written hive-partitioned by
     // centroid; the member scan must carry the query centroids as
