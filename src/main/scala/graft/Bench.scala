@@ -19,24 +19,18 @@ object Bench {
     // swings runs >3× (r2 and r4 both produced phantom regressions on
     // unchanged code — q76/q77/q78, then q55), so per-query minima are
     // the comparable number and the first run absorbs per-plan codegen
-    // compilation. Two exclusions keep wall-clock bounded:
-    //  - STREAMING/ITERATIVE keys (listed below) run once regardless:
-    //    each invocation redoes full multi-job stateful work (micro-batch
-    //    replays, Pregel loops with per-iteration checkpoints), so long
-    //    runs already average out scheduler noise and a rerun would
-    //    double the slowest minutes of the bench;
-    //  - anything whose first run exceeds 10 s runs once: unbounded
-    //    bench wall-clock risks the harness's patience. The threshold
-    //    was 5 s through r5; q55's 1.8× phantom regression landed at
-    //    4.86 s — inside the old window only if load stayed low — so
-    //    the window is now wide enough that every non-streaming key
-    //    gets a warm minimum at any sane load.
+    // compilation. The window was 5 s through r5; it is now 10 s and
+    // applies to EVERY key, streaming/iterative included: a
+    // streaming-exclusion list was tried first, but r1–r5 artifacts
+    // recorded warm minima for those keys too (they sat under the old
+    // 5 s window), so excluding them reports COLD numbers that read as
+    // phantom regressions round-over-round (measured: q101 cold 5.1 s
+    // vs warm 2.3 s on the same code and a quiet box). Every key is
+    // ≤ ~7 s, so the rerun adds well under a minute of wall-clock —
+    // bounded, and it buys comparable numbers. Only a first run over
+    // 10 s stays single: unbounded bench wall-clock risks the
+    // harness's patience.
     val RerunBelowSecs = 10.0
-    val SingleRun = Set(
-      "q79_stream_upsert_load", "q84_stream_tumble", "q85_stream_session",
-      "q86_stream_join", "q102_stream_heavy_hitters",
-      "q108_stream_dedup_incremental", // micro-batch replays
-      "q87_components", "q89_dedup_clusters", "q101_pagerank") // iterative
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -51,7 +45,7 @@ object Bench {
       // rerun is only a refinement, and marking the query failed would
       // both shrink the reported total and miscount `failed`
       val best =
-        if (r1 >= 0 && r1 < RerunBelowSecs && !SingleRun(name)) {
+        if (r1 >= 0 && r1 < RerunBelowSecs) {
           val r2 = run(); if (r2 < 0) r1 else math.min(r1, r2)
         } else r1
       name -> best
@@ -97,7 +91,7 @@ object Bench {
         s"""{
            |"metric":"total","value":${ms(total)},"unit":"sec",
            |"failed":$failed,"load_avg":${ms(load)},"sf":"$sfDir",
-           |"agg":"min of 2 runs when first run < 10s, single run for streaming/iterative keys",
+           |"agg":"min of 2 runs when first run < 10s",
            |"queries":{
            |$perQuery
            |}
