@@ -49,6 +49,14 @@ object CurationQueries {
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("scan", "merge", "dup")
 
+  /** q110: segment width (tokens) for paragraph-granularity dedup —
+    * the fixtures carry no newlines, so non-overlapping fixed-width
+    * token windows stand in for paragraphs/lines. */
+  val SegWidth = 8
+
+  /** q111: training-sequence length (tokens) for packing. */
+  val PackWindow = 256
+
   /** Heavy-hitters pass 2, shared by q92 (batch pass 1) and q102
     * (streaming pass 1): exact recount of the token stream restricted
     * to the broadcast candidate summary, then the real threshold.
@@ -226,6 +234,72 @@ object CurationQueries {
         .limit(20)
     },
 
+    // Paragraph-granularity dedup audit (the C4/RefinedWeb "remove
+    // documents that are mostly duplicated lines" step): each doc
+    // splits into non-overlapping SegWidth-token segments (the
+    // fixtures carry no newlines, so fixed windows stand in for
+    // lines), segments fingerprint by md5, and a doc's duplication
+    // ratio is the share of its segments whose fingerprint occurs
+    // more than once ANYWHERE in the corpus (same-doc repeats count —
+    // boilerplate inside one doc is still boilerplate). Surfaces the
+    // top-20 most-duplicated docs, q82's presentation shape.
+    //
+    // Scale: segments hash-shuffle once for the corpus-wide count
+    // (map-side combinable) and once back onto doc_id for the per-doc
+    // ratio — both bounded-payload exchanges; nothing is quadratic
+    // and no segment text ever shuffles (only 32-char md5s).
+    "q110_segment_dedup" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val segs = tWide(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), (size(toks) / SegWidth).cast("int") - 1),
+            j => md5(concat_ws(" ",
+              slice(toks, j * SegWidth + 1, lit(SegWidth)))))).as("h"))
+      val counts = segs.groupBy("h").agg(count(lit(1)).as("cnt"))
+      segs.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_dup_segs"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_segs").cast("double") / col("n_segs"), 6))
+        .orderBy(desc("dup_ratio"), col("doc_id"))
+        .limit(20)
+    },
+
+    // Sequence packing — the final pretraining step: concatenate each
+    // source's docs (doc_id order) into one token stream and cut it
+    // into PackWindow-token training sequences; report, per source,
+    // how many sequences the stream yields and how many docs straddle
+    // a sequence boundary (the packing-fragmentation metric that
+    // decides window size vs doc-boundary attention masking).
+    //
+    // Scale: one running-sum window per source. At 100 TB packing runs
+    // per (source, shard) — docs pre-assigned to shards by a
+    // deterministic hash, each shard packed independently (the
+    // industry shape: packing is only ever stream-local) — which is
+    // this same plan with a composite partition key; nothing global.
+    "q111_pack_sequences" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val W = PackWindow
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("cum", sum("n").over(w))
+        .withColumn("first_seq", expr(s"(cum - n) DIV $W"))
+        .withColumn("last_seq", expr(s"(cum - 1) DIV $W"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").cast("long").as("total_tokens"),
+          expr(s"CAST((sum(n) + ${W - 1}) DIV $W AS BIGINT)").as("n_seqs"),
+          sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+            .cast("long").as("split_docs"))
+        .orderBy("source")
+    },
+
     // Inverted index: token → document frequency, total term count,
     // sorted posting list (rendered to CSV so the gate compares a
     // scalar; the library shape is the array before array_join).
@@ -312,6 +386,40 @@ object CurationQueries {
         |      FROM t JOIN lm USING (tok) GROUP BY doc_id)
         |SELECT doc_id, nt, surprisal // nt AS ppx_micro
         |FROM s ORDER BY ppx_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q110_segment_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |segs AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(toks[j*$SegWidth+1 : j*$SegWidth+$SegWidth], ' ')) AS h
+         |  FROM d CROSS JOIN LATERAL
+         |    (SELECT unnest(range(len(toks) // $SegWidth)) AS j) js),
+         |counts AS (SELECT h, count(*) AS cnt FROM segs GROUP BY h),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_segs,
+         |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs
+         |  FROM segs JOIN counts USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_segs, n_dup_segs,
+         |  round(n_dup_segs::DOUBLE / n_segs, 6) AS dup_ratio
+         |FROM per ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q111_pack_sequences" -> {
+      val w = PackWindow
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (SELECT source, doc_id, n,
+         |    sum(n) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST((sum(n) + ${w - 1}) // $w AS BIGINT) AS n_seqs,
+         |  CAST(sum(CASE WHEN (cum - n) // $w != (cum - 1) // $w
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q96_inverted_index" ->
       """SELECT tok,

@@ -149,6 +149,15 @@ class PlanSpec extends SparkSpec {
       s"only the pair distinct may shuffle:\n$p")
   }
 
+  test("q111 packing serves the running sum and the source agg from ONE exchange") {
+    // the q94 discipline applied to packing: the per-source window and
+    // the per-source groupBy share the source clustering, so the whole
+    // key costs one hash exchange (plus the presentation sort's range)
+    val p = plan("q111_pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"window and agg must reuse the source exchange:\n$p")
+  }
+
   test("q57 probes a partition-PRUNED read of the persisted IVF index") {
     // the ANN serving shape: the index is written hive-partitioned by
     // centroid; the member scan must carry the query centroids as
