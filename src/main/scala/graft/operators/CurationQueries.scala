@@ -213,18 +213,18 @@ object CurationQueries {
       // cross-engine floor guard: ln is only ~1-ulp accurate on each
       // engine, so a token whose -ln(p)·1e6 lands within an ulp of an
       // integer could floor differently between Spark and the oracle.
-      // Snap to the nearest integer when within 1e-6 (both engines
-      // compute the same nearest integer in that branch — half-cases
-      // are 0.5 away and can't enter it), THEN floor; the oracle SQL
-      // applies the identical snap, removing the divergence entirely
-      // instead of merely making it vocabulary-rare.
+      // floor(x + 1e-6) — applied identically in the oracle SQL — moves
+      // the cut point to n − 1e-6, a value no exact -ln(cnt/n)·1e6 sits
+      // near, making the divergence boundary-rare (ulp-probability at
+      // the single shifted cut, vs ulp-probability at every integer
+      // unguarded). A snap-then-floor variant was tried first; it has
+      // the SAME residual exposure but two risky boundaries per integer
+      // (the window edges), so the single-cut form replaced it.
       val lm = counts
         .crossJoin(broadcast(total))
         .withColumn("x", -log(col("cnt").cast("double") / col("n")) * 1e6)
         .select(col("tok"),
-          floor(when(abs(col("x") - round(col("x"), 0)) < 1e-6,
-              round(col("x"), 0)).otherwise(col("x")))
-            .cast("long").as("lnq"))
+          floor(col("x") + lit(1e-6)).cast("long").as("lnq"))
       toks.join(broadcast(lm), "tok")
         .groupBy("doc_id")
         .agg(sum("lnq").as("surprisal"), count(lit(1)).as("nt"))
@@ -250,12 +250,18 @@ object CurationQueries {
     // and no segment text ever shuffles (only 32-char md5s).
     "q110_segment_dedup" -> { (s, dir) =>
       val toks = split(col("text"), " ")
+      // short-doc guard (the shingles discipline): below SegWidth tokens
+      // there are no segments. Unguarded, sequence(0, size/8 - 1) would
+      // DESCEND to [0, -1] for size < 8 and the -1 slice index wraps from
+      // the array end — fabricating two identical segments that score the
+      // doc dup_ratio 1.0 while the oracle's range(len//8) emits none.
       val segs = tWide(s, dir, "documents")
         .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(0), (size(toks) / SegWidth).cast("int") - 1),
-            j => md5(concat_ws(" ",
-              slice(toks, j * SegWidth + 1, lit(SegWidth)))))).as("h"))
+          explode(when(size(toks) >= SegWidth, transform(
+              sequence(lit(0), (size(toks) / SegWidth).cast("int") - 1),
+              j => md5(concat_ws(" ",
+                slice(toks, j * SegWidth + 1, lit(SegWidth))))))
+            .otherwise(array().cast("array<string>"))).as("h"))
       val counts = segs.groupBy("h").agg(count(lit(1)).as("cnt"))
       segs.join(counts, "h")
         .groupBy("doc_id")
@@ -380,7 +386,7 @@ object CurationQueries {
         |lmx AS (SELECT tok, -ln(count(*)::DOUBLE / n.n) * 1000000 AS x
         | FROM t, n GROUP BY tok, n.n),
         |lm AS (SELECT tok,
-        |  CAST(floor(CASE WHEN abs(x - round(x)) < 1e-6 THEN round(x) ELSE x END) AS BIGINT) AS lnq
+        |  CAST(floor(x + 1e-6) AS BIGINT) AS lnq
         | FROM lmx),
         |s AS (SELECT doc_id, CAST(sum(lnq) AS BIGINT) AS surprisal, count(*) AS nt
         |      FROM t JOIN lm USING (tok) GROUP BY doc_id)

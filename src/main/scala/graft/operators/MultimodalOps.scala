@@ -434,8 +434,9 @@ object MultimodalOps {
     * magic matches AND at least one frame chunk decodes — a claimed-but-
     * corrupt payload degrades to the caller's fallback, never a task
     * failure. Truncated chunk sizes are clamped to the buffer; the walk
-    * is strictly forward (size+pad advance ≥ 8 guarded), so adversarial
-    * headers can't loop it. */
+    * is strictly forward (size+pad advance ≥ 8 guarded) and ITERATIVE
+    * (explicit heap stack — deeply-nested LIST chunks can't overflow the
+    * JVM stack), so adversarial headers can't loop or crash it. */
   private def decodeAviMjpeg(payload: Array[Byte]): Option[VideoFrames] =
     try {
       val b = payload
@@ -450,23 +451,42 @@ object MultimodalOps {
       var hdrW = 0
       var hdrH = 0
       val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]() // (off, len)
-      def walk(start: Int, end: Int): Unit = {
+      // Iterative depth-first walk with an explicit continuation stack —
+      // NOT recursion: a crafted payload nesting thousands of LISTs
+      // (~12 bytes each) would StackOverflow a recursive walk, and SOE
+      // is not NonFatal, so it would escape the catch and fail the task.
+      // On a LIST the sibling continuation is pushed and the walk
+      // descends immediately, so frames append in the same in-order
+      // sequence the recursive form produced. Stack depth ≤ payload/12
+      // (each nested LIST consumes ≥ 12 bytes), heap-allocated: bounded.
+      def walk(start: Int, stop: Int): Unit = {
+        val stack = scala.collection.mutable.ArrayDeque[(Int, Int)]()
         var off = start
-        while (off + 8 <= end) {
-          val id = fourcc(off)
-          // clamp a lying size field to the enclosing chunk
-          val size = math.min(u32(off + 4), (end - off - 8).toLong).toInt
-          val body = off + 8
-          if (id == "LIST" && size >= 4) walk(body + 4, body + size)
-          else if (id == "avih" && size >= 40) {
-            usPerFrame = u32(body)
-            hdrW = u32(body + 32).toInt
-            hdrH = u32(body + 36).toInt
-          } else if (id.length == 4 && size > 0 &&
-              (id.endsWith("dc") || id.endsWith("db"))) {
-            frames += ((body, size))
+        var end = stop
+        while (off + 8 <= end || stack.nonEmpty) {
+          if (off + 8 > end) {
+            val (o, e) = stack.removeLast(); off = o; end = e
+          } else {
+            val id = fourcc(off)
+            // clamp a lying size field to the enclosing chunk
+            val size = math.min(u32(off + 4), (end - off - 8).toLong).toInt
+            val body = off + 8
+            val next = body + size + (size & 1) // bodies pad to even length
+            if (id == "LIST" && size >= 4) {
+              stack.append((next, end)) // resume siblings after the LIST
+              off = body + 4; end = body + size
+            } else {
+              if (id == "avih" && size >= 40) {
+                usPerFrame = u32(body)
+                hdrW = u32(body + 32).toInt
+                hdrH = u32(body + 36).toInt
+              } else if (size > 0 &&
+                  (id.endsWith("dc") || id.endsWith("db"))) {
+                frames += ((body, size))
+              }
+              off = next
+            }
           }
-          off = body + size + (size & 1) // bodies pad to even length
         }
       }
       walk(12, b.length)

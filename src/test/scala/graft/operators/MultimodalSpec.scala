@@ -181,6 +181,45 @@ class MultimodalSpec extends SparkSpec {
     assert(g.decoded_frames === 0L, "frameless AVI takes the fallback")
   }
 
+  test("AVI walk survives adversarially deep LIST nesting (no stack overflow)") {
+    // 50k nested LISTs (~12 bytes each) with one real JPEG frame at the
+    // bottom: a recursive RIFF walk overflows the JVM stack here — and
+    // StackOverflowError is NOT NonFatal, so it would escape the decode's
+    // catch and fail the task. The iterative walk must both survive and
+    // still find the frame in order. Headers are written forward with
+    // precomputed sizes (building by repeated array concat would be
+    // O(levels²)).
+    val bi = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", jbos)
+    val jpeg = jbos.toByteArray
+    val padded = jpeg.length + (jpeg.length & 1)
+    val inner = 8 + padded // the 00dc chunk
+    val L = 50000
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32le(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    // RIFF body = "AVI " + chain; chunkTotal(i) = 12*(L-i) + inner
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(u32le(4 + 12 * L + inner))
+    bos.write("AVI ".getBytes("US-ASCII"))
+    for (i <- 0 until L) {
+      bos.write("LIST".getBytes("US-ASCII"))
+      bos.write(u32le(12 * (L - i) + inner - 8)) // list body incl. type
+      bos.write("lst ".getBytes("US-ASCII"))
+    }
+    bos.write("00dc".getBytes("US-ASCII"))
+    bos.write(u32le(jpeg.length))
+    bos.write(jpeg)
+    if ((jpeg.length & 1) == 1) bos.write(0)
+    val rows = mediaDS(Seq(MediaRow(27L, "video", bos.toByteArray, 0, 0, 0, 0L)))
+    val f = decodeFeatures(rows, dim = 2).collect().head
+    assert(f.decoded_frames === 1L,
+      s"the frame under 50k nested LISTs must still decode, got $f")
+    assert(f.decoded_width === 4 && f.decoded_height === 4)
+  }
+
   test("a plugged VideoDecoder handles MP4 end-to-end; others unaffected") {
     // the codec-pluggable seam: a decoder registered for a format the
     // JDK can't read (MP4, by its real `ftyp` brand at offset 4) flows
