@@ -57,6 +57,46 @@ object CurationQueries {
   /** q111: training-sequence length (tokens) for packing. */
   val PackWindow = 256
 
+  /** q111/q112: shard fan-out for packing. 4 keeps every (source, shard)
+    * non-empty down to sf0.001; at 100 TB it rises to O(corpus/executor
+    * memory) — the plan shape is shard-count-independent. */
+  val PackShards = 4L
+
+  /** Sequence packing, the 100 TB shape: docs are pre-assigned to
+    * `shards` deterministic shards (doc_id mod shards — the fixture ids
+    * are dense; non-dense ids would use a portable hash like poly_hash
+    * of the id, same plan), and each (source, shard) packs its own
+    * doc_id-ordered token stream into PackWindow-token sequences
+    * INDEPENDENTLY. The running-sum window partitions on the composite
+    * key, so no reducer ever sorts more than one shard of one source —
+    * the per-source-window variant this replaces put each source's
+    * ENTIRE token stream on a single reducer, exactly the skew q107's
+    * quota design refuses. Packing is only ever stream-local (industry
+    * practice: each worker packs its own shard; sequences never cross
+    * shards), so the per-shard metrics ARE the production numbers, and
+    * CurationSpec pins the stream-local equivalence law: each (source,
+    * shard) group equals packing that shard's docs as a standalone
+    * stream. Returns one row per (source, shard). */
+  def packSequences(docs: DataFrame, shards: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = PackWindow
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("first_seq", expr(s"(cum - n) DIV $W"))
+      .withColumn("last_seq", expr(s"(cum - 1) DIV $W"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").cast("long").as("total_tokens"),
+        expr(s"CAST((sum(n) + ${W - 1}) DIV $W AS BIGINT)").as("n_seqs"),
+        sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+          .cast("long").as("split_docs"))
+  }
+
   /** Heavy-hitters pass 2, shared by q92 (batch pass 1) and q102
     * (streaming pass 1): exact recount of the token stream restricted
     * to the broadcast candidate summary, then the real threshold.
@@ -274,36 +314,36 @@ object CurationQueries {
         .limit(20)
     },
 
-    // Sequence packing — the final pretraining step: concatenate each
-    // source's docs (doc_id order) into one token stream and cut it
-    // into PackWindow-token training sequences; report, per source,
-    // how many sequences the stream yields and how many docs straddle
-    // a sequence boundary (the packing-fragmentation metric that
-    // decides window size vs doc-boundary attention masking).
+    // Sequence packing — the final pretraining step: cut each (source,
+    // shard) doc_id-ordered token stream into PackWindow-token training
+    // sequences (see [[packSequences]]); report, per source, how many
+    // sequences the shards yield and how many docs straddle a sequence
+    // boundary (the packing-fragmentation metric that decides window
+    // size vs doc-boundary attention masking).
     //
-    // Scale: one running-sum window per source. At 100 TB packing runs
-    // per (source, shard) — docs pre-assigned to shards by a
-    // deterministic hash, each shard packed independently (the
-    // industry shape: packing is only ever stream-local) — which is
-    // this same plan with a composite partition key; nothing global.
+    // Scale: the window key is COMPOSITE (source, shard) — no reducer
+    // ever sorts more than one shard of one source — and the per-source
+    // roll-up exchanges only shard SUMMARY rows (shards × sources of
+    // them, metadata-scale). The earlier per-source-window form is the
+    // one this inventory refuses everywhere else: one reducer sorting a
+    // whole source's 100 TB token stream.
     "q111_pack_sequences" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val W = PackWindow
-      t(s, dir, "documents")
-        .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n"))
-        .withColumn("cum", sum("n").over(w))
-        .withColumn("first_seq", expr(s"(cum - n) DIV $W"))
-        .withColumn("last_seq", expr(s"(cum - 1) DIV $W"))
+      packSequences(t(s, dir, "documents"), PackShards)
         .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n").cast("long").as("total_tokens"),
-          expr(s"CAST((sum(n) + ${W - 1}) DIV $W AS BIGINT)").as("n_seqs"),
-          sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
-            .cast("long").as("split_docs"))
+        .agg(sum("n_docs").cast("long").as("n_docs"),
+          sum("total_tokens").cast("long").as("total_tokens"),
+          sum("n_seqs").cast("long").as("n_seqs"),
+          sum("split_docs").cast("long").as("split_docs"))
         .orderBy("source")
+    },
+
+    // The per-shard packing detail q111 rolls up: one row per (source,
+    // shard) — the manifest a packing job actually executes from (each
+    // shard is one worker's independent stream). Same plan minus the
+    // roll-up: one composite-key exchange, nothing global.
+    "q112_pack_shards" -> { (s, dir) =>
+      packSequences(t(s, dir, "documents"), PackShards)
+        .orderBy("source", "shard")
     },
 
     // Inverted index: token → document frequency, total term count,
@@ -330,6 +370,26 @@ object CurationQueries {
         .orderBy("tok")
     },
   )
+
+  /** Shared (source, shard) packing CTE body for q111/q112: same
+    * composite-key window + per-shard metrics as [[packSequences]]. */
+  private def packShardsSql: String = {
+    val w = PackWindow
+    s"""SELECT source, shard, count(*) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS total_tokens,
+       |  CAST((sum(n) + ${w - 1}) // $w AS BIGINT) AS n_seqs,
+       |  CAST(sum(CASE WHEN (cum - n) // $w != (cum - 1) // $w
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+       |FROM (
+       |  SELECT source, shard, doc_id, n,
+       |    sum(n) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (
+       |    SELECT source, doc_id, doc_id % $PackShards AS shard,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |    FROM documents))
+       |GROUP BY source, shard""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "q91_chunk_docs" ->
@@ -409,23 +469,17 @@ object CurationQueries {
          |  round(n_dup_segs::DOUBLE / n_segs, 6) AS dup_ratio
          |FROM per ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin,
 
-    "q111_pack_sequences" -> {
-      val w = PackWindow
-      s"""WITH d AS (
-         |  SELECT source, doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-         |  FROM documents),
-         |c AS (SELECT source, doc_id, n,
-         |    sum(n) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS cum
-         |  FROM d)
-         |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(n) AS BIGINT) AS total_tokens,
-         |  CAST((sum(n) + ${w - 1}) // $w AS BIGINT) AS n_seqs,
-         |  CAST(sum(CASE WHEN (cum - n) // $w != (cum - 1) // $w
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
-         |FROM c GROUP BY source ORDER BY source""".stripMargin
-    },
+    "q111_pack_sequences" ->
+      s"""WITH p AS ($packShardsSql)
+         |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_seqs) AS BIGINT) AS n_seqs,
+         |  CAST(sum(split_docs) AS BIGINT) AS split_docs
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q112_pack_shards" ->
+      s"""WITH p AS ($packShardsSql)
+         |SELECT * FROM p ORDER BY source, shard""".stripMargin,
 
     "q96_inverted_index" ->
       """SELECT tok,

@@ -149,13 +149,25 @@ class PlanSpec extends SparkSpec {
       s"only the pair distinct may shuffle:\n$p")
   }
 
-  test("q111 packing serves the running sum and the source agg from ONE exchange") {
-    // the q94 discipline applied to packing: the per-source window and
-    // the per-source groupBy share the source clustering, so the whole
-    // key costs one hash exchange (plus the presentation sort's range)
+  test("q111/q112 pack on the COMPOSITE (source, shard) window key") {
+    // the 100× skew guard: the running-sum window must partition on
+    // (source, shard), never on source alone — a per-source window puts
+    // one source's entire token stream on a single reducer. q112 (the
+    // shard detail) costs exactly the one composite exchange (window +
+    // per-shard agg share it); q111's per-source roll-up adds ONE more,
+    // carrying only shard-summary rows (sources × shards of them).
+    val p112 = plan("q112_pack_shards")
+    assert("hashpartitioning\\(source#\\d+, shard#\\d+".r
+      .findFirstIn(p112).isDefined,
+      s"window key must be the composite (source, shard):\n$p112")
+    assert("Exchange hashpartitioning".r.findAllIn(p112).size === 1,
+      s"window and shard agg must share the composite exchange:\n$p112")
     val p = plan("q111_pack_sequences")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
-      s"window and agg must reuse the source exchange:\n$p")
+    assert("hashpartitioning\\(source#\\d+, shard#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"q111 must pack sharded, not per-source:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"composite window exchange + summary-row roll-up only:\n$p")
   }
 
   test("q57 probes a partition-PRUNED read of the persisted IVF index") {

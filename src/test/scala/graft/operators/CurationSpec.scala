@@ -127,6 +127,46 @@ class CurationSpec extends SparkSpec {
     assert(top === 0L, s"doc 0 (rare+common) must rank first, got $top")
   }
 
+  test("packSequences: sharded packing equals packing each shard standalone") {
+    // the stream-local equivalence law behind q111/q112: packing is only
+    // ever per-stream, so the composite-key (source, shard) window must
+    // produce, for every shard k, exactly the metrics of running the
+    // single-stream packer over JUST that shard's docs. This is what
+    // makes the sharded plan a valid replacement for the per-source
+    // window it retired — and what a wrong shard assignment, wrong
+    // window ordering, or cross-shard leakage would each break.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val S = 4L
+    def metrics(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("n_seqs"), r.getAs[Long]("split_docs"))
+    val sharded = CurationQueries.packSequences(docs, S).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("shard")) -> metrics(r))
+      .toMap
+    assert(sharded.nonEmpty && sharded.keys.map(_._2).toSet.size === S.toInt,
+      "fixture must populate every shard")
+    for (k <- 0L until S) {
+      val solo = CurationQueries.packSequences(
+          docs.filter(pmod(col("doc_id"), lit(S)) === k), 1)
+        .collect().map(r => r.getAs[String]("source") -> metrics(r)).toMap
+      val inShard = sharded.collect { case ((src, `k`), m) => src -> m }.toMap
+      assert(inShard === solo,
+        s"shard $k must equal its standalone packing: $inShard vs $solo")
+    }
+    // conservation: shards partition the corpus — doc and token totals
+    // roll up exactly (n_seqs/split_docs intentionally do NOT: they are
+    // per-stream quantities, which is the whole point of sharding)
+    val expect = docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("nd"),
+        sum(size(split(col("text"), " "))).cast("long").as("tt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = sharded.groupBy(_._1._1).view.mapValues(ms =>
+      (ms.values.map(_._1).sum, ms.values.map(_._2).sum)).toMap
+    assert(got === expect, "sharded totals must conserve docs and tokens")
+  }
+
   test("q94 SCD2 segments partition each user's timeline without gaps") {
     val q = EventAnalytics.queries("q94_scd2")(spark, "/root/testdata/sf0.001")
       .orderBy("user_id", "version").collect()
