@@ -31,11 +31,10 @@ object Bench {
     // 10 s stays single: unbounded bench wall-clock risks the
     // harness's patience.
     val RerunBelowSecs = 10.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(work: () => Unit): Double = {
       def run(): Double = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
+        val ok = try { work(); true } catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9 // cache teardown untimed
         spark.catalog.clearCache()
         if (ok) secs else -1.0                    // -1 marks a failed query
@@ -44,12 +43,38 @@ object Bench {
       // a failed RERUN falls back to the valid first measurement — the
       // rerun is only a refinement, and marking the query failed would
       // both shrink the reported total and miscount `failed`
-      val best =
-        if (r1 >= 0 && r1 < RerunBelowSecs) {
-          val r2 = run(); if (r2 < 0) r1 else math.min(r1, r2)
-        } else r1
-      name -> best
-    }.toMap
+      if (r1 >= 0 && r1 < RerunBelowSecs) {
+        val r2 = run(); if (r2 < 0) r1 else math.min(r1, r2)
+      } else r1
+    }
+    // Index-BUILD timings, reported as qNN_index_build pseudo-keys
+    // (Bench-only — not driver correctness keys). Each build is forced
+    // fresh (rebuild=true) and min-of-2 timed like everything else;
+    // the gated probe keys in the main loop below then REUSE the
+    // session-scoped index the last forced build left behind, so their
+    // numbers are probe-only latency and probe regressions stay
+    // attributable (through r6, every probe measurement silently
+    // included a full index rebuild). q106_index_build also covers
+    // q108 (shared corpusBandIndex); q113's build includes its
+    // appendBucketed growth step — the build+append cycle IS its cost.
+    val indexBuilds: Seq[(String, () => Unit)] = Seq(
+      "q57_index_build" -> (() => {
+        operators.SimilarityQueries.ivfIndex(spark, sfDir, rebuild = true); () }),
+      "q69_index_build" -> (() => {
+        operators.JoinQueries.bucketedFactTables(spark, sfDir, rebuild = true); () }),
+      "q106_index_build" -> (() => {
+        operators.LlmQueries.corpusBandIndex(spark, sfDir, rebuild = true); () }),
+      "q109_index_build" -> (() => {
+        operators.CorpusQueries.embedBandIndex(spark, sfDir, rebuild = true); () }),
+      "q113_index_build" -> (() => {
+        operators.LlmQueries.grownBandIndex(spark, sfDir, rebuild = true); () }),
+    )
+    val results = (
+      indexBuilds.map { case (name, fn) => name -> timed(fn) } ++
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> timed(() => { fn(spark, sfDir).count(); () })
+      }
+    ).toMap
     // ms precision: full doubles overflowed the driver's captured tail in
     // round 3 (22 of 87 per-query numbers lost); %.3f halves the line.
     // Sorted keys so any residual truncation is at least deterministic.

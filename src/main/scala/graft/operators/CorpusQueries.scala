@@ -113,6 +113,47 @@ object CorpusQueries {
       .select(docs.columns.map(col(_)): _*)
   }
 
+  /** Sign-LSH coding + band-key explode shared by q109's index build
+    * and its per-batch probe side: 16-plane sign code in one kernel
+    * pass, 4×4-bit band keys, embedding + norm riding each band row. */
+  private def codedBands(e: DataFrame): DataFrame = {
+    import graft.plans.GraftExpressions.sign_lsh_code
+    val signs = Array.tabulate(Planes * Dims) { idx =>
+      planeSign(idx % Dims + 1, idx / Dims).toDouble
+    }
+    val coded = e.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorOps.l2Norm(col("embedding")).as("nrm"),
+      sign_lsh_code(col("embedding"), signs, Planes, Dims).as("code"))
+    val bks = (0 until Bands).map { b =>
+      concat_ws(":", lit(b),
+        shiftright(col("code"), (Bands - 1 - b) * 4)
+          .bitwiseAND(lit(15)))
+    }
+    coded.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(bks: _*)).as("bk"))
+  }
+
+  /** Build — or REUSE (same (dir, session) ⇒ same content; Bench times
+    * the build separately as q109_index_build) — q109's persisted
+    * sign-LSH band index over the non-batch corpus vectors, bucketed on
+    * the band key. Grows per ingest via Staging.appendBucketed at
+    * 100 TB, the q113 lifecycle. */
+  def embedBandIndex(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    graft.sources.Staging.vacuumStale(s, wh, "graft_embed_bands_")
+    val tab = "graft_embed_bands_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    if (rebuild || !s.catalog.tableExists(tab)) {
+      val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.sources.Staging.storeBucketed(
+        codedBands(emb.filter(col("vec_id") % 10 =!= 7))
+          .repartition(8, col("bk")),
+        tab, Seq("bk"), 8)
+    }
+    tab
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 10% corpus sample.
     "q70_sample_hash" -> { (s, dir) =>
@@ -236,33 +277,10 @@ object CorpusQueries {
     // to the SMJ that exchanges only the batch side (the q106 shape,
     // same bucketed layout).
     "q109_embed_dedup_incremental" -> { (s, dir) =>
-      import graft.plans.GraftExpressions.sign_lsh_code
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
-      val isBatch = col("vec_id") % 10 === 7
-      val signs = Array.tabulate(Planes * Dims) { idx =>
-        planeSign(idx % Dims + 1, idx / Dims).toDouble
-      }
-      def codedBands(e: org.apache.spark.sql.DataFrame) = {
-        val coded = e.select(col("vec_id"), col("embedding"),
-          graft.functions.VectorOps.l2Norm(col("embedding")).as("nrm"),
-          sign_lsh_code(col("embedding"), signs, Planes, Dims).as("code"))
-        val bks = (0 until Bands).map { b =>
-          concat_ws(":", lit(b),
-            shiftright(col("code"), (Bands - 1 - b) * 4)
-              .bitwiseAND(lit(15)))
-        }
-        coded.select(col("vec_id"), col("embedding"), col("nrm"),
-          explode(array(bks: _*)).as("bk"))
-      }
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      graft.sources.Staging.vacuumStale(s, wh, "graft_embed_bands_")
-      val tab = "graft_embed_bands_" +
-        graft.sources.Staging.sessionSuffix(s, dir)
-      graft.sources.Staging.storeBucketed(
-        codedBands(emb.filter(!isBatch)).repartition(8, col("bk")),
-        tab, Seq("bk"), 8)
+      val tab = embedBandIndex(s, dir)
       val corpus = s.table(tab).toDF("corpus_vec", "e_c", "n_c", "bk")
-      val batch = codedBands(emb.filter(isBatch))
+      val batch = codedBands(emb.filter(col("vec_id") % 10 === 7))
         .toDF("batch_vec", "e_b", "n_b", "bk_b")
       corpus.join(broadcast(batch), col("bk") === col("bk_b"))
         .select(col("batch_vec"), col("corpus_vec"),

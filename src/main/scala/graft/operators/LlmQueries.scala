@@ -98,26 +98,64 @@ object LlmQueries {
           concat_ws(",", slice(col("sig"), col("b") * RowsPerBand + 1,
             lit(RowsPerBand)))).as("bk"))
 
-  /** Build (or refresh) the persisted corpus band index shared by the
+  /** Build — or REUSE — the persisted corpus band index shared by the
     * incremental-dedup keys (q106 batch probe, q108 streaming probe):
     * signatures + band keys for every NON-batch doc (doc_id % 10 != 7),
     * written bucketed on the band key via `storeBucketed`. Returns the
-    * session-suffixed table name. At 100 TB this table is written once
-    * and grows per ingest via `Staging.appendBucketed` (bucket layout
-    * preserved — StagingSpec pins the appended index still joins with
-    * zero index-side exchange); it never re-shuffles or rebuilds. */
-  def corpusBandIndex(s: SparkSession, dir: String): String = {
+    * session-suffixed table name. The table name is a pure function of
+    * (input dir, session) and its content a pure function of the input,
+    * so when the catalog already has it the build is skipped — probes
+    * are probe-only after the first call, the build-once/probe-many
+    * lifecycle these operators exist for (Bench times the build
+    * separately as q106_index_build; `rebuild` forces a fresh write).
+    * At 100 TB this table is written once and grows per ingest via
+    * `Staging.appendBucketed` — the q113 path — never re-shuffling. */
+  def corpusBandIndex(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     graft.sources.Staging.vacuumStale(s, wh, "graft_corpus_bands_")
     val tab = "graft_corpus_bands_" +
       graft.sources.Staging.sessionSuffix(s, dir)
-    val B = 8
-    graft.sources.Staging.storeBucketed(
-      bandKeys(minhashSignatures(
-          graft.Tables.tWide(s, dir, "documents")
-            .filter(col("doc_id") % 10 =!= 7)))
-        .repartition(B, col("bk")),
-      tab, Seq("bk"), B)
+    if (rebuild || !s.catalog.tableExists(tab)) {
+      val B = 8
+      graft.sources.Staging.storeBucketed(
+        bandKeys(minhashSignatures(
+            graft.Tables.tWide(s, dir, "documents")
+              .filter(col("doc_id") % 10 =!= 7)))
+          .repartition(B, col("bk")),
+        tab, Seq("bk"), B)
+    }
+    tab
+  }
+
+  /** q113's index: the SAME corpus as [[corpusBandIndex]] but reached
+    * through the append lifecycle a long-lived deployment actually runs —
+    * ingest epoch A (doc_id % 10 ∉ {3, 7}) builds the bucketed table,
+    * epoch B (doc_id % 10 = 3) GROWS it in place via
+    * `Staging.appendBucketed` (same keys, same bucket count — layout
+    * preserved, zero re-shuffle of epoch A), and probes then read the
+    * grown table bucket-aligned. Content ≡ corpusBandIndex's one-shot
+    * build, which is exactly what q113's oracle (q106's twin) checks. */
+  def grownBandIndex(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    graft.sources.Staging.vacuumStale(s, wh, "graft_grown_bands_")
+    val tab = "graft_grown_bands_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    if (rebuild || !s.catalog.tableExists(tab)) {
+      val B = 8
+      val docs = graft.Tables.tWide(s, dir, "documents")
+      graft.sources.Staging.storeBucketed(
+        bandKeys(minhashSignatures(
+            docs.filter(col("doc_id") % 10 =!= 7 &&
+              col("doc_id") % 10 =!= 3)))
+          .repartition(B, col("bk")),
+        tab, Seq("bk"), B)
+      graft.sources.Staging.appendBucketed(
+        bandKeys(minhashSignatures(docs.filter(col("doc_id") % 10 === 3)))
+          .repartition(B, col("bk")),
+        tab, Seq("bk"), B)
+    }
     tab
   }
 
@@ -145,6 +183,25 @@ object LlmQueries {
   def seqDot(a: Column, b: Column): Column =
     graft.plans.GraftExpressions.seq_dot(a, b)
 
+
+  /** The shared probe of q106/q113: today's ingest batch (doc_id % 10 =
+    * 7) band-joins a persisted bucketed band index and verifies
+    * signature agreement — broadcast batch, zero index-side exchange. */
+  private def probeBandIndex(s: SparkSession, tab: String,
+      dir: String): DataFrame = {
+    val corpus = s.table(tab).toDF("corpus_doc", "sig_c", "bk")
+    val batch = bandKeys(minhashSignatures(
+        tWide(s, dir, "documents").filter(col("doc_id") % 10 === 7)))
+      .toDF("batch_doc", "sig_b", "bk_b")
+    corpus.join(broadcast(batch), col("bk") === col("bk_b"))
+      .select(col("batch_doc"), col("corpus_doc"),
+        graft.plans.GraftExpressions.zip_equal(col("sig_b"), col("sig_c"))
+          .as("match_cnt"))
+      .filter(col("match_cnt") >= NearDupMinMatches)
+      .distinct()
+      .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
+      .orderBy("batch_doc", "corpus_doc")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5 grouping, min-doc_id survivor, per-lang report.
@@ -182,19 +239,22 @@ object LlmQueries {
     // PlanSpec, the q69 discipline). Batch-internal duplicates are q44's
     // job, deliberately out of scope here.
     "q106_dedup_incremental" -> { (s, dir) =>
-      val tab = corpusBandIndex(s, dir)
-      val corpus = s.table(tab).toDF("corpus_doc", "sig_c", "bk")
-      val batch = bandKeys(minhashSignatures(
-          tWide(s, dir, "documents").filter(col("doc_id") % 10 === 7)))
-        .toDF("batch_doc", "sig_b", "bk_b")
-      corpus.join(broadcast(batch), col("bk") === col("bk_b"))
-        .select(col("batch_doc"), col("corpus_doc"),
-          graft.plans.GraftExpressions.zip_equal(col("sig_b"), col("sig_c"))
-            .as("match_cnt"))
-        .filter(col("match_cnt") >= NearDupMinMatches)
-        .distinct()
-        .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
-        .orderBy("batch_doc", "corpus_doc")
+      probeBandIndex(s, corpusBandIndex(s, dir), dir)
+    },
+
+    // The index GROWTH path under the gate — the lifecycle step q106
+    // presumes but doesn't exercise: the corpus index is built from
+    // ingest epoch A, epoch B is appended in place with
+    // Staging.appendBucketed (bucket layout preserved — PlanSpec pins
+    // the post-append probe still scans bucketed with zero index-side
+    // exchange), and today's batch probes the GROWN index. The answer
+    // must equal probing a one-shot index over A∪B — the oracle is
+    // q106's twin verbatim, since A∪B is exactly q106's corpus — which
+    // pins that appendBucketed changed the layout's file count and
+    // nothing else. At 100 TB this is the daily cycle: append today's
+    // bands, probe tomorrow's batch; nothing ever rebuilds.
+    "q113_dedup_append_reprobe" -> { (s, dir) =>
+      probeBandIndex(s, grownBandIndex(s, dir), dir)
     },
 
     // q106's probe as a TRUE STREAM: new docs arrive as file-source
@@ -400,6 +460,10 @@ object LlmQueries {
     // shares the twin verbatim.
     "q106_dedup_incremental" -> incrementalDedupSql,
     "q108_stream_dedup_incremental" -> incrementalDedupSql,
+    // the grown (A build + B append) index holds exactly q106's corpus
+    // (A∪B = doc_id % 10 != 7), so the one-shot twin IS the oracle:
+    // append-then-probe must be indistinguishable from build-once
+    "q113_dedup_append_reprobe" -> incrementalDedupSql,
 
     // norms precomputed per vector in CTE `e` — the same sqrt'd
     // sequential fold the Spark side's l2Norm runs (D7: bit-identical

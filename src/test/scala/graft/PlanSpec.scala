@@ -133,6 +133,39 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(orderingConf)
   }
 
+  test("q113 post-append probe scans the GROWN index bucketed, zero index-side exchange") {
+    // the growth lifecycle's whole point: after appendBucketed the probe
+    // must look exactly like q106's — bucketed corpus scan, broadcast
+    // batch, only batch-proportional exchanges. A layout-breaking append
+    // would surface here as an Exchange over the corpus side.
+    val p = plan("q113_dedup_append_reprobe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small-batch probe must broadcast the batch bands:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"the grown index must still scan as bucketed:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"only batch sig-agg + pair distinct may shuffle:\n$p")
+    // SMJ fallback: a too-big batch sorts-merges against the grown
+    // table — corpus side still contributes NO exchange (appends add
+    // files per bucket, never re-hash rows; a Sort on the corpus side
+    // is expected here since multi-file buckets can't claim scan order)
+    import org.apache.spark.sql.functions.col
+    val sfx = graft.sources.Staging.sessionSuffix(spark, dir)
+    val docs = Tables.tWide(spark, dir, "documents")
+    val batch = graft.operators.LlmQueries.bandKeys(
+        graft.operators.LlmQueries.minhashSignatures(
+          docs.filter(col("doc_id") % 10 === 7)))
+      .toDF("batch_doc", "sig_b", "bk_b")
+    val smj = spark.table(s"graft_grown_bands_$sfx")
+      .join(batch.hint("merge"), col("bk") === col("bk_b"))
+    val sp = smj.queryExecution.executedPlan.toString
+    assert(sp.contains("SortMergeJoin"), s"expected sort-merge join:\n$sp")
+    assert(sp.contains("Bucketed: true"),
+      s"grown corpus side must scan the bucketed layout:\n$sp")
+    assert("Exchange hashpartitioning".r.findAllIn(sp).size === 2,
+      s"only the batch side may shuffle into the corpus buckets:\n$sp")
+  }
+
   test("q109 embedding probe broadcasts the batch against the bucketed LSH index") {
     // the vector twin of q106's pin: corpus band index scans bucketed,
     // batch side broadcasts, and the only hash exchanges are
