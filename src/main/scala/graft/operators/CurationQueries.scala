@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.plans.MisraGriesAgg.misra_gries
@@ -62,6 +63,13 @@ object CurationQueries {
     * memory) — the plan shape is shard-count-independent. */
   val PackShards = 4L
 
+  /** q96: posting-page width (docs per page). Every posting row and
+    * every build-side aggregation buffer is bounded by this, whatever
+    * the token's document frequency. 16 forces multi-page postings even
+    * at sf0.001 (~50 docs ⇒ 4 pages for a stopword); production sizes
+    * pages to the reader's block size (thousands), same plan. */
+  val PostingPageDocs = 16
+
   /** Sequence packing, the 100 TB shape: docs are pre-assigned to
     * `shards` deterministic shards (doc_id mod shards — the fixture ids
     * are dense; non-dense ids would use a portable hash like poly_hash
@@ -78,7 +86,6 @@ object CurationQueries {
     * shard) group equals packing that shard's docs as a standalone
     * stream. Returns one row per (source, shard). */
   def packSequences(docs: DataFrame, shards: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val W = PackWindow
     val w = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -346,28 +353,40 @@ object CurationQueries {
         .orderBy("source", "shard")
     },
 
-    // Inverted index: token → document frequency, total term count,
-    // sorted posting list (rendered to CSV so the gate compares a
-    // scalar; the library shape is the array before array_join).
-    // df is size(collect_set), NOT countDistinct: a distinct aggregate
-    // alongside collect_set would trigger Spark's two-shuffle distinct
-    // rewrite (re-keying on (tok, doc_id) first) — deriving df from the
-    // posting set we already build keeps the whole index to ONE
-    // exchange on tok.
+    // Inverted index, PAGED: one row per (token, page) where page =
+    // doc_id DIV PostingPageDocs, so every posting row — and every
+    // aggregation buffer building one — holds at most PostingPageDocs
+    // ids. The r6 shape (one collect_set row per token) was correct but
+    // O(corpus docs) in a single row for a stopword token: the exact
+    // buffer that OOMs an executor long before 100 TB. Lucene-style
+    // segmented postings are the standard fix; readers stream a token's
+    // pages in order (page is doc-id-major, so concatenation IS the
+    // sorted full list). Token-level df/tf_total ride on every page row
+    // via a window over tok.
+    //
+    // df stays size(plist)-derived, NOT countDistinct — the r6 rule: a
+    // distinct aggregate alongside collect_set would trigger the
+    // two-shuffle distinct rewrite. Exchanges: the (tok, page) build agg
+    // (map-side combined, every partial ≤ page-bounded) and the
+    // tok-window re-cluster moving only page-summary rows (each ≤
+    // PostingPageDocs ids) — two exchanges, BOTH with bounded-size rows,
+    // which is the property the one-big-row "one exchange" traded away.
     "q96_inverted_index" -> { (s, dir) =>
+      val B = PostingPageDocs
+      val wTok = Window.partitionBy("tok")
       tWide(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok")
-        .agg(
-          count(lit(1)).as("tf_total"),
+        .groupBy(col("tok"), expr(s"doc_id DIV $B").as("page"))
+        .agg(count(lit(1)).as("page_tf"),
           sort_array(collect_set(col("doc_id"))).as("plist"))
-        .select(
-          col("tok"),
-          size(col("plist")).cast("long").as("df"),
-          col("tf_total"),
+        .select(col("tok"), col("page"),
+          sum(size(col("plist")).cast("long")).over(wTok).as("df"),
+          sum(col("page_tf")).over(wTok).as("tf_total"),
+          size(col("plist")).cast("long").as("page_df"),
+          col("page_tf"),
           array_join(transform(col("plist"), _.cast("string")), ",")
             .as("postings"))
-        .orderBy("tok")
+        .orderBy("tok", "page")
     },
   )
 
@@ -482,12 +501,18 @@ object CurationQueries {
          |SELECT * FROM p ORDER BY source, shard""".stripMargin,
 
     "q96_inverted_index" ->
-      """SELECT tok,
-        | count(DISTINCT doc_id) AS df,
-        | count(*) AS tf_total,
-        | array_to_string(list_transform(list_sort(list(DISTINCT doc_id)),
-        |   x -> CAST(x AS VARCHAR)), ',') AS postings
-        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |GROUP BY tok ORDER BY tok""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |pg AS (
+         |  SELECT tok, doc_id // $PostingPageDocs AS page,
+         |    count(*) AS page_tf,
+         |    list_sort(list(DISTINCT doc_id)) AS plist
+         |  FROM t GROUP BY tok, doc_id // $PostingPageDocs)
+         |SELECT tok, page,
+         |  CAST(sum(len(plist)) OVER (PARTITION BY tok) AS BIGINT) AS df,
+         |  CAST(sum(page_tf) OVER (PARTITION BY tok) AS BIGINT) AS tf_total,
+         |  CAST(len(plist) AS BIGINT) AS page_df,
+         |  CAST(page_tf AS BIGINT) AS page_tf,
+         |  array_to_string(list_transform(plist, x -> CAST(x AS VARCHAR)), ',') AS postings
+         |FROM pg ORDER BY tok, page""".stripMargin,
   )
 }

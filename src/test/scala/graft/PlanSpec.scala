@@ -330,12 +330,17 @@ class PlanSpec extends SparkSpec {
       s"only the bucket-key exchange may shuffle:\n$p")
   }
 
-  test("q96 inverted index builds in ONE exchange (no distinct rewrite)") {
-    // df = size(collect_set) — a countDistinct alongside collect_set
-    // would re-key on (tok, doc_id) and shuffle twice
+  test("q96 paged inverted index: two bounded exchanges, no distinct rewrite") {
+    // the (tok, page) build agg + the tok-window re-cluster of page
+    // SUMMARY rows — df stays size(plist)-derived, so no countDistinct
+    // two-shuffle rewrite (which would make it three)
     val p = plan("q96_inverted_index")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
-      s"posting build must shuffle once on tok:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"page build + token rollup only:\n$p")
+    // the derived page key renders as _groupingexpression in the agg
+    assert("hashpartitioning\\(tok#\\d+, (page|_groupingexpression)#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"the posting build must key on (tok, page) — bounded buffers:\n$p")
   }
 
   test("q97 salted agg adds exactly one extra exchange over a plain groupBy") {

@@ -167,6 +167,41 @@ class CurationSpec extends SparkSpec {
     assert(got === expect, "sharded totals must conserve docs and tokens")
   }
 
+  test("q96 posting pages are bounded and reassemble the exact full index") {
+    // the 100 TB property the paging exists for: NO row (and therefore
+    // no aggregation buffer) ever holds more than PostingPageDocs ids,
+    // however frequent the token — plus lossless reassembly: pages
+    // concatenated in page order equal the unpaged sorted posting list,
+    // and the windowed df/tf_total equal the page-derived totals.
+    val B = CurationQueries.PostingPageDocs
+    val rows = CurationQueries.queries("q96_inverted_index")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    def ids(r: org.apache.spark.sql.Row): Seq[Long] = {
+      val s = r.getAs[String]("postings")
+      if (s.isEmpty) Seq.empty else s.split(",").map(_.toLong).toSeq
+    }
+    rows.foreach { r =>
+      assert(ids(r).size <= B, s"page over $B ids: $r")
+      assert(ids(r).size.toLong === r.getAs[Long]("page_df"))
+      assert(ids(r).forall(_ / B === r.getAs[Long]("page")),
+        s"every id must belong to its page: $r")
+    }
+    val byTok = rows.groupBy(_.getAs[String]("tok"))
+    assert(byTok.exists(_._2.length > 1),
+      "fixture must actually produce multi-page tokens")
+    byTok.foreach { case (tok, pages) =>
+      val cat = pages.sortBy(_.getAs[Long]("page")).flatMap(ids)
+      assert(cat.toSeq === cat.sorted.toSeq && cat.distinct.length === cat.length,
+        s"$tok: page-order concatenation must be the sorted distinct list")
+      assert(pages.map(_.getAs[Long]("df")).distinct.length === 1)
+      assert(pages.head.getAs[Long]("df") === cat.length.toLong,
+        s"$tok: windowed df must equal total posting count")
+      assert(pages.head.getAs[Long]("tf_total") ===
+        pages.map(_.getAs[Long]("page_tf")).sum, s"$tok: tf rollup")
+    }
+  }
+
   test("q94 SCD2 segments partition each user's timeline without gaps") {
     val q = EventAnalytics.queries("q94_scd2")(spark, "/root/testdata/sf0.001")
       .orderBy("user_id", "version").collect()
