@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   *    per-frame-luminance time profile measured over frames COMPOSITED
   *    onto the logical screen (delta-encoded sub-rectangle frames are
   *    placed at their ImageDescriptor offsets with disposal honored).
-  * Codec-less video formats (MP4 etc. — this container has no codecs)
-  * and undecodable payloads fall back to a clearly-marked deterministic
+  * MP4/QuickTime payloads get a REAL metadata parse (ISO BMFF box walk:
+  * duration, track dimensions, track count — [[decodeMp4Metadata]]);
+  * their frame pixels stay out of reach (no H.264/VP9 codecs in a JDK),
+  * so their luminance features are zero. Other codec-less formats and
+  * undecodable payloads fall back to a clearly-marked deterministic
   * byte-histogram STUB. Everything around the decode — schema, Dataset typing,
   * per-partition batch shape, partitioning — is what any further codec
   * would plug into. `mapPartitions` is the Scala analog of arrow-batched
@@ -77,10 +80,26 @@ object MultimodalOps {
       decodeAviMjpeg(payload)
   }
 
+  /** MP4/QuickTime METADATA decoder, pure JDK: an ISO BMFF box walk
+    * (ftyp brand sniff, moov/mvhd timescale+duration, trak/tkhd track
+    * dimensions) — real duration, dimensions and track count with no
+    * codec work. The JDK ships no H.264/VP9 codecs, so frame luminance
+    * stays out of reach: `frameMeanLuminance` is EMPTY (features all
+    * zero, decoded_frames 0), but the metadata a curation pipeline
+    * filters on (resolution, duration) is REAL — most of what the
+    * byte-histogram fallback was standing in for. A sample decoder
+    * plugs in ahead of this one without touching it. See
+    * [[decodeMp4Metadata]]. */
+  val mp4MetadataDecoder: VideoDecoder = new VideoDecoder {
+    def decode(payload: Array[Byte]): Option[VideoFrames] =
+      decodeMp4Metadata(payload)
+  }
+
   /** Probe order: the AVI sniff is a 12-byte magic check, so it goes
-    * first; ImageIO's reader iteration handles the rest. */
+    * first; ImageIO's reader iteration handles GIF and friends; the MP4
+    * metadata parse comes last so any plugged full codec wins first. */
   val defaultVideoDecoders: Seq[VideoDecoder] =
-    Seq(aviMjpegDecoder, imageIoVideoDecoder)
+    Seq(aviMjpegDecoder, imageIoVideoDecoder, mp4MetadataDecoder)
 
   /** Storage schema for a media table: opaque binary + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -520,6 +539,81 @@ object MultimodalOps {
       if (means.isEmpty) None
       else Some(VideoFrames(w, h, means.length * usPerFrame / 1000L,
         means.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ISO BMFF (MP4/QuickTime/WebM-sibling) metadata parse, pure JDK:
+    * boxes are [u32-BE size][fourcc][body] with size INCLUDING the
+    * 8-byte header (size 1 → 64-bit largesize follows; size 0 → box
+    * runs to the end of its container). Sniff: 'ftyp' at offset 4 —
+    * every conforming file leads with the brand box. The walk descends
+    * only into 'moov' and 'trak' containers (iterative, explicit heap
+    * stack — the AVI discipline), reading:
+    *  - 'mvhd': movie timescale + duration (v0: u32s at +12/+16;
+    *    v1: u32 at +20, u64 at +24) → durationMs;
+    *  - 'tkhd': track width/height as 16.16 fixed point (v0: +76/+80;
+    *    v1: +88/+92) — the max across tracks (audio tracks carry 0×0).
+    * Lying sizes clamp to the container; any advance ≤ 0 aborts the
+    * level. None unless a valid mvhd (timescale > 0) is found — a
+    * text/garbage payload that happens to contain 'ftyp' cannot
+    * produce one, so the byte-histogram fallback stays reachable. */
+  private def decodeMp4Metadata(payload: Array[Byte]): Option[VideoFrames] =
+    try {
+      val b = payload
+      def fourcc(off: Int): String =
+        new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      def u32(off: Int): Long =
+        (b(off) & 0xffL) << 24 | (b(off + 1) & 0xffL) << 16 |
+        (b(off + 2) & 0xffL) << 8 | (b(off + 3) & 0xffL)
+      def u64(off: Int): Long = u32(off) << 32 | u32(off + 4)
+      if (b.length < 12 || fourcc(4) != "ftyp") return None
+      var timescale = 0L
+      var duration = 0L
+      var w = 0
+      var h = 0
+      var tracks = 0
+      val stack = scala.collection.mutable.ArrayDeque[(Int, Int)]((0, b.length))
+      while (stack.nonEmpty) {
+        var (off, end) = stack.removeLast()
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val size0 = u32(off)
+          val typ = fourcc(off + 4)
+          var body = off + 8
+          var size = size0
+          if (size0 == 1 && off + 16 <= end) { size = u64(off + 8); body = off + 16 }
+          else if (size0 == 0) size = (end - off).toLong
+          // clamp a lying/truncated size to the container
+          val boxEnd = math.min(off + math.max(size, (body - off).toLong),
+            end.toLong).toInt
+          typ match {
+            case "moov" | "trak" =>
+              if (typ == "trak") tracks += 1
+              stack.append((body, boxEnd))
+            case "mvhd" if boxEnd - body >= 20 =>
+              val v = b(body) & 0xff
+              if (v == 1 && boxEnd - body >= 32) {
+                timescale = u32(body + 20); duration = u64(body + 24)
+              } else if (v == 0) {
+                timescale = u32(body + 12); duration = u32(body + 16)
+              }
+            case "tkhd" =>
+              val v = b(body) & 0xff
+              val (wo, ho) = if (v == 1) (88, 92) else (76, 80)
+              if (boxEnd - body >= ho + 4) {
+                val tw = (u32(body + wo) >> 16).toInt
+                val th = (u32(body + ho) >> 16).toInt
+                if (tw > w) w = tw
+                if (th > h) h = th
+              }
+            case _ => ()
+          }
+          if (boxEnd <= off) ok = false // malformed: no forward progress
+          else off = boxEnd
+        }
+      }
+      if (timescale <= 0) None
+      else Some(VideoFrames(w, h, duration * 1000L / timescale,
+        Array.empty[Double]))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Codec-agnostic fold of a [[VideoFrames]] into MediaFeatures: frame

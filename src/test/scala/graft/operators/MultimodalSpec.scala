@@ -220,6 +220,52 @@ class MultimodalSpec extends SparkSpec {
     assert(f.decoded_width === 4 && f.decoded_height === 4)
   }
 
+  test("MP4 metadata parses through the default chain: duration, dims, no fake frames") {
+    // minimal conforming BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0) +
+    // trak(tkhd v0 audio 0x0)) — duration 1200 at timescale 600 = 2 s,
+    // video track 320x240 as 16.16 fixed point
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = new Array[Byte](100) // v0 mvhd body is 100 bytes
+      System.arraycopy(be32(600L), 0, b, 12, 4)  // timescale
+      System.arraycopy(be32(1200L), 0, b, 16, 4) // duration
+      box("mvhd", b)
+    }
+    def tkhd(w: Int, h: Int) = {
+      val b = new Array[Byte](84) // v0 tkhd body is 84 bytes
+      System.arraycopy(be32(w.toLong << 16), 0, b, 76, 4)
+      System.arraycopy(be32(h.toLong << 16), 0, b, 80, 4)
+      box("tkhd", b)
+    }
+    val moov = box("moov", mvhd ++ box("trak", tkhd(320, 240)) ++
+      box("trak", tkhd(0, 0)))
+    val mp4 = ftyp ++ moov
+    val rows = mediaDS(Seq(
+      MediaRow(28L, "video", mp4, 0, 0, 0, 0L),
+      // 'ftyp' present but no valid moov/mvhd → must NOT claim; the
+      // byte-histogram fallback stays reachable for text-like bytes
+      MediaRow(29L, "video",
+        (be32(16L) ++ "ftypjunkjunkjunk".getBytes("US-ASCII")), 0, 0, 0, 0L)))
+    val out = decodeFeatures(rows, dim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    val v = out(28L)
+    assert(v.decoded_duration_ms === 2000L,
+      s"duration must come from mvhd timescale+duration, got $v")
+    assert(v.decoded_width === 320 && v.decoded_height === 240,
+      "dims must be the video track's tkhd 16.16 values (audio 0x0 ignored)")
+    assert(v.decoded_frames === 0L,
+      "no codec = no decoded frames; metadata only, never fabricated")
+    assert(v.features.forall(_ === 0f), "no pixels → zero luminance profile")
+    val g = out(29L)
+    assert(g.decoded_duration_ms === 0L && g.features.sum > 0f,
+      "brand-only payloads keep the histogram fallback")
+  }
+
   test("a plugged VideoDecoder handles MP4 end-to-end; others unaffected") {
     // the codec-pluggable seam: a decoder registered for a format the
     // JDK can't read (MP4, by its real `ftyp` brand at offset 4) flows
