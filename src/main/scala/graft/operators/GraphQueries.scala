@@ -167,10 +167,18 @@ object GraphQueries {
   /** Unrolled min-label CTE stages over `edges`/`l0` (shared by both
     * graph oracles — DuckDB's recursive CTEs disallow aggregation in
     * the recursive term, and unrolling makes the step count visibly
-    * equal to the Spark side's). */
+    * equal to the Spark side's).
+    *
+    * Every step is MATERIALIZED — load-bearing, not a hint: DuckDB 1.0
+    * INLINES multiply-referenced CTEs, and each step reads l(i-1)
+    * twice, so unmaterialized the whole upstream pipeline re-evaluates
+    * 2^iters times (q89's MinHash candidate build × 16 spilled > 80 GB
+    * at sf0.1; with materialization the full oracle runs in seconds).
+    * This is the SQL rendering of the Spark side's per-iteration
+    * localCheckpoint — both exist to stop the same doubling. */
   private def labelSteps(iters: Int): String =
     (1 to iters).map { i =>
-      s"""l$i AS (SELECT node, min(lbl) AS lbl FROM (
+      s"""l$i AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
          |  SELECT node, lbl FROM l${i - 1}
          |  UNION ALL
          |  SELECT e.dst AS node, l.lbl FROM l${i - 1} l
@@ -181,8 +189,8 @@ object GraphQueries {
     s"""WITH eraw AS (
        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |edges AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
-       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |edges AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
        |${labelSteps(Iters)},
        |c AS (SELECT lbl, count(*) AS sz FROM l$Iters GROUP BY lbl)
        |SELECT count(*) AS n_components, CAST(max(sz) AS BIGINT) AS max_size,
@@ -193,7 +201,14 @@ object GraphQueries {
 
   /** q89's oracle: q44's full MinHash pair replay (shingles → portable
     * poly-hash → 32 LCG permutations → 8×4 band keys → candidate join →
-    * signature agreement ≥ 26) feeding the same unrolled label steps. */
+    * signature agreement ≥ 26) feeding the same unrolled label steps.
+    * Signatures ride THROUGH the band join (the Spark side's own shape)
+    * and each candidate occurrence verifies inline, instead of a
+    * `cand JOIN sig JOIN sig` re-join: at sf0.1 the re-join form made
+    * DuckDB materialize full signatures against every candidate
+    * occurrence and spill > 80 GB; carrying 8 band rows × one 32-slot
+    * list per doc is bounded by the corpus, and the DISTINCT collapses
+    * verified pairs only. */
   private val q89Sql: String =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
@@ -211,21 +226,19 @@ object GraphQueries {
        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
        |  GROUP BY doc_id, i),
        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-       |bands AS (
-       |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey, sig
        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |pairs AS (
-       |  SELECT doc_a, doc_b FROM cand
-       |   JOIN sig sa ON sa.doc_id = doc_a
-       |   JOIN sig sb ON sb.doc_id = doc_b
-       |  WHERE len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) >= 26),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |      len(list_filter(list_zip(x.sig, y.sig), z -> z[1] = z[2])) AS mc
+       |    FROM bands x JOIN bands y
+       |      ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |  WHERE mc >= 26),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
        |${labelSteps(ClusterIters)}
        |SELECT node AS doc_id, lbl AS cluster_id FROM l$ClusterIters
        |ORDER BY doc_id""".stripMargin
@@ -235,7 +248,7 @@ object GraphQueries {
     * DuckDB's floor // equals Spark's truncating `div`. */
   private def rankSteps(iters: Int): String =
     (1 to iters).map { i =>
-      s"""r$i AS (SELECT e.dst AS node,
+      s"""r$i AS MATERIALIZED (SELECT e.dst AS node,
          |  150000 + (85 * CAST(sum(r.pr // d.outdeg) AS BIGINT)) // 100 AS pr
          |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
          |  JOIN deg d ON e.src = d.src
@@ -246,9 +259,9 @@ object GraphQueries {
     s"""WITH eraw AS (
        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |edges AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
-       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |edges AS MATERIALIZED (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
        |${rankSteps(RankIters)}
        |SELECT node, pr FROM r$RankIters
        |ORDER BY pr DESC, node LIMIT 20""".stripMargin
