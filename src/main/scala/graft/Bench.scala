@@ -68,6 +68,8 @@ object Bench {
         operators.CorpusQueries.embedBandIndex(spark, sfDir, rebuild = true); () }),
       "q113_index_build" -> (() => {
         operators.LlmQueries.grownBandIndex(spark, sfDir, rebuild = true); () }),
+      "q114_index_build" -> (() => {
+        operators.CurationQueries.segCountIndex(spark, sfDir, rebuild = true); () }),
     )
     val results = (
       indexBuilds.map { case (name, fn) => name -> timed(fn) } ++

@@ -104,6 +104,46 @@ object CurationQueries {
           .cast("long").as("split_docs"))
   }
 
+  /** One row per (doc_id, segment md5) — each doc's non-overlapping
+    * SegWidth-token windows fingerprinted (q110's segment definition,
+    * shared by the streaming probe q114 and the q114 index build).
+    * Short-doc guard (the shingles discipline): below SegWidth tokens
+    * there are no segments. Unguarded, sequence(0, size/8 - 1) would
+    * DESCEND to [0, -1] for size < 8 and the -1 slice index wraps from
+    * the array end — fabricating two identical segments that score the
+    * doc dup_ratio 1.0 while the oracle's range(len//8) emits none. */
+  def segmentHashes(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      explode(when(size(toks) >= SegWidth, transform(
+          sequence(lit(0), (size(toks) / SegWidth).cast("int") - 1),
+          j => md5(concat_ws(" ",
+            slice(toks, j * SegWidth + 1, lit(SegWidth))))))
+        .otherwise(array().cast("array<string>"))).as("h"))
+  }
+
+  /** Build — or REUSE — q114's persisted segment-count table: corpus
+    * (non-batch) segment fingerprints counted and written bucketed on
+    * the 32-char digest (only digests, never text, ever shuffle or
+    * persist). The paragraph-granularity sibling of q106's band index:
+    * grows per ingest via Staging.appendBucketed at 100 TB. */
+  def segCountIndex(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    graft.sources.Staging.vacuumStale(s, wh, "graft_seg_counts_")
+    val tab = "graft_seg_counts_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    if (rebuild || !s.catalog.tableExists(tab)) {
+      graft.sources.Staging.storeBucketed(
+        segmentHashes(tWide(s, dir, "documents")
+            .filter(col("doc_id") % 10 =!= 7))
+          .groupBy("h").agg(count(lit(1)).as("cnt"))
+          .repartition(8, col("h")),
+        tab, Seq("h"), 8)
+    }
+    tab
+  }
+
   /** Heavy-hitters pass 2, shared by q92 (batch pass 1) and q102
     * (streaming pass 1): exact recount of the token stream restricted
     * to the broadcast candidate summary, then the real threshold.
@@ -296,19 +336,7 @@ object CurationQueries {
     // ratio — both bounded-payload exchanges; nothing is quadratic
     // and no segment text ever shuffles (only 32-char md5s).
     "q110_segment_dedup" -> { (s, dir) =>
-      val toks = split(col("text"), " ")
-      // short-doc guard (the shingles discipline): below SegWidth tokens
-      // there are no segments. Unguarded, sequence(0, size/8 - 1) would
-      // DESCEND to [0, -1] for size < 8 and the -1 slice index wraps from
-      // the array end — fabricating two identical segments that score the
-      // doc dup_ratio 1.0 while the oracle's range(len//8) emits none.
-      val segs = tWide(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(when(size(toks) >= SegWidth, transform(
-              sequence(lit(0), (size(toks) / SegWidth).cast("int") - 1),
-              j => md5(concat_ws(" ",
-                slice(toks, j * SegWidth + 1, lit(SegWidth))))))
-            .otherwise(array().cast("array<string>"))).as("h"))
+      val segs = segmentHashes(tWide(s, dir, "documents"))
       val counts = segs.groupBy("h").agg(count(lit(1)).as("cnt"))
       segs.join(counts, "h")
         .groupBy("doc_id")
@@ -351,6 +379,53 @@ object CurationQueries {
     "q112_pack_shards" -> { (s, dir) =>
       packSequences(t(s, dir, "documents"), PackShards)
         .orderBy("source", "shard")
+    },
+
+    // q110's INCREMENTAL twin — the paragraph-granularity member of the
+    // streaming serving triad (q108 text bands, q109 vector bands,
+    // q114 segments): new docs arrive as file-source micro-batches,
+    // each row fingerprints its own segments STATELESSLY (explode +
+    // md5 — a narrow map, no watermark, no state store), and the
+    // segments stream-static LEFT join the persisted corpus
+    // segment-count table (segCountIndex, bucketed on the digest). A
+    // batch segment is duplicated iff it exists in the corpus at all —
+    // the corpus excludes the batch, so cnt >= 1 is the q110 "occurs
+    // elsewhere" test. Per-segment hits append to a parquet sink; the
+    // read-back aggregates per doc. Oracle: q110's replay restricted to
+    // batch-side docs vs the non-batch corpus — streaming ingest must
+    // reproduce the one-shot batch answer bit-for-bit.
+    "q114_stream_segment_dedup" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      val counts = s.table(segCountIndex(s, dir))
+      val base = freshBase(s, dir, "q114")
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val batchDocs = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+      val src = stageBatches(s, base, Seq(
+        batchDocs.filter(col("doc_id") % 20 === 7),
+        batchDocs.filter(col("doc_id") % 20 === 17)))
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val hits = segmentHashes(stream)
+          .join(counts, Seq("h"), "left_outer")
+          .select(col("doc_id"), col("h"),
+            when(col("cnt").isNotNull, 1L).otherwise(0L).as("dup"))
+        val q = graft.streaming.StreamPipelines
+          .writeParquetStream(hits, outDir, ckpt)
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum("dup").cast("long").as("n_dup_segs"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_segs").cast("double") / col("n_segs"), 6))
+        .orderBy(desc("dup_ratio"), col("doc_id"))
+        .limit(20)
     },
 
     // Inverted index, PAGED: one row per (token, page) where page =
@@ -484,6 +559,25 @@ object CurationQueries {
          |  SELECT doc_id, count(*) AS n_segs,
          |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs
          |  FROM segs JOIN counts USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_segs, n_dup_segs,
+         |  round(n_dup_segs::DOUBLE / n_segs, 6) AS dup_ratio
+         |FROM per ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q110's replay restricted: batch docs (doc_id % 10 = 7) probed
+    // against the DISTINCT segment set of the non-batch corpus
+    "q114_stream_segment_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |segs AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(toks[j*$SegWidth+1 : j*$SegWidth+$SegWidth], ' ')) AS h
+         |  FROM d CROSS JOIN LATERAL
+         |    (SELECT unnest(range(len(toks) // $SegWidth)) AS j) js),
+         |corp AS (SELECT DISTINCT h FROM segs WHERE doc_id % 10 != 7),
+         |b AS (SELECT doc_id, h FROM segs WHERE doc_id % 10 = 7),
+         |per AS (
+         |  SELECT b.doc_id, count(*) AS n_segs,
+         |    CAST(sum(CASE WHEN corp.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs
+         |  FROM b LEFT JOIN corp ON b.h = corp.h GROUP BY b.doc_id)
          |SELECT doc_id, n_segs, n_dup_segs,
          |  round(n_dup_segs::DOUBLE / n_segs, 6) AS dup_ratio
          |FROM per ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin,
