@@ -200,7 +200,9 @@ object Staging {
     * layout. NB each append adds one file per written bucket; the
     * one-file-per-bucket invariant that lets scans report bucket ORDER
     * (see q69's PlanSpec conf opt-in) holds only for freshly-built
-    * tables, so long-lived indexes compact periodically ([[compact]]) —
+    * tables, so long-lived indexes compact periodically
+    * ([[compactBucketed]] — NOT the path-level [[compact]], which would
+    * rewrite the files without bucket-id names and destroy the layout) —
     * bucket CO-LOCATION (the shuffle-freedom) is unaffected either way. */
   def appendBucketed(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int): Unit =
@@ -209,6 +211,40 @@ object Staging {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Compact a table built by [[storeBucketed]] and grown by
+    * [[appendBucketed]] back to ONE file per bucket — the periodic
+    * maintenance step of the build/append/probe lifecycle. Appends add
+    * a file per written bucket per ingest; co-location survives but
+    * (a) scan planning degrades with file count at 100 TB and (b) the
+    * one-file-per-bucket invariant behind sort-FREE bucketed merges
+    * (q69's conf opt-in) is lost. The rewrite goes THROUGH the bucket
+    * spec — a path-level rewrite ([[compact]]) would drop the bucket-id
+    * file naming and silently corrupt the layout — into a temp table,
+    * then swaps via drop + catalog RENAME, so a crash window leaves
+    * either the old table or a complete temp copy, never a torn mix.
+    * Returns the new file count (== buckets for a non-empty table). */
+  def compactBucketed(spark: SparkSession, table: String,
+      keys: Seq[String], buckets: Int): Int = {
+    val tmp = s"${table}__compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    vacuum(spark,
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${tmp.toLowerCase}")
+    // repartition to the bucket count on the keys: each task then holds
+    // exactly the rows of one bucket, so the bucketBy write emits one
+    // file per bucket (the storeBucketed discipline)
+    spark.table(table)
+      .repartition(buckets,
+        keys.map(org.apache.spark.sql.functions.col(_)): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.table(table).inputFiles.length
+  }
 }
 
 /** Named-config provisioning — Spark-native heir of the reference's

@@ -105,6 +105,52 @@ class StagingSpec extends SparkSpec {
     spark.sql("DROP TABLE idx_grow")
   }
 
+  test("compactBucketed restores one file per bucket and the sort-free merge") {
+    val sess = spark
+    import sess.implicits._
+    // lifecycle: build + three ingest appends fragment the layout
+    // (one extra file per written bucket per append); compaction must
+    // (a) bring it back to exactly one file per bucket, (b) change no
+    // rows, and (c) RESTORE the sort-free bucketed merge that the
+    // one-file-per-bucket invariant licenses (q69's conf opt-in) —
+    // the property appends degrade and path-level compact() would
+    // destroy outright (it rewrites files without bucket-id names).
+    val B = 8
+    def day(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    Staging.storeBucketed(day(1, 400), "idx_cpt", Seq("k"), B)
+    (1 to 3).foreach(d =>
+      Staging.appendBucketed(day(400 * d + 1, 400 * d + 400),
+        "idx_cpt", Seq("k"), B))
+    assert(spark.table("idx_cpt").inputFiles.length > B,
+      "appends must have fragmented the layout for the test to bite")
+    val nFiles = Staging.compactBucketed(spark, "idx_cpt", Seq("k"), B)
+    assert(nFiles === B, s"expected one file per bucket, got $nFiles")
+    val t = spark.table("idx_cpt")
+    assert(t.count() === 1600)
+    assert(t.select("v").as[Long].collect().toSet === (1L to 1600L).toSet)
+    val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(orderingConf, "true")
+    try {
+      val other = (0 to 49).map(i => (i.toLong, i * 10L)).toDF("pk", "w")
+      Staging.storeBucketed(
+        other.repartition(B, $"pk"), "idx_cpt_dim", Seq("pk"), B)
+      val j = spark.table("idx_cpt")
+        .join(spark.table("idx_cpt_dim").hint("merge"), $"k" === $"pk")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"compacted bucketed join must not shuffle:\n$plan")
+      assert(!plan.contains("Sort ["),
+        s"one-file-per-bucket scan order must make the merge sort-free:\n$plan")
+      assert(j.count() === 1600)
+    } finally {
+      spark.conf.unset(orderingConf)
+      spark.sql("DROP TABLE IF EXISTS idx_cpt_dim")
+    }
+    spark.sql("DROP TABLE idx_cpt")
+  }
+
   test("compact rewrites a many-small-files prefix into few files, same rows") {
     val sess = spark
     import sess.implicits._
