@@ -389,8 +389,8 @@ object LlmQueries {
       |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
       |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
       |  GROUP BY doc_id, i),
-      |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-      |bands AS (
+      |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+      |bands AS MATERIALIZED (
       |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
       |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
       |cand AS (
@@ -434,8 +434,8 @@ object LlmQueries {
         |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
         |  GROUP BY doc_id, i),
-        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        |bands AS (
+        |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        |bands AS MATERIALIZED (
         |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
         |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
         |cand AS (
@@ -469,7 +469,7 @@ object LlmQueries {
     // sequential fold the Spark side's l2Norm runs (D7: bit-identical
     // whether computed once or per pair)
     "q45_sim_topk" ->
-      """WITH e AS (SELECT vec_id, embedding,
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
         |  FROM embeddings),
         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id % 50 = 0),

@@ -307,7 +307,7 @@ object SimilarityQueries {
     // all-integer replay: same quantize formula as q83's oracle, exact
     // integer dot, same (dot DESC, nid) ranking
     "q90_sim_quantized" ->
-      """WITH c AS (
+      """WITH c AS MATERIALIZED (
         |  SELECT vec_id, list_transform(embedding,
         |    x -> GREATEST(-127, LEAST(127,
         |      CAST(round(CAST(x AS DOUBLE) * 254.0) AS BIGINT)))) AS codes
@@ -339,10 +339,10 @@ object SimilarityQueries {
         |    sum(cnt * (2 * (CASE WHEN b < 30 THEN (h1 >> b) & 1 ELSE (h2 >> (b - 30)) & 1 END) - 1)) AS w
         |  FROM wh CROSS JOIN (SELECT unnest(range(60)) AS b) bb
         |  GROUP BY doc_id, b),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id, sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         |  FROM bits GROUP BY doc_id),
-        |chunks AS (
+        |chunks AS MATERIALIZED (
         |  SELECT doc_id, c, (simhash >> (c * 15)) & 32767 AS ck
         |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS c) cc),
         |cand AS (
@@ -355,7 +355,7 @@ object SimilarityQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q55_ngram_jaccard" ->
-      """WITH arrs AS (
+      """WITH arrs AS MATERIALIZED (
         |  SELECT doc_id, list_transform(list_distinct(list_transform(
         |      range(0, len(string_split(text,' ')) - 2),
         |      i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))),
@@ -371,7 +371,7 @@ object SimilarityQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q56_dedup_embed" ->
-      """WITH e AS (SELECT label, vec_id, embedding,
+      """WITH e AS MATERIALIZED (SELECT label, vec_id, embedding,
         |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (x,y)->x+y)) AS nrm
         |  FROM embeddings),
         |p0 AS (
@@ -388,7 +388,7 @@ object SimilarityQueries {
         |FROM p GROUP BY label ORDER BY label""".stripMargin,
 
     "q57_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding,
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
         |  FROM embeddings),
         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id % 100 = 0),
@@ -399,7 +399,7 @@ object SimilarityQueries {
         |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS dot,
         |        e.nrm AS na, c.cn AS nb
         |      FROM e CROSS JOIN cent c))),
-        |buckets AS (SELECT vec_id, cid FROM asgn WHERE rn = 1),
+        |buckets AS MATERIALIZED (SELECT vec_id, cid FROM asgn WHERE rn = 1),
         |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0),
         |probe AS (
         |  SELECT qid, nid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
