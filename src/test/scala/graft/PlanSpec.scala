@@ -164,6 +164,29 @@ class PlanSpec extends SparkSpec {
       s"grown corpus side must scan the bucketed layout:\n$sp")
     assert("Exchange hashpartitioning".r.findAllIn(sp).size === 2,
       s"only the batch side may shuffle into the corpus buckets:\n$sp")
+    // COMPACTION closes the lifecycle: back to one file per bucket, the
+    // probe answer is bit-identical, and the SMJ becomes sort-free
+    // again (one-file-per-bucket scan order, q69's conf opt-in)
+    val before = SparkEntry.queries("q113_dedup_append_reprobe")(spark, dir)
+      .collect()
+    val nFiles = graft.sources.Staging.compactBucketed(
+      spark, s"graft_grown_bands_$sfx", Seq("bk"), 8)
+    assert(nFiles === 8, s"expected one file per bucket, got $nFiles")
+    val after = SparkEntry.queries("q113_dedup_append_reprobe")(spark, dir)
+      .collect()
+    assert(after.toSeq === before.toSeq,
+      "compaction must not change the probe answer")
+    val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(orderingConf, "true")
+    try {
+      val sp2 = spark.table(s"graft_grown_bands_$sfx")
+        .join(batch.hint("merge"), col("bk") === col("bk_b"))
+        .queryExecution.executedPlan.toString
+      assert(sp2.contains("SortMergeJoin") && sp2.contains("Bucketed: true"),
+        s"compacted index must still merge bucketed:\n$sp2")
+      assert(!"Sort \\[bk#\\d+".r.findFirstIn(sp2).isDefined,
+        s"compaction must restore the sort-free index-side scan:\n$sp2")
+    } finally spark.conf.unset(orderingConf)
   }
 
   test("q109 embedding probe broadcasts the batch against the bucketed LSH index") {
