@@ -222,11 +222,22 @@ object Staging {
     * spec — a path-level rewrite ([[compact]]) would drop the bucket-id
     * file naming and silently corrupt the layout — into a temp table,
     * then swaps via drop + catalog RENAME, so a crash window leaves
-    * either the old table or a complete temp copy, never a torn mix.
+    * either the old table or a complete temp copy, never a torn mix —
+    * and the entry check heals the drop-but-not-renamed window by
+    * promoting the surviving temp copy (the [[compact]] discipline).
     * Returns the new file count (== buckets for a non-empty table). */
   def compactBucketed(spark: SparkSession, table: String,
       keys: Seq[String], buckets: Int): Int = {
     val tmp = s"${table}__compact_tmp"
+    // self-heal: a crash between DROP and RENAME left only the temp
+    // copy — promote it instead of failing on the missing source
+    if (!spark.catalog.tableExists(table)) {
+      require(spark.catalog.tableExists(tmp),
+        s"compactBucketed: no such table $table (and no surviving " +
+          s"$tmp to restore)")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      return spark.table(table).inputFiles.length
+    }
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
     vacuum(spark,
       s"${spark.conf.get("spark.sql.warehouse.dir")}/${tmp.toLowerCase}")
