@@ -66,7 +66,7 @@ object CurationQueries {
   /** q96: posting-page width (docs per page). Every posting row and
     * every build-side aggregation buffer is bounded by this, whatever
     * the token's document frequency. 16 forces multi-page postings even
-    * at sf0.001 (~50 docs ⇒ 4 pages for a stopword); production sizes
+    * at sf0.001 (500 docs ⇒ ~31 pages for a stopword); production sizes
     * pages to the reader's block size (thousands), same plan. */
   val PostingPageDocs = 16
 
@@ -124,8 +124,8 @@ object CurationQueries {
 
   /** Build — or REUSE — q114's persisted segment-count table: corpus
     * (non-batch) segment fingerprints counted and written bucketed on
-    * the 32-char digest (only digests, never text, ever shuffle or
-    * persist). The paragraph-granularity sibling of q106's band index:
+    * the 32-char digest — only digests, never text, ever shuffle or
+    * persist. The paragraph-granularity sibling of q106's band index:
     * grows per ingest via Staging.appendBucketed at 100 TB. */
   def segCountIndex(s: SparkSession, dir: String,
       rebuild: Boolean = false): String = {
