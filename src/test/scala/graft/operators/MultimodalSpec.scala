@@ -266,6 +266,41 @@ class MultimodalSpec extends SparkSpec {
       "brand-only payloads keep the histogram fallback")
   }
 
+  test("MP4 parse handles version-1 headers and 64-bit largesize boxes") {
+    // v1 mvhd (u64 times: timescale at +20, u64 duration at +24), v1
+    // tkhd (dims at +88/+92), and the moov wrapped in a size==1 box
+    // whose real length rides the 8-byte largesize field
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    def largeBox(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(1L) ++ typ.getBytes("US-ASCII") ++ be64(body.length + 16L) ++ body
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val mvhd1 = {
+      val b = new Array[Byte](112) // v1 mvhd body
+      b(0) = 1
+      System.arraycopy(be32(1000L), 0, b, 20, 4) // timescale
+      System.arraycopy(be64(90000L), 0, b, 24, 8) // duration -> 90 s
+      box("mvhd", b)
+    }
+    val tkhd1 = {
+      val b = new Array[Byte](96) // v1 tkhd body
+      b(0) = 1
+      System.arraycopy(be32(1920L << 16), 0, b, 88, 4)
+      System.arraycopy(be32(1080L << 16), 0, b, 92, 4)
+      box("tkhd", b)
+    }
+    val mp4 = ftyp ++ largeBox("moov", mvhd1 ++ box("trak", tkhd1))
+    val f = decodeFeatures(mediaDS(Seq(
+      MediaRow(30L, "video", mp4, 0, 0, 0, 0L))), dim = 2).collect().head
+    assert(f.decoded_duration_ms === 90000L,
+      s"v1 mvhd u64 duration must parse, got $f")
+    assert(f.decoded_width === 1920 && f.decoded_height === 1080,
+      "v1 tkhd dims sit 12 bytes deeper than v0")
+  }
+
   test("a plugged VideoDecoder handles MP4 end-to-end; others unaffected") {
     // the codec-pluggable seam: a decoder registered for a format the
     // JDK can't read (MP4, by its real `ftyp` brand at offset 4) flows
