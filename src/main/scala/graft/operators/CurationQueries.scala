@@ -290,12 +290,18 @@ object CurationQueries {
     // folds). Scale: one token-count agg (bounded vocab), the LM
     // broadcasts, per-doc scoring is a map-side-combinable sum.
     "q103_perplexity" -> { (s, dir) =>
-      val toks = tWide(s, dir, "documents")
+      // ONE explode pass: the (doc, tok) term-frequency frame serves
+      // both the LM fit (vocab counts = Σ c over docs, a bounded
+      // re-agg) and the per-doc scoring (surprisal = Σ lnq·c — the
+      // same integer sum as per-occurrence folding, grouped). The r6
+      // shape exploded the corpus token stream TWICE (once for counts,
+      // once for scoring); at 100 TB the second scan+explode is the
+      // dominant waste, and the scoring join now moves (doc, tok, c)
+      // partials instead of raw token occurrences.
+      val dt = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      // total token count derived from the per-token counts (a
-      // vocab-sized re-agg) — a separate toks.count would scan and
-      // explode the whole corpus a third time
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val counts = dt.groupBy("tok").agg(sum("c").cast("long").as("cnt"))
       val total = counts.agg(sum("cnt").cast("long").as("n"))
       // cross-engine floor guard: ln is only ~1-ulp accurate on each
       // engine, so a token whose -ln(p)·1e6 lands within an ulp of an
@@ -312,9 +318,10 @@ object CurationQueries {
         .withColumn("x", -log(col("cnt").cast("double") / col("n")) * 1e6)
         .select(col("tok"),
           floor(col("x") + lit(1e-6)).cast("long").as("lnq"))
-      toks.join(broadcast(lm), "tok")
+      dt.join(broadcast(lm), "tok")
         .groupBy("doc_id")
-        .agg(sum("lnq").as("surprisal"), count(lit(1)).as("nt"))
+        .agg(sum(col("lnq") * col("c")).as("surprisal"),
+          sum("c").cast("long").as("nt"))
         .selectExpr("doc_id", "nt",
           "surprisal div nt AS ppx_micro") // mean surprisal, micro-nats
         .orderBy(desc("ppx_micro"), col("doc_id"))
