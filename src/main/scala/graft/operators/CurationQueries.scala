@@ -338,14 +338,16 @@ object CurationQueries {
     // boilerplate inside one doc is still boilerplate). Surfaces the
     // top-20 most-duplicated docs, q82's presentation shape.
     //
-    // Scale: segments hash-shuffle once for the corpus-wide count
-    // (map-side combinable) and once back onto doc_id for the per-doc
-    // ratio — both bounded-payload exchanges; nothing is quadratic
-    // and no segment text ever shuffles (only 32-char md5s).
+    // Scale: the fingerprint scan runs ONCE — corpus-wide occurrence
+    // counts come from a count() window over the h clustering, so the
+    // segment stream shuffles once onto h and once back onto doc_id
+    // (both bounded payloads: only 32-char md5s ever move; nothing is
+    // quadratic). The agg-then-join form this replaces evaluated the
+    // scan+md5 pipeline twice (both sides of the self-join) and paid a
+    // third exchange for the join's count side.
     "q110_segment_dedup" -> { (s, dir) =>
-      val segs = segmentHashes(tWide(s, dir, "documents"))
-      val counts = segs.groupBy("h").agg(count(lit(1)).as("cnt"))
-      segs.join(counts, "h")
+      segmentHashes(tWide(s, dir, "documents"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_segs"),
           sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("long")

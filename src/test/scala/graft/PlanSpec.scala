@@ -353,6 +353,17 @@ class PlanSpec extends SparkSpec {
       s"only the bucket-key exchange may shuffle:\n$p")
   }
 
+  test("q110 fingerprints the corpus ONCE: single generate, two digest exchanges") {
+    // the window-over-h form: one scan+md5 evaluation (the agg-then-
+    // self-join shape ran the fingerprint pipeline twice), one exchange
+    // onto h for the corpus-wide count, one back onto doc_id
+    val p = plan("q110_segment_dedup")
+    assert("Generate explode".r.findAllIn(p).size === 1,
+      s"segment fingerprinting must run exactly once:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"h window + doc_id agg only:\n$p")
+  }
+
   test("q96 paged inverted index: two bounded exchanges, no distinct rewrite") {
     // the (tok, page) build agg + the tok-window re-cluster of page
     // SUMMARY rows — df stays size(plist)-derived, so no countDistinct
