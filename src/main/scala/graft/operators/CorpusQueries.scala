@@ -83,17 +83,33 @@ object CorpusQueries {
       .withColumn("__hk", shuffleKey(col("doc_id")))
       .withColumn("__bkt", expr(s"__hk DIV $step"))
     val wmap = typedLit(weights)
+    // cached like decision below (≤ sources × nBuckets rows): the
+    // decision build reads it twice (running-sum side + totals), and
+    // each uncached reference re-runs the corpus-scanning count agg
     val counts = d.groupBy("source", "__bkt")
       .agg(count(lit(1)).as("__cnt"))
+      .cache()
     val wCum = Window.partitionBy("source").orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = d.groupBy("source").agg(count(lit(1)).as("__n_src"))
+    // per-source totals are a bounded re-agg of the bucket counts — a
+    // d.groupBy(source) here would re-scan the whole corpus a third
+    // time (counts is metadata-scale: sources × nBuckets rows)
+    val totals = counts.groupBy("source")
+      .agg(sum("__cnt").cast("long").as("__n_src"))
       .withColumn("__wmap", wmap)
       .withColumn("__quota", expr(
         "CAST((__n_src * coalesce(element_at(" +
           "__wmap, source), 0) + 999) DIV 1000 AS BIGINT)"))
       .select("source", "__quota")
-    // decision per (source, bucket): keep-all / boundary(need) / drop
+    // decision per (source, bucket): keep-all / boundary(need) / drop.
+    // CACHED (metadata-scale: ≤ sources × nBuckets rows) because the
+    // keep-all and boundary branches below each reference it, and
+    // multi-referenced subtrees re-expand with fresh exprIds — without
+    // the cache the corpus-scanning counts pipeline ran once per
+    // reference per branch (measured: 6 parquet scans for the whole
+    // key; with it, 3 — the counts build plus the two output branches,
+    // which is the structural floor for the union shape). Verify/Bench
+    // clearCache() between queries, the q72 discipline.
     val decision = counts
       .withColumn("__cum", sum("__cnt").over(wCum))
       .join(totals, "source")
@@ -101,6 +117,7 @@ object CorpusQueries {
       .filter(col("__before") < col("__quota")) // drop-buckets vanish here
       .select(col("source"), col("__bkt"), col("__cum"), col("__quota"),
         (col("__quota") - col("__before")).as("__need"))
+      .cache()
     val joined = d.join(broadcast(decision), Seq("source", "__bkt"))
     val keepAll = joined.filter(col("__cum") <= col("__quota"))
     val wB = Window.partitionBy("source", "__bkt")
