@@ -237,46 +237,29 @@ object CorpusQueries {
     // 64 planes, 8×8-bit bands) — the plan shape is unchanged.
     "q73_embed_lsh" -> { (s, dir) =>
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
-      // all 16 plane dots in ONE codegen pass per vector (SignLshCode),
-      // packed MSB-first into an int — replaces 16 per-plane
-      // when(seq_dot(emb, array(64 literals))) columns whose expression-
-      // tree bulk (doubled again by the band self-join) dominated runtime
-      val signs = Array.tabulate(Planes * Dims) { idx =>
-        planeSign(idx % Dims + 1, idx / Dims).toDouble
-      }
-      val coded = emb.select(col("vec_id"),
-        graft.plans.GraftExpressions
-          .sign_lsh_code(col("embedding"), signs, Planes, Dims).as("code"))
-      // band b holds bits 4b..4b+3 (plane 0 is the code's MSB), so its
-      // 4-bit key — bit_{4b}·8 + … + bit_{4b+3} — is a shift-and-mask
-      val bandKeys = (0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("code"), (Bands - 1 - b) * 4)
-            .bitwiseAND(lit(15)).as("key"))
-      }
-      val banded = coded
-        .select(col("vec_id"), explode(array(bandKeys: _*)).as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"),
-          col("bk.key").as("key"))
-      val pa = banded.toDF("id_a", "band_a", "key_a")
-      val pb = banded.toDF("id_b", "band_b", "key_b")
-      val pairs = pa.join(pb,
-          col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
-          col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      // per-vector norm precomputed before the verify join: one seq_dot
-      // per candidate pair instead of three (the norm folds are
-      // per-vector quantities)
-      val en = emb.withColumn("nrm",
-        graft.functions.VectorOps.l2Norm(col("embedding")))
-      val ea = en.toDF("id_a", "e_a", "n_a")
-      val eb = en.toDF("id_b", "e_b", "n_b")
-      pairs.join(ea, "id_a").join(eb, "id_b")
+      // the q44 payload trade, via the SAME codedBands helper that
+      // builds q109's index: all 16 plane dots in ONE codegen pass per
+      // vector (SignLshCode), 4×4-bit band keys, and embedding + norm
+      // RIDING each band row — candidate verification needs no
+      // embedding re-joins (the r7 rewrite; the old shape re-joined the
+      // vector table twice post-candidates, 4 corpus scans total).
+      // Cached because both sides of the band self-join consume it and
+      // alias-renamed self-join sides defeat ReuseExchange. Candidate
+      // occurrences (pairs agreeing in several bands) verify per
+      // occurrence, then the tiny post-threshold set dedups — the
+      // measured q44/q55 trade: a pre-verify distinct would shuffle the
+      // same rows and pay embedding re-joins on top.
+      val bands = codedBands(emb).cache()
+      val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a")
+      val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b")
+      ba.join(bb,
+          col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
         .withColumn("sim", graft.functions.VectorOps.cosinePre(
           graft.operators.LlmQueries.seqDot(col("e_a"), col("e_b")),
           col("n_a"), col("n_b")))
         .filter(col("sim") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .distinct()
         .orderBy("id_a", "id_b")
     },
 

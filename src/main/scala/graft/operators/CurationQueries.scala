@@ -199,8 +199,13 @@ object CurationQueries {
     "q93_bm25" -> { (s, dir) =>
       val docs = tWide(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // dl is read twice (corpus stats + the per-doc join) and tf twice
+      // (df + weights); multi-referenced subtrees re-expand with fresh
+      // exprIds, so uncached each reference re-scanned the corpus —
+      // both frames are narrow ((doc_id, dl) / ≤|terms| rows per doc),
+      // and the caches cut the key from 4 corpus scans to 2
       val dl = docs.select(col("doc_id"),
-        size(col("toks")).cast("double").as("dl"))
+        size(col("toks")).cast("double").as("dl")).cache()
       // dl values are whole numbers: their double sum is exact in any
       // order, so avg() here is deterministic cross-engine
       val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -210,6 +215,7 @@ object CurationQueries {
         .filter(col("tok").isin(Bm25Terms: _*))
         .groupBy("doc_id", "tok")
         .agg(count(lit(1)).cast("double").as("tf"))
+        .cache()
       val dfreq = tf.groupBy("tok")
         .agg(count(lit(1)).cast("double").as("df"))
       val w = tf
@@ -301,7 +307,12 @@ object CurationQueries {
       val dt = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      // vocab-scale cache: counts is read twice (total + lm) and dt's
+      // whole corpus pipeline would re-expand per reference — with it
+      // the key runs exactly two corpus passes (LM fit, scoring), the
+      // structural floor
       val counts = dt.groupBy("tok").agg(sum("c").cast("long").as("cnt"))
+        .cache()
       val total = counts.agg(sum("cnt").cast("long").as("n"))
       // cross-engine floor guard: ln is only ~1-ulp accurate on each
       // engine, so a token whose -ln(p)·1e6 lands within an ulp of an

@@ -11,10 +11,10 @@ import graft.Tables._
   *
   * Scale notes: retention is two hash aggregations (per-user cohort,
   * then cohort×week distinct counts) — both shuffle on bounded keys.
-  * The funnel is a chain of per-user min-aggregations and equi-joins on
-  * user_id; each stage's input shrinks monotonically (only users who
-  * reached the previous stage survive), so the joins get cheaper down
-  * the funnel. Nothing is quadratic; everything partitions on user_id. */
+  * The funnel is ONE user_id-clustered pass: the stage cutoffs chain
+  * as conditional-min windows over the same partitioning, so a single
+  * exchange serves all three stages and the per-user collapse. Nothing
+  * is quadratic; everything partitions on user_id. */
 object EventAnalytics {
 
   /** The SCD2 dimension frame shared by q94 (build) and q104 (lookup):
@@ -58,19 +58,31 @@ object EventAnalytics {
 
     // Ordered conversion funnel view → click → purchase: a user counts
     // for a stage only if it happened at-or-after their previous stage.
+    // ONE events pass, ONE user_id exchange: the three stage times are
+    // conditional-min windows over the same user partitioning (each
+    // referencing the previous stage's column), the per-user collapse
+    // reuses the clustering, and the final row is a count of non-null
+    // stage times. The r6 shape chained per-stage filter→join→agg
+    // frames whose final counts re-expanded the whole chain — 6 event
+    // scans and a join tree; this is the plan a funnel deserves.
     "q78_funnel" -> { (s, dir) =>
-      val ev = loadEvents(s, dir).select("user_id", "event_type", "ts")
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("v_ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") >= col("v_ts"))
-        .groupBy("user_id").agg(min("ts").as("c_ts"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") >= col("c_ts"))
-        .groupBy("user_id").agg(min("ts").as("p_ts"))
-      v.agg(count(lit(1)).as("n_view"))
-        .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
-        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      loadEvents(s, dir).select("user_id", "event_type", "ts")
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" &&
+            col("ts") >= col("v_ts"), col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("c_ts"), col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max("v_ts").as("v_ts"), max("c_ts").as("c_ts"),
+          max("p_ts").as("p_ts")) // stage times are constant per user
+        .agg(count("v_ts").as("n_view"),
+          count("c_ts").as("n_click_after_view"),
+          count("p_ts").as("n_purchase_after_click"))
     },
 
     // SCD type-2 dimension build: collapse each user's event_type

@@ -14,8 +14,32 @@ object PlanProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(graft.SparkEntry.queries(key)(spark, sfDir)
-      .queryExecution.executedPlan.toString)
+    if (key == "--audit") {
+      // fan over every NON-streaming key and report how many times each
+      // fixture table is scanned (occurrences in the de-duplicated plan
+      // text minus InMemoryRelation-internal repeats are still printed
+      // per reference, so treat the number as an upper bound — a key
+      // worth a look, not proof of waste)
+      val skip = Set("q39", "q40", "q41", "q42", "q79", "q84", "q85",
+        "q86", "q102", "q108", "q114") // streaming: plan() executes them
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        if (!skip.exists(p => n.startsWith(p + "_"))) {
+          try {
+            val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+            val scans = "FileScan parquet".r.findAllIn(p).size
+            val cached = "InMemoryTableScan".r.findAllIn(p).size
+            if (scans >= 3)
+              println(f"$n%-34s scans=$scans%2d cached=$cached%2d")
+          } catch { case e: Throwable =>
+            println(s"$n FAILED ${e.getMessage.take(80)}")
+          }
+          spark.catalog.clearCache()
+        }
+      }
+    } else {
+      println(graft.SparkEntry.queries(key)(spark, sfDir)
+        .queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }
