@@ -296,22 +296,19 @@ object CurationQueries {
     // folds). Scale: one token-count agg (bounded vocab), the LM
     // broadcasts, per-doc scoring is a map-side-combinable sum.
     "q103_perplexity" -> { (s, dir) =>
-      // ONE explode pass: the (doc, tok) term-frequency frame serves
-      // both the LM fit (vocab counts = Σ c over docs, a bounded
-      // re-agg) and the per-doc scoring (surprisal = Σ lnq·c — the
-      // same integer sum as per-occurrence folding, grouped). The r6
-      // shape exploded the corpus token stream TWICE (once for counts,
-      // once for scoring); at 100 TB the second scan+explode is the
-      // dominant waste, and the scoring join now moves (doc, tok, c)
-      // partials instead of raw token occurrences.
-      val dt = tWide(s, dir, "documents")
+      // TWO corpus passes on purpose — and both shuffles map-combine to
+      // near-nothing (vocab-sized partials for the LM fit, doc-sized
+      // partials for scoring). A one-pass variant via a (doc, tok)
+      // term-frequency frame was tried in r7 and REVERTED on
+      // measurement (0.76 → 1.19 s at sf0.1): tf ≈ 1 for most pairs,
+      // so the pre-agg combined nothing and turned a cheap co-located
+      // re-scan into a token-stream-sized shuffle. Scans are local and
+      // columnar; shuffles are the network — trade accordingly.
+      val toks = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      // vocab-scale cache: counts is read twice (total + lm) and dt's
-      // whole corpus pipeline would re-expand per reference — with it
-      // the key runs exactly two corpus passes (LM fit, scoring), the
-      // structural floor
-      val counts = dt.groupBy("tok").agg(sum("c").cast("long").as("cnt"))
+      // vocab-scale cache: counts is read twice (total + lm); uncached,
+      // each reference re-runs the corpus-scanning count agg
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
         .cache()
       val total = counts.agg(sum("cnt").cast("long").as("n"))
       // cross-engine floor guard: ln is only ~1-ulp accurate on each
@@ -329,10 +326,9 @@ object CurationQueries {
         .withColumn("x", -log(col("cnt").cast("double") / col("n")) * 1e6)
         .select(col("tok"),
           floor(col("x") + lit(1e-6)).cast("long").as("lnq"))
-      dt.join(broadcast(lm), "tok")
+      toks.join(broadcast(lm), "tok")
         .groupBy("doc_id")
-        .agg(sum(col("lnq") * col("c")).as("surprisal"),
-          sum("c").cast("long").as("nt"))
+        .agg(sum("lnq").as("surprisal"), count(lit(1)).as("nt"))
         .selectExpr("doc_id", "nt",
           "surprisal div nt AS ppx_micro") // mean surprisal, micro-nats
         .orderBy(desc("ppx_micro"), col("doc_id"))
