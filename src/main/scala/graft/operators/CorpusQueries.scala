@@ -83,12 +83,8 @@ object CorpusQueries {
       .withColumn("__hk", shuffleKey(col("doc_id")))
       .withColumn("__bkt", expr(s"__hk DIV $step"))
     val wmap = typedLit(weights)
-    // cached like decision below (≤ sources × nBuckets rows): the
-    // decision build reads it twice (running-sum side + totals), and
-    // each uncached reference re-runs the corpus-scanning count agg
     val counts = d.groupBy("source", "__bkt")
       .agg(count(lit(1)).as("__cnt"))
-      .cache()
     val wCum = Window.partitionBy("source").orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per-source totals are a bounded re-agg of the bucket counts — a
@@ -102,14 +98,16 @@ object CorpusQueries {
           "__wmap, source), 0) + 999) DIV 1000 AS BIGINT)"))
       .select("source", "__quota")
     // decision per (source, bucket): keep-all / boundary(need) / drop.
-    // CACHED (metadata-scale: ≤ sources × nBuckets rows) because the
-    // keep-all and boundary branches below each reference it, and
-    // multi-referenced subtrees re-expand with fresh exprIds — without
-    // the cache the corpus-scanning counts pipeline ran once per
-    // reference per branch (measured: 6 parquet scans for the whole
-    // key; with it, 3 — the counts build plus the two output branches,
-    // which is the structural floor for the union shape). Verify/Bench
-    // clearCache() between queries, the q72 discipline.
+    // NB multi-referenced subtrees re-expand per reference (fresh
+    // exprIds, no ReuseExchange), so this key executes SIX column-
+    // pruned (doc_id, source) corpus scans: counts twice inside the
+    // decision build and the d-side twice across the two output
+    // branches. Caching counts + decision (both ≤ sources × nBuckets
+    // rows) cuts that to the 3-scan structural floor but measured
+    // ~0.2 s SLOWER at sf0.1 (A/B medians 1.28 vs 1.08 s warm: two
+    // materialization barriers outcost three narrow local scans), so
+    // the scans stay. On a cluster where the pruned scans are network
+    // reads, add the two caches back — the trade flips with scan cost.
     val decision = counts
       .withColumn("__cum", sum("__cnt").over(wCum))
       .join(totals, "source")
@@ -117,7 +115,6 @@ object CorpusQueries {
       .filter(col("__before") < col("__quota")) // drop-buckets vanish here
       .select(col("source"), col("__bkt"), col("__cum"), col("__quota"),
         (col("__quota") - col("__before")).as("__need"))
-      .cache()
     val joined = d.join(broadcast(decision), Seq("source", "__bkt"))
     val keepAll = joined.filter(col("__cum") <= col("__quota"))
     val wB = Window.partitionBy("source", "__bkt")

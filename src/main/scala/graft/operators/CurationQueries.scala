@@ -201,9 +201,12 @@ object CurationQueries {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       // dl is read twice (corpus stats + the per-doc join) and tf twice
       // (df + weights); multi-referenced subtrees re-expand with fresh
-      // exprIds, so uncached each reference re-scanned the corpus —
-      // both frames are narrow ((doc_id, dl) / ≤|terms| rows per doc),
-      // and the caches cut the key from 4 corpus scans to 2
+      // exprIds, so uncached each reference re-ran the tokenize/explode
+      // pipeline — both frames are narrow ((doc_id, dl) / ≤|terms| rows
+      // per doc), and the caches measure faster even at fixture scale
+      // (A/B warm medians 1.02 vs 1.21 s at sf0.1) because the
+      // recomputed subtree is CPU-heavy, unlike q107's cheap pruned
+      // re-scan where the same trade measured the other way
       val dl = docs.select(col("doc_id"),
         size(col("toks")).cast("double").as("dl")).cache()
       // dl values are whole numbers: their double sum is exact in any
