@@ -455,27 +455,38 @@ object CurationQueries {
     // buffer that OOMs an executor long before 100 TB. Lucene-style
     // segmented postings are the standard fix; readers stream a token's
     // pages in order (page is doc-id-major, so concatenation IS the
-    // sorted full list). Token-level df/tf_total ride on every page row
-    // via a window over tok.
+    // sorted full list).
+    //
+    // Token-level df/tf_total are a groupBy("tok") SUMMARY of the page
+    // rows, shuffle-hash-joined back onto them — NOT a window over tok.
+    // The r7 window gathered every page of a token onto one reducer and
+    // SORTED them: for a stopword at 100 TB that is O(corpus/16) rows
+    // through a single task's sort (degraded parallelism, the last
+    // named scale-killer). The summary agg map-side-combines — reducers
+    // see one partial per upstream task, so even a stopword key is
+    // cheap — and the join back is hash, never a per-token sort. The
+    // summary side is vocabulary-sized (one row per distinct token), so
+    // it is NOT broadcast: a shuffled hash join keys both sides on tok.
     //
     // df stays size(plist)-derived, NOT countDistinct — the r6 rule: a
     // distinct aggregate alongside collect_set would trigger the
     // two-shuffle distinct rewrite. Exchanges: the (tok, page) build agg
-    // (map-side combined, every partial ≤ page-bounded) and the
-    // tok-window re-cluster moving only page-summary rows (each ≤
-    // PostingPageDocs ids) — two exchanges, BOTH with bounded-size rows,
-    // which is the property the one-big-row "one exchange" traded away.
+    // (map-side combined, every partial ≤ page-bounded) reused across
+    // both join inputs by ReuseExchange, plus one per join side to
+    // co-locate on tok — every exchange moves only bounded-size rows
+    // (pages ≤ PostingPageDocs ids; summaries are two longs).
     "q96_inverted_index" -> { (s, dir) =>
       val B = PostingPageDocs
-      val wTok = Window.partitionBy("tok")
-      tWide(s, dir, "documents")
+      val pages = tWide(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("tok"), expr(s"doc_id DIV $B").as("page"))
         .agg(count(lit(1)).as("page_tf"),
           sort_array(collect_set(col("doc_id"))).as("plist"))
-        .select(col("tok"), col("page"),
-          sum(size(col("plist")).cast("long")).over(wTok).as("df"),
-          sum(col("page_tf")).over(wTok).as("tf_total"),
+      val summary = pages.groupBy("tok")
+        .agg(sum(size(col("plist")).cast("long")).as("df"),
+          sum(col("page_tf")).as("tf_total"))
+      pages.join(summary.hint("SHUFFLE_HASH"), Seq("tok"))
+        .select(col("tok"), col("page"), col("df"), col("tf_total"),
           size(col("plist")).cast("long").as("page_df"),
           col("page_tf"),
           array_join(transform(col("plist"), _.cast("string")), ",")

@@ -364,13 +364,21 @@ class PlanSpec extends SparkSpec {
       s"h window + doc_id agg only:\n$p")
   }
 
-  test("q96 paged inverted index: two bounded exchanges, no distinct rewrite") {
-    // the (tok, page) build agg + the tok-window re-cluster of page
-    // SUMMARY rows — df stays size(plist)-derived, so no countDistinct
-    // two-shuffle rewrite (which would make it three)
+  test("q96 paged inverted index: hash-join summary, no per-token sort") {
+    // df/tf_total must come from a groupBy("tok") summary hash-JOINED
+    // back onto the page rows. The r7 window-over-tok gathered every
+    // page of a token onto ONE reducer and sorted them — O(corpus/16)
+    // rows through a single task for a stopword at 100 TB. Pins: no
+    // Window; no Sort keyed on tok alone (the output Sort is the
+    // composite (tok, page)); the join is hash, not sort-merge; the
+    // posting build keys on (tok, page) so buffers stay bounded.
     val p = plan("q96_inverted_index")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
-      s"page build + token rollup only:\n$p")
+    assert(!p.contains("Window"),
+      s"token summary must be a groupBy agg, never a window:\n$p")
+    assert("Sort \\[tok#\\d+[^,\\]]*\\]".r.findFirstIn(p).isEmpty,
+      s"no sort may key on tok alone (single-reducer stopword sort):\n$p")
+    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"summary join-back must be hash — sort-merge would re-sort on tok:\n$p")
     // the derived page key renders as _groupingexpression in the agg
     assert("hashpartitioning\\(tok#\\d+, (page|_groupingexpression)#\\d+".r
       .findFirstIn(p).isDefined,
