@@ -135,7 +135,17 @@ object LlmQueries {
     * `Staging.appendBucketed` (same keys, same bucket count — layout
     * preserved, zero re-shuffle of epoch A), and probes then read the
     * grown table bucket-aligned. Content ≡ corpusBandIndex's one-shot
-    * build, which is exactly what q113's oracle (q106's twin) checks. */
+    * build, which is exactly what q113's oracle (q106's twin) checks.
+    *
+    * The two-step build is NOT atomic, so it runs under a temp name and
+    * publishes via drop + catalog RENAME (the `compactBucketed` swap
+    * discipline): `tableExists(tab)` ⇒ the index holds BOTH epochs.
+    * Without this, a failure between store and append would leave the
+    * final name holding epoch A only — and every later call in the
+    * session would silently reuse the incomplete index. A crash inside
+    * the publish window leaves the final name absent (plus a stale temp
+    * that the next build drops), so the reuse check rebuilds instead of
+    * serving a torn copy. */
   def grownBandIndex(s: SparkSession, dir: String,
       rebuild: Boolean = false): String = {
     val wh = s.conf.get("spark.sql.warehouse.dir")
@@ -144,17 +154,21 @@ object LlmQueries {
       graft.sources.Staging.sessionSuffix(s, dir)
     if (rebuild || !s.catalog.tableExists(tab)) {
       val B = 8
+      val tmp = tab + "__build_tmp"
       val docs = graft.Tables.tWide(s, dir, "documents")
       graft.sources.Staging.storeBucketed(
         bandKeys(minhashSignatures(
             docs.filter(col("doc_id") % 10 =!= 7 &&
               col("doc_id") % 10 =!= 3)))
           .repartition(B, col("bk")),
-        tab, Seq("bk"), B)
+        tmp, Seq("bk"), B)
       graft.sources.Staging.appendBucketed(
         bandKeys(minhashSignatures(docs.filter(col("doc_id") % 10 === 3)))
           .repartition(B, col("bk")),
-        tab, Seq("bk"), B)
+        tmp, Seq("bk"), B)
+      s.sql(s"DROP TABLE IF EXISTS `$tab`")
+      graft.sources.Staging.vacuum(s, s"$wh/${tab.toLowerCase}")
+      s.sql(s"ALTER TABLE `$tmp` RENAME TO `$tab`")
     }
     tab
   }

@@ -596,7 +596,11 @@ object MultimodalOps {
               } else if (v == 0) {
                 timescale = u32(body + 12); duration = u32(body + 16)
               }
-            case "tkhd" =>
+            // the version-byte read needs ≥1 body byte: a zero-length
+            // tkhd (truncated/lying size with body == end) would throw
+            // and the NonFatal catch would discard EVERYTHING already
+            // parsed, dropping the file to the byte-histogram fallback
+            case "tkhd" if boxEnd - body >= 1 =>
               val v = b(body) & 0xff
               val (wo, ho) = if (v == 1) (88, 92) else (76, 80)
               if (boxEnd - body >= ho + 4) {

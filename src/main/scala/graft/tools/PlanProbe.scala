@@ -31,7 +31,9 @@ object PlanProbe {
             if (scans >= 3)
               println(f"$n%-34s scans=$scans%2d cached=$cached%2d")
           } catch { case e: Throwable =>
-            println(s"$n FAILED ${e.getMessage.take(80)}")
+            // String.valueOf: a null-message Throwable (NPE) must not
+            // abort the rest of the audit sweep
+            println(s"$n FAILED ${String.valueOf(e.getMessage).take(80)}")
           }
           spark.catalog.clearCache()
         }

@@ -97,6 +97,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(0) === fps(3), "repeated separators must not change the fingerprint")
   }
 
+  test("grownBandIndex publishes atomically: stale build temp replaced, content = one-shot build") {
+    // the two-step (store epoch A, append epoch B) build runs under a
+    // temp name and renames only after BOTH steps — tableExists(final)
+    // must imply a complete index. Simulate a crashed previous build by
+    // planting a garbage table under the temp name, then build and
+    // compare against corpusBandIndex's one-shot build of the SAME doc
+    // set (grown = ∉{3,7} ∪ {3} = ∉{7} = one-shot's filter).
+    val sess = spark
+    import sess.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tab = "graft_grown_bands_" +
+      graft.sources.Staging.sessionSuffix(spark, dir)
+    spark.sql(s"DROP TABLE IF EXISTS `${tab}__build_tmp`")
+    Seq((1L, "junk")).toDF("a", "b").write.saveAsTable(tab + "__build_tmp")
+    val name = LlmQueries.grownBandIndex(spark, dir, rebuild = true)
+    assert(name === tab)
+    assert(!spark.catalog.tableExists(tab + "__build_tmp"),
+      "the temp name must be renamed away after publish")
+    def rows(t: String) = spark.table(t)
+      .select(col("doc_id"), col("bk"),
+        concat_ws(",", col("sig")).as("sig_s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    val oneShot = LlmQueries.corpusBandIndex(spark, dir, rebuild = true)
+    assert(rows(name) === rows(oneShot),
+      "grown index content must equal the one-shot build")
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = ((1 to 38).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")

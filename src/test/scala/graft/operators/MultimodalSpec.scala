@@ -301,6 +301,34 @@ class MultimodalSpec extends SparkSpec {
       "v1 tkhd dims sit 12 bytes deeper than v0")
   }
 
+  test("zero-length trailing tkhd keeps already-parsed mvhd metadata") {
+    // a tkhd whose (lying/truncated) size leaves NO body bytes, placed
+    // at the very end of the payload: the version-byte read must be
+    // guarded — an ArrayIndexOutOfBounds there lands in the NonFatal
+    // catch and discards the mvhd already parsed, silently dropping the
+    // whole file to the byte-histogram fallback
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    val mvhd = {
+      val b = new Array[Byte](100)
+      System.arraycopy(be32(600L), 0, b, 12, 4)  // timescale
+      System.arraycopy(be32(1200L), 0, b, 16, 4) // duration → 2 s
+      box("mvhd", b)
+    }
+    // header-only tkhd: size 8 ⇒ body == boxEnd == end of payload
+    val emptyTkhd = be32(8L) ++ "tkhd".getBytes("US-ASCII")
+    val mp4 = ftyp ++ box("moov", mvhd ++ box("trak", emptyTkhd))
+    val f = decodeFeatures(mediaDS(Seq(
+      MediaRow(32L, "video", mp4, 0, 0, 0, 0L))), dim = 2).collect().head
+    assert(f.decoded_duration_ms === 2000L,
+      s"mvhd must survive a zero-length trailing tkhd, got $f")
+    assert(f.decoded_width === 0 && f.decoded_height === 0,
+      "the empty tkhd contributes no dims")
+  }
+
   test("a plugged VideoDecoder handles MP4 end-to-end; others unaffected") {
     // the codec-pluggable seam: a decoder registered for a format the
     // JDK can't read (MP4, by its real `ftyp` brand at offset 4) flows
