@@ -327,13 +327,17 @@ object LlmQueries {
         .orderBy("batch_doc", "corpus_doc")
     },
 
-    // Brute-force cosine top-5 per query vector (vec_id % 50 = 0).
+    // Brute-force cosine top-5 per query vector (vec_id % 50 = 0 AND
+    // vec_id < 5000, i.e. |Q| ≤ 100 ABSOLUTELY — a modulo alone would
+    // grow the query set with the corpus and turn this exact-correctness
+    // baseline quadratic; with the cap the pair space stays O(n)).
     // Norms are precomputed per vector (one linear pass) so the O(|q|·n)
-    // pair stage evaluates ONE seq_dot per pair, not three.
+    // pair stage evaluates ONE seq_dot per pair, not three. The scale
+    // paths for unbounded query sets are q57 (IVF) / q73 / q90 / q109.
     "q45_sim_topk" -> { (s, dir) =>
       val emb = tWide(s, dir, "embeddings")
         .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
-      val q = emb.filter(col("vec_id") % 50 === 0)
+      val q = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("nrm").as("qn"))
       val v = emb.select(col("vec_id").as("nid"), col("embedding").as("ve"),
@@ -486,7 +490,8 @@ object LlmQueries {
       """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
         |  FROM embeddings),
-        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
+        |  WHERE vec_id % 50 = 0 AND vec_id < 5000),
         |p AS (
         |  SELECT qid, vec_id AS nid,
         |    list_reduce(list_transform(range(1,65), i -> CAST(qe[i]*embedding[i] AS DOUBLE)), (a,b)->a+b) AS dot,
