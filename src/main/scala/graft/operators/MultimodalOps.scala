@@ -95,11 +95,26 @@ object MultimodalOps {
       decodeMp4Metadata(payload)
   }
 
+  /** WebM/Matroska METADATA decoder, pure JDK: an EBML element walk
+    * (EBML-header magic + DocType sniff, Segment→Info TimestampScale +
+    * Duration, Tracks→TrackEntry→Video PixelWidth/Height) — the
+    * Matroska sibling of [[mp4MetadataDecoder]], same contract: real
+    * duration/dimensions, no frames (the JDK ships no VP8/VP9/AV1
+    * codec), and a plugged full codec wins first. See
+    * [[decodeWebmMetadata]]. */
+  val webmMetadataDecoder: VideoDecoder = new VideoDecoder {
+    def decode(payload: Array[Byte]): Option[VideoFrames] =
+      decodeWebmMetadata(payload)
+  }
+
   /** Probe order: the AVI sniff is a 12-byte magic check, so it goes
-    * first; ImageIO's reader iteration handles GIF and friends; the MP4
-    * metadata parse comes last so any plugged full codec wins first. */
+    * first; ImageIO's reader iteration handles GIF and friends; the
+    * MP4/WebM metadata parses come last so any plugged full codec wins
+    * first (their magic sniffs are disjoint, so their mutual order is
+    * immaterial). */
   val defaultVideoDecoders: Seq[VideoDecoder] =
-    Seq(aviMjpegDecoder, imageIoVideoDecoder, mp4MetadataDecoder)
+    Seq(aviMjpegDecoder, imageIoVideoDecoder, mp4MetadataDecoder,
+      webmMetadataDecoder)
 
   /** Storage schema for a media table: opaque binary + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -618,6 +633,114 @@ object MultimodalOps {
       if (timescale <= 0) None
       else Some(VideoFrames(w, h, duration * 1000L / timescale,
         Array.empty[Double]))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** WebM/Matroska metadata: EBML element walk. Elements are
+    * (VINT id, VINT size, body); containers nest. The walk keeps an
+    * explicit stack of (offset, end, container-id) — the container id
+    * disambiguates short leaf ids (0xB0 is PixelWidth only inside a
+    * Video element) and, as in the MP4 walk, recursion depth must not
+    * scale with attacker-supplied nesting. Truncated/lying sizes clamp
+    * to the enclosing container; the reserved all-ones VINT ("unknown
+    * size", used by live-muxed Segments) extends to the container end;
+    * any advance ≤ 0 aborts the level. Claims ONLY payloads whose EBML
+    * header carries a webm/matroska DocType — garbage that happens to
+    * start with the 4 magic bytes cannot produce one, so the
+    * byte-histogram fallback stays reachable. Duration is a float in
+    * TimestampScale units (default 1 000 000 ns/tick). */
+  private def decodeWebmMetadata(payload: Array[Byte]): Option[VideoFrames] =
+    try {
+      val b = payload
+      def uint(off: Int, len: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+        v
+      }
+      // VINT width: 1 + count of leading zero bits in the first byte;
+      // 9 (no marker bit at all) is malformed
+      def vintWidth(first: Int): Int = {
+        var mask = 0x80
+        var w = 1
+        while (w <= 8 && (first & mask) == 0) { mask >>= 1; w += 1 }
+        w
+      }
+      // element id: marker bit KEPT (ids are compared in stored form);
+      // returns width 0 on truncation/malformation
+      def readId(off: Int, end: Int): (Long, Int) = {
+        if (off >= end) return (0L, 0)
+        val w = vintWidth(b(off) & 0xff)
+        if (w > 4 || off + w > end) return (0L, 0)
+        (uint(off, w), w)
+      }
+      // element size: marker bit STRIPPED; -1 = reserved "unknown size"
+      def readSize(off: Int, end: Int): (Long, Int) = {
+        if (off >= end) return (0L, 0)
+        val first = b(off) & 0xff
+        val w = vintWidth(first)
+        if (w > 8 || off + w > end) return (0L, 0)
+        var v = (first & (0xff >>> w)).toLong
+        var i = 1
+        while (i < w) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+        (if (v == (1L << (7 * w)) - 1) -1L else v, w)
+      }
+      def float(off: Int, len: Int): Double =
+        if (len == 4) java.lang.Float.intBitsToFloat(uint(off, 4).toInt)
+        else if (len == 8) java.lang.Double.longBitsToDouble(uint(off, 8))
+        else 0.0
+      if (b.length < 4 || uint(0, 4) != 0x1A45DFA3L) return None
+      val Ebml = 0x1A45DFA3L; val Segment = 0x18538067L
+      val Info = 0x1549A966L; val Tracks = 0x1654AE6BL
+      val TrackEntry = 0xAEL;  val Video = 0xE0L
+      var docTypeOk = false
+      var tsScale = 1000000L // ns per tick, Matroska default
+      var durTicks = 0.0
+      var w0 = 0
+      var h0 = 0
+      val stack = scala.collection.mutable.ArrayDeque[(Int, Int, Long)](
+        (0, b.length, 0L))
+      while (stack.nonEmpty) {
+        val (start, end, ctx) = stack.removeLast()
+        var off = start
+        var ok = true
+        while (ok && off < end) {
+          val (id, iw) = readId(off, end)
+          val (sz, sw) = if (iw == 0) (0L, 0) else readSize(off + iw, end)
+          if (iw == 0 || sw == 0) ok = false
+          else {
+            val body = off + iw + sw
+            val bodyEnd = if (sz < 0) end
+              else math.min(body + sz, end.toLong).toInt
+            val n = bodyEnd - body
+            (ctx, id) match {
+              case (0L, Ebml) | (0L, Segment) | (Segment, Info) |
+                   (Segment, Tracks) | (Tracks, TrackEntry) |
+                   (TrackEntry, Video) => stack.append((body, bodyEnd, id))
+              case (Ebml, 0x4282L) if n > 0 => // DocType
+                val dt = new String(b, body, n,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                docTypeOk = dt.startsWith("webm") || dt.startsWith("matroska")
+              case (Info, 0x2AD7B1L) if n >= 1 && n <= 8 => // TimestampScale
+                val v = uint(body, n)
+                if (v > 0) tsScale = v
+              case (Info, 0x4489L) if n == 4 || n == 8 => // Duration
+                durTicks = float(body, n)
+              case (Video, 0xB0L) if n >= 1 && n <= 8 => // PixelWidth
+                val v = uint(body, n).toInt
+                if (v > w0) w0 = v
+              case (Video, 0xBAL) if n >= 1 && n <= 8 => // PixelHeight
+                val v = uint(body, n).toInt
+                if (v > h0) h0 = v
+              case _ => ()
+            }
+            if (bodyEnd <= off) ok = false // malformed: no forward progress
+            else off = bodyEnd
+          }
+        }
+      }
+      if (!docTypeOk) None
+      else Some(VideoFrames(w0, h0,
+        (durTicks * tsScale / 1e6).toLong, Array.empty[Double]))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Codec-agnostic fold of a [[VideoFrames]] into MediaFeatures: frame

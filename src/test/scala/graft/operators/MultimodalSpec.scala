@@ -301,6 +301,85 @@ class MultimodalSpec extends SparkSpec {
       "v1 tkhd dims sit 12 bytes deeper than v0")
   }
 
+  // minimal EBML builders shared by the WebM tests: 1-byte sizes only
+  // (bodies here are tiny), stored-form element ids big-endian
+  private def ebmlElem(id: Long, body: Array[Byte]): Array[Byte] = {
+    require(body.length <= 126, "test builder uses 1-byte sizes")
+    val idW = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    val idB = (0 until idW).map(i => ((id >> (8 * (idW - 1 - i))) & 0xff).toByte)
+    (idB :+ (0x80 | body.length).toByte).toArray ++ body
+  }
+  private def ebmlUint(id: Long, v: Long): Array[Byte] =
+    ebmlElem(id, Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+  private def webmFixture: Array[Byte] = {
+    def f32(v: Float): Array[Byte] = {
+      val bits = java.lang.Float.floatToIntBits(v)
+      Array((bits >> 24).toByte, (bits >> 16).toByte,
+        (bits >> 8).toByte, bits.toByte)
+    }
+    val header = ebmlElem(0x1A45DFA3L,
+      ebmlElem(0x4282L, "webm".getBytes("US-ASCII"))) // DocType
+    val info = ebmlElem(0x1549A966L,
+      ebmlUint(0x2AD7B1L, 1000000) ++              // TimestampScale (ns)
+        ebmlElem(0x4489L, f32(2000f)))             // Duration: 2000 ticks
+    val video = ebmlElem(0xE0L,
+      ebmlUint(0xB0L, 640) ++ ebmlUint(0xBAL, 360)) // PixelWidth/Height
+    val tracks = ebmlElem(0x1654AE6BL, ebmlElem(0xAEL, video))
+    header ++ ebmlElem(0x18538067L, info ++ tracks) // Segment
+  }
+
+  test("WebM metadata parses through the default chain: duration, dims, no fake frames") {
+    val rows = mediaDS(Seq(
+      MediaRow(33L, "video", webmFixture, 0, 0, 0, 0L),
+      // EBML magic but no DocType → must NOT claim; histogram fallback
+      MediaRow(34L, "video",
+        Array[Byte](0x1A, 0x45.toByte, 0xDF.toByte, 0xA3.toByte) ++
+          "plausible garbage after the magic".getBytes("US-ASCII"),
+        0, 0, 0, 0L)))
+    val out = decodeFeatures(rows, dim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    val v = out(33L)
+    assert(v.decoded_duration_ms === 2000L,
+      s"2000 ticks at the default 1ms scale must be 2000 ms, got $v")
+    assert(v.decoded_width === 640 && v.decoded_height === 360,
+      "dims must come from Tracks→TrackEntry→Video PixelWidth/Height")
+    assert(v.decoded_frames === 0L && v.features.forall(_ === 0f),
+      "no codec = metadata only, never fabricated frames")
+    val g = out(34L)
+    assert(g.decoded_duration_ms === 0L && g.features.sum > 0f,
+      "magic-only payloads keep the histogram fallback")
+  }
+
+  test("WebM parse survives unknown-size Segment and truncation") {
+    // live-muxed files write the Segment with the reserved all-ones
+    // size VINT (0xFF, 1-byte): it must extend to the payload end
+    val header = ebmlElem(0x1A45DFA3L,
+      ebmlElem(0x4282L, "matroska".getBytes("US-ASCII")))
+    val info = ebmlElem(0x1549A966L,
+      ebmlElem(0x4489L, { // Duration 1500 ticks as f32, default scale
+        val bits = java.lang.Float.floatToIntBits(1500f)
+        Array((bits >> 24).toByte, (bits >> 16).toByte,
+          (bits >> 8).toByte, bits.toByte)
+      }))
+    val segId = Array(0x18, 0x53, 0x80.toByte, 0x67).map(_.toByte)
+    val streamed = header ++ segId ++ Array(0xFF.toByte) ++ info
+    val f = decodeFeatures(mediaDS(Seq(
+      MediaRow(35L, "video", streamed, 0, 0, 0, 0L))), dim = 2)
+      .collect().head
+    assert(f.decoded_duration_ms === 1500L,
+      s"unknown-size Segment must extend to payload end, got $f")
+    // truncation mid-Tracks: Info already parsed must survive (the
+    // tkhd lesson — adversarial tails must not void earlier metadata)
+    val whole = webmFixture
+    val cut = whole.take(whole.length - 6)
+    val t = decodeFeatures(mediaDS(Seq(
+      MediaRow(36L, "video", cut, 0, 0, 0, 0L))), dim = 2).collect().head
+    assert(t.decoded_duration_ms === 2000L,
+      s"duration parsed before the truncation point must survive, got $t")
+  }
+
   test("zero-length trailing tkhd keeps already-parsed mvhd metadata") {
     // a tkhd whose (lying/truncated) size leaves NO body bytes, placed
     // at the very end of the payload: the version-byte read must be
