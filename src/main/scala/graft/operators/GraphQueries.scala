@@ -26,7 +26,7 @@ object GraphQueries {
   private val Iters = 6
   /** q89's pair graph is near-dup chains — tiny diameters; 4 fixed
     * steps with the same unrolled-oracle discipline as q87. */
-  private val ClusterIters = 4
+  private[operators] val ClusterIters = 4
   private val LoopShufflePartitions = 8
 
   /** `iters` synchronous min-label steps over a DIRECTED edge frame
@@ -176,7 +176,7 @@ object GraphQueries {
     * at sf0.1; with materialization the full oracle runs in seconds).
     * This is the SQL rendering of the Spark side's per-iteration
     * localCheckpoint — both exist to stop the same doubling. */
-  private def labelSteps(iters: Int): String =
+  private[operators] def labelSteps(iters: Int): String =
     (1 to iters).map { i =>
       s"""l$i AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
          |  SELECT node, lbl FROM l${i - 1}

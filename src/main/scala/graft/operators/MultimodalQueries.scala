@@ -60,6 +60,69 @@ object MultimodalQueries {
           col("decoded_frames"), col("hist_fp"))
         .orderBy("media_id")
     },
+
+    // Image near-dup END-TO-END under the gate: deterministic 9×8
+    // grayscale PNGs (pixel (x,y) = the document's byte at (y·9+x) mod
+    // len — ASCII fixtures, so DuckDB's ascii() replays every pixel)
+    // go through the REAL ImageIO decode → dHash path, then the
+    // library's standard LSH machinery: band the 64-bit hash into 4×16
+    // bits, self-join on the band key (hash-partitionable — never
+    // all-pairs), keep candidates within hamming ≤ 6 (MultimodalSpec's
+    // near-dup bound), and assign clusters with ClusterIters min-label
+    // steps. A 9-wide/8-tall image makes each dHash grid cell exactly
+    // one pixel and gray luma exactly the byte value, so the oracle
+    // replays the hash bit-for-bit — the decode path stays real, the
+    // arithmetic stays replayable (q88's trick, aimed at the hash).
+    // Scale shape = q89: narrow per-row synth+hash, ×4 band explode,
+    // bucketable band join, bounded pair set, fixed-step propagation.
+    "q115_image_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val hashes = tWide(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val bi = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                val v = if (bytes.isEmpty) 0
+                  else bytes((y * 9 + x) % bytes.length) & 0xff
+                bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", bos)
+            // .get: the PNG was just encoded, a decode failure is a bug
+            // worth failing loudly on, never a silent wrong hash
+            (id, MultimodalOps.dHash(bos.toByteArray).get)
+          }
+        }.toDF("media_id", "h")
+      val bands = hashes.select(col("media_id"), col("h"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bk", expr("shiftright(h, CAST(16 * b AS INT)) & 65535"))
+      val ba = bands.select(col("media_id").as("id_a"), col("h").as("h_a"),
+        col("b"), col("bk"))
+      val bb = bands.select(col("media_id").as("id_b"), col("h").as("h_b"),
+        col("b").as("b2"), col("bk").as("bk2"))
+      val pairs = ba.join(bb, col("b") === col("b2") &&
+          col("bk") === col("bk2") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+        .distinct()
+        .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 6)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      GraphQueries.minLabel(s, edges, GraphQueries.ClusterIters)
+        .select(col("node").as("media_id"), col("lbl").as("cluster_id"))
+        .orderBy("media_id")
+    },
   )
 
   /** DuckDB twin: byte stream via `ascii()` over single-char splits
@@ -86,5 +149,44 @@ object MultimodalQueries {
         |  CAST(len(cs) + COALESCE(list_sum(list_transform(cs, c -> c % 16)), 0)
         |    AS BIGINT) AS hist_fp
         |FROM b ORDER BY media_id""".stripMargin,
+
+    // q115 twin: replay the dHash from first principles — 72 pixel
+    // values from the text bytes, 64 adjacent-compare bits (bit 63 is
+    // the sign bit: summing it last keeps every partial in range), the
+    // same 4×16 banding ((h >> 16b) & 65535: arithmetic shift +
+    // mask ≡ Spark's shiftright + mask), bit_count(xor) hamming, and
+    // the q89 unrolled min-label steps.
+    "q115_image_dedup" ->
+      s"""WITH px AS (
+         |  SELECT doc_id, list_transform(range(72), i ->
+         |    CASE WHEN len(text) = 0 THEN 0
+         |         ELSE ascii(text[CAST(i % len(text) AS INTEGER) + 1])
+         |    END) AS px
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(64), k ->
+         |      CASE WHEN px[CAST((k // 8) * 9 + (k % 8) AS INTEGER) + 1]
+         |              > px[CAST((k // 8) * 9 + (k % 8) AS INTEGER) + 2]
+         |           THEN CASE WHEN k = 63 THEN -9223372036854775807 - 1
+         |                     ELSE (1::BIGINT << CAST(k AS INTEGER)) END
+         |           ELSE 0::BIGINT
+         |      END)), (a, b) -> a + b) AS h
+         |  FROM px),
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, b, (h >> CAST(16 * b AS INTEGER)) & 65535 AS bk, h
+         |  FROM h CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+         |pairs AS MATERIALIZED (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.h AS ha, y.h AS hb
+         |    FROM bands x JOIN bands y
+         |      ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         |  WHERE bit_count(xor(ha, hb)) <= 6),
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |${GraphQueries.labelSteps(GraphQueries.ClusterIters)}
+         |SELECT node AS media_id, lbl AS cluster_id
+         |FROM l${GraphQueries.ClusterIters} ORDER BY media_id""".stripMargin,
   )
 }
