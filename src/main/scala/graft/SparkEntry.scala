@@ -33,6 +33,7 @@ object SparkEntry {
     CurationQueries.queries ++
     GraphQueries.queries ++
     MultimodalQueries.queries ++
+    WarehouseQueries.queries ++
     UdfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
     CurationQueries.oracle ++
     GraphQueries.oracle ++
     MultimodalQueries.oracle ++
+    WarehouseQueries.oracle ++
     UdfQueries.oracle
 }

@@ -79,7 +79,7 @@ object EventQueries {
     (parts, row.getLong(1))
   }
 
-  private def tsRangeSplit(ev: DataFrame, n: Int): Seq[DataFrame] =
+  private[graft] def tsRangeSplit(ev: DataFrame, n: Int): Seq[DataFrame] =
     tsRangeSplitWithMax(ev, n)._1
 
   /** Run `body` with shuffle partitions dialed down to 8 (shared
