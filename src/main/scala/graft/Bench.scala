@@ -70,6 +70,29 @@ object Bench {
         operators.LlmQueries.grownBandIndex(spark, sfDir, rebuild = true); () }),
       "q114_index_build" -> (() => {
         operators.CurationQueries.segCountIndex(spark, sfDir, rebuild = true); () }),
+      // The micro-batch machinery FLOOR under q108: the same staged
+      // two-batch replay and parquet sink, but a pass-through pipeline
+      // (no signatures, no band join) — so q108 minus this pseudo-key
+      // is the attributable probe cost in the same artifact. Not a
+      // correctness key: it exists so the serving triad's headline
+      // number decomposes instead of folding setup into the probe.
+      "q108_stream_floor" -> (() => {
+        import graft.streaming.EventQueries.{freshBase, stageBatches}
+        import org.apache.spark.sql.functions.col
+        val base = freshBase(spark, sfDir, "q108floor")
+        val batchDocs = Tables.t(spark, sfDir, "documents")
+          .filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+        val src = stageBatches(spark, base, Seq(
+          batchDocs.filter(col("doc_id") % 20 === 7),
+          batchDocs.filter(col("doc_id") % 20 === 17)))
+        Tables.withShufflePartitions(spark, 8) {
+          val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          val q = graft.streaming.StreamPipelines.writeParquetStream(
+            stream.select("doc_id"), s"$base/out", s"$base/ckpt")
+          try q.processAllAvailable() finally q.stop()
+        }
+        spark.read.parquet(s"$base/out").count(); () }),
     )
     val results = (
       indexBuilds.map { case (name, fn) => name -> timed(fn) } ++

@@ -83,6 +83,21 @@ object JdbcWarehouse {
     }
     if (!tableExists(url, table)) {
       load(batch, url, table, SaveMode.ErrorIfExists)
+      // index the merge keys at creation: without it each batch's MERGE
+      // is a nested-loop target×staging scan — quadratic in distinct
+      // keys, the term that dominates as the serving table grows. At
+      // fixture scale the measured effect is flat (~5.4 s either way at
+      // sf0.1; the cost there is JDBC round-trips, not the join), so
+      // this is the 100× guard, not a fixture-scale win. Real
+      // warehouses express the same thing as PK/sort/dist keys.
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          s"CREATE INDEX ${table}_key_idx ON $table (" +
+            keys.map(k => "\"" + k + "\"").mkString(", ") + ")")
+        finally st.close()
+      } finally c.close()
       return
     }
     val stg = s"${table}_stg"
