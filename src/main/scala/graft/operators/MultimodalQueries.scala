@@ -76,46 +76,7 @@ object MultimodalQueries {
     // Scale shape = q89: narrow per-row synth+hash, ×4 band explode,
     // bucketable band join, bounded pair set, fixed-step propagation.
     "q115_image_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val hashes = tWide(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          javax.imageio.ImageIO.setUseCache(false)
-          it.map { case (id, text) =>
-            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val bi = new java.awt.image.BufferedImage(
-              9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 9) {
-                val v = if (bytes.isEmpty) 0
-                  else bytes((y * 9 + x) % bytes.length) & 0xff
-                bi.setRGB(x, y, (v << 16) | (v << 8) | v)
-                x += 1
-              }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(bi, "png", bos)
-            // .get: the PNG was just encoded, a decode failure is a bug
-            // worth failing loudly on, never a silent wrong hash
-            (id, MultimodalOps.dHash(bos.toByteArray).get)
-          }
-        }.toDF("media_id", "h")
-      val bands = hashes.select(col("media_id"), col("h"),
-          explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("bk", expr("shiftright(h, CAST(16 * b AS INT)) & 65535"))
-      val ba = bands.select(col("media_id").as("id_a"), col("h").as("h_a"),
-        col("b"), col("bk"))
-      val bb = bands.select(col("media_id").as("id_b"), col("h").as("h_b"),
-        col("b").as("b2"), col("bk").as("bk2"))
-      val pairs = ba.join(bb, col("b") === col("b2") &&
-          col("bk") === col("bk2") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
-        .distinct()
-        .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 6)
-        .select(col("id_a"), col("id_b"))
+      val pairs = dHashPairs(syntheticImageHashes(s, dir))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(
           pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -124,6 +85,59 @@ object MultimodalQueries {
         .orderBy("media_id")
     },
   )
+
+  /** q115's hash stage: one deterministic 9×8 grayscale PNG per
+    * document through the REAL ImageIO encode → decode → dHash path.
+    * Returns (media_id, h). */
+  def syntheticImageHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tWide(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bi = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val v = if (bytes.isEmpty) 0
+                else bytes((y * 9 + x) % bytes.length) & 0xff
+              bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(bi, "png", bos)
+          // .get: the PNG was just encoded, a decode failure is a bug
+          // worth failing loudly on, never a silent wrong hash
+          (id, MultimodalOps.dHash(bos.toByteArray).get)
+        }
+      }.toDF("media_id", "h")
+  }
+
+  /** q115's candidate stage: LSH-band the 64-bit dHash (4 bands × 16
+    * bits), equi-join on the band key — hash-partitionable, NEVER
+    * all-pairs (PlanSpec pins no cartesian/nested-loop) — and keep
+    * pairs within hamming ≤ 6. Returns (id_a, id_b), id_a < id_b. */
+  def dHashPairs(hashes: DataFrame): DataFrame = {
+    val bands = hashes.select(col("media_id"), col("h"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bk", expr("shiftright(h, CAST(16 * b AS INT)) & 65535"))
+    val ba = bands.select(col("media_id").as("id_a"), col("h").as("h_a"),
+      col("b"), col("bk"))
+    val bb = bands.select(col("media_id").as("id_b"), col("h").as("h_b"),
+      col("b").as("b2"), col("bk").as("bk2"))
+    ba.join(bb, col("b") === col("b2") &&
+        col("bk") === col("bk2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct()
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 6)
+      .select(col("id_a"), col("id_b"))
+  }
 
   /** DuckDB twin: byte stream via `ascii()` over single-char splits
     * (byte == codepoint for the ASCII fixtures), checksum as the q81

@@ -415,6 +415,25 @@ class PlanSpec extends SparkSpec {
       s"only the bucket agg may shuffle:\n$p")
   }
 
+  test("q115 dHash candidate join is band-keyed — never all-pairs") {
+    // the LSH point: candidates come from an EQUI-join on (band,
+    // band-key), which hash-partitions; the id_a < id_b ordering and
+    // the hamming bound ride as post-join filters. A cartesian or
+    // broadcast-nested-loop here would be the quadratic all-pairs
+    // image comparison the banding exists to avoid.
+    val p = graft.operators.MultimodalQueries.dHashPairs(
+        graft.operators.MultimodalQueries.syntheticImageHashes(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must come from an equi-join, not all-pairs:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined,
+      s"expected an equi-join on the band key:\n$p")
+    assert(p.contains("bit_count"),
+      s"the hamming bound must gate candidates in-plan:\n$p")
+  }
+
   test("q99 top-k per group aggregates heaps — no Window, no row sort") {
     // the whole point vs q25: partial heaps combine map-side, so the
     // shuffle carries <= k pairs per (partition, group), never the rows
