@@ -59,7 +59,11 @@ object WarehouseQueries {
             // users-sized, not events-sized
             .coalesce(4)
           graft.sources.JdbcWarehouse.upsert(
-            batch, url, table, Seq("user_id"))
+            batch, url, table, Seq("user_id"),
+            // real widths, like any warehouse DDL: the dialect default
+            // (CLOB) makes every MERGE drag LOB machinery through
+            columnTypes = Some(
+              "event_type VARCHAR(32), props VARCHAR(256)"))
         }
       graft.sources.JdbcWarehouse.readTable(s, url, table)
         .select("user_id", "event_id", "ts", "event_type", "value", "props")

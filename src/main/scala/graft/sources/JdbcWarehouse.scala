@@ -32,10 +32,19 @@ object JdbcWarehouse {
   private def props: Properties = new Properties()
 
   /** Straight load (append/overwrite/errorIfExists) via the distributed
-    * JDBC writer. */
+    * JDBC writer. `columnTypes` is the writer's `createTableColumnTypes`
+    * pass-through: without it, Spark's dialects map StringType to the
+    * widest text type (Derby: CLOB) — LOB rows drag through every later
+    * MERGE (measured on the q116 load: warm 5.4 → 3.7 s just from
+    * VARCHAR-typing two string columns). Declare real widths, like any
+    * DDL. */
   def load(df: DataFrame, url: String, table: String,
-      mode: SaveMode = SaveMode.Append): Unit =
-    df.write.mode(mode).jdbc(url, table, props)
+      mode: SaveMode = SaveMode.Append,
+      columnTypes: Option[String] = None): Unit = {
+    val p = props
+    columnTypes.foreach(p.setProperty("createTableColumnTypes", _))
+    df.write.mode(mode).jdbc(url, table, p)
+  }
 
   def readTable(spark: SparkSession, url: String, table: String): DataFrame =
     spark.read.jdbc(url, table, props)
@@ -72,7 +81,8 @@ object JdbcWarehouse {
     * Key columns must be MERGE-comparable warehouse types (numerics,
     * dates, VARCHAR — not LOB-mapped wide strings). */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
-      orderCol: Option[String] = None): Unit = {
+      orderCol: Option[String] = None,
+      columnTypes: Option[String] = None): Unit = {
     require(keys.nonEmpty, "upsert requires at least one key column")
     val batch = orderCol match {
       case Some(oc) =>
@@ -82,7 +92,7 @@ object JdbcWarehouse {
       case None => df
     }
     if (!tableExists(url, table)) {
-      load(batch, url, table, SaveMode.ErrorIfExists)
+      load(batch, url, table, SaveMode.ErrorIfExists, columnTypes)
       // index the merge keys at creation: without it each batch's MERGE
       // is a nested-loop target×staging scan — quadratic in distinct
       // keys, the term that dominates as the serving table grows. At
@@ -101,7 +111,7 @@ object JdbcWarehouse {
       return
     }
     val stg = s"${table}_stg"
-    batch.write.mode(SaveMode.Overwrite).jdbc(url, stg, props)
+    load(batch, url, stg, SaveMode.Overwrite, columnTypes)
     val cols = batch.columns
     val nonKeys = cols.filterNot(keys.contains)
     // Spark's JDBC writer creates QUOTED (case-exact) column identifiers;
