@@ -123,6 +123,40 @@ object GraphQueries {
         .orderBy("doc_id")
     },
 
+    // Cluster SURVIVOR selection — the decision a curation pipeline
+    // actually emits: within each near-dup cluster (q89's machinery),
+    // keep the highest-QUALITY document (q51's gate-proven score,
+    // rounded to 6 dp — the precision both engines provably agree on),
+    // ties to the smaller doc_id. The canonical-id rule (q89's min
+    // label) keeps an ARBITRARY member; real pipelines keep the best
+    // one. Per-cluster window is bounded (near-dup chains are short);
+    // the clusters⋈quality join keys on doc_id — both sides
+    // hash-partition, nothing collects.
+    "q117_cluster_survivors" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = tWide(s, dir, "documents")
+      val prs = LlmQueries.minhashPairs(docs)
+        .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = prs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(
+          prs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val clusters = minLabel(s, edges, ClusterIters)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      val qual = docs.select(col("doc_id"),
+        graft.functions.TextOps.qualityScore(col("text")).as("q"))
+      val byCluster = Window.partitionBy("cluster_id")
+      val bestFirst = byCluster.orderBy(desc("q"), col("doc_id"))
+      clusters.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(bestFirst))
+        .withColumn("n_docs", count(lit(1)).over(byCluster))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("n_docs"),
+          col("doc_id").as("survivor_doc"), col("q").as("survivor_quality"),
+          (col("n_docs") - 1).as("n_dropped"))
+        .orderBy("cluster_id")
+    },
+
     // PageRank (damping 0.85, un-normalized per-node base) over the
     // customer–supplier graph in exact integer micro-units; top-20
     // most central nodes. Same iterated-Pregel shape as minLabel: the
@@ -209,8 +243,12 @@ object GraphQueries {
     * occurrence and spill > 80 GB; carrying 8 band rows × one 32-slot
     * list per doc is bounded by the corpus, and the DISTINCT collapses
     * verified pairs only. */
-  private val q89Sql: String =
-    s"""WITH sh AS (
+  // The CTE chain (shingles → hashes → MinHash sig → bands → verified
+  // pairs → symmetric edges → unrolled label steps) WITHOUT the WITH
+  // keyword or a final SELECT — shared by q89 and q117, which differ
+  // only in what they project out of l$ClusterIters.
+  private def clusterCtes: String =
+    s"""sh AS (
        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
        |    range(0, len(string_split(text,' ')) - 2),
        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
@@ -239,9 +277,34 @@ object GraphQueries {
        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-       |${labelSteps(ClusterIters)}
+       |${labelSteps(ClusterIters)}""".stripMargin
+
+  private val q89Sql: String =
+    s"""WITH $clusterCtes
        |SELECT node AS doc_id, lbl AS cluster_id FROM l$ClusterIters
        |ORDER BY doc_id""".stripMargin
+
+  // q117: q89's clusters × q51's (gate-proven, 6-dp-rounded) quality
+  // score; the survivor is argmax quality, ties to the smaller doc_id.
+  // Rounded quality is what both engines provably agree on (q51's
+  // hash gate), so it — not the raw float — is the ordering key.
+  private val q117Sql: String =
+    s"""WITH $clusterCtes,
+       |qual AS (
+       |  SELECT doc_id, round(
+       |    (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+       |    + (len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','a','it','that','for'], t)))::DOUBLE / len(toks)) * 0.3
+       |    + least(1.0, len(toks) / 50.0) * 0.3, 6) AS q
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |j AS (
+       |  SELECT c.lbl AS cluster_id, c.node AS doc_id, q.q,
+       |    row_number() OVER (PARTITION BY c.lbl ORDER BY q.q DESC, c.node) AS rn,
+       |    count(*) OVER (PARTITION BY c.lbl) AS n_docs
+       |  FROM l$ClusterIters c JOIN qual q ON q.doc_id = c.node)
+       |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+       |  doc_id AS survivor_doc, q AS survivor_quality,
+       |  CAST(n_docs - 1 AS BIGINT) AS n_dropped
+       |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   /** Unrolled integer-PageRank stages (q101): per-edge floor-divided
     * contributions, damped with (85·Σ) // 100 — positive operands, so
@@ -270,5 +333,6 @@ object GraphQueries {
     "q87_components" -> q87Sql,
     "q89_dedup_clusters" -> q89Sql,
     "q101_pagerank" -> q101Sql,
+    "q117_cluster_survivors" -> q117Sql,
   )
 }
