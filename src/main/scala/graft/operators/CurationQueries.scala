@@ -144,6 +144,31 @@ object CurationQueries {
     tab
   }
 
+  /** q118: overlapping-span width (tokens) for substring-level dedup.
+    * Production exact-substring dedup uses ~50-gram spans (the
+    * "deduplicating training data" discipline); 8 keeps the signal
+    * dense on 10–99-token fixture docs while exercising the identical
+    * plan. Shares SegWidth's value but NOT its meaning — q110 segments
+    * are disjoint, spans overlap at stride 1, which is what catches a
+    * duplicated passage at a shifted offset (q110's aligned windows
+    * miss it). */
+  val SpanWidth = 8
+
+  /** One row per (doc_id, span start, span md5) — every OVERLAPPING
+    * SpanWidth-token window, stride 1 (q118). Same short-doc guard as
+    * [[segmentHashes]]: below SpanWidth tokens, `sequence(0, size-W)`
+    * would descend and fabricate wrapped spans. */
+  def spanHashes(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val W = SpanWidth
+    docs.select(col("doc_id"),
+        posexplode(when(size(toks) >= W, transform(
+            sequence(lit(0), size(toks) - W),
+            j => md5(concat_ws(" ", slice(toks, j + 1, lit(W))))))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "pos", "h")
+  }
+
   /** Heavy-hitters pass 2, shared by q92 (batch pass 1) and q102
     * (streaming pass 1): exact recount of the token stream restricted
     * to the broadcast candidate summary, then the real threshold.
@@ -493,7 +518,61 @@ object CurationQueries {
             .as("postings"))
         .orderBy("tok", "page")
     },
+
+    // Substring-level (overlapping-span) dedup — the exact-substring
+    // discipline of "Deduplicating Training Data Makes Language Models
+    // Better": every SpanWidth-token window at stride 1 is
+    // fingerprinted, a span is duplicated iff its text occurs anywhere
+    // else in the corpus (same rule as q110's segments, but overlap
+    // catches shifted copies q110's aligned windows miss), and each doc
+    // reports the fraction of its TOKENS covered by >= 1 duplicated
+    // span — the number a span-removal pass would actually cut.
+    //
+    // Scale: spans are a narrow codegen map (explode + md5 — only
+    // 32-char digests and int positions ever shuffle, never text). The
+    // corpus-wide occurrence count is a groupBy("h") — map-side
+    // combined, so a boilerplate span repeated 10^9 times costs one
+    // partial per upstream task — SHUFFLE_HASH-joined back to the span
+    // rows (the q96 de-skew shape: hash join streams a hot digest's
+    // rows, no per-key sort, no per-key buffer). Coverage explodes dup
+    // spans to positions (bounded W× blowup of dup spans only) and
+    // counts distinct positions per doc — per-doc bounded.
+    "q118_substring_dedup" -> { (s, dir) =>
+      substringDedup(tWide(s, dir, "documents"))
+        .orderBy(desc("cov_ratio"), col("doc_id"))
+        .limit(20)
+    },
   )
+
+  /** q118 core, one row per doc with >= 1 span: span counts, duplicated-
+    * span counts, and the distinct-token-position coverage of duplicated
+    * spans (the fraction a span-removal pass would cut). Unordered —
+    * the gated key applies its own presentation ORDER BY/LIMIT. */
+  def substringDedup(docs: DataFrame): DataFrame = {
+    val W = SpanWidth
+    val spans = spanHashes(docs)
+    val counts = spans.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val marked = spans.join(counts.hint("SHUFFLE_HASH"), Seq("h"))
+      .select(col("doc_id"), col("pos"),
+        when(col("cnt") > 1, 1L).otherwise(0L).as("dup"))
+    val per = marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("dup").cast("long").as("n_dup_spans"))
+    val cov = marked.filter(col("dup") === 1L)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("p")).as("n_cov_tokens"))
+    val toklen = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    per.join(cov, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_cov_tokens"))
+      .join(toklen, Seq("doc_id"))
+      .withColumn("cov_ratio",
+        round(col("n_cov_tokens").cast("double") / col("n_toks"), 6))
+      .select("doc_id", "n_spans", "n_dup_spans", "n_cov_tokens",
+        "n_toks", "cov_ratio")
+  }
 
   /** Shared (source, shard) packing CTE body for q111/q112: same
     * composite-key window + per-shard metrics as [[packSequences]]. */
@@ -638,5 +717,39 @@ object CurationQueries {
          |  CAST(page_tf AS BIGINT) AS page_tf,
          |  array_to_string(list_transform(plist, x -> CAST(x AS VARCHAR)), ',') AS postings
          |FROM pg ORDER BY tok, page""".stripMargin,
+
+    // q118: overlapping spans at stride 1; coverage = distinct token
+    // positions under >= 1 duplicated span
+    "q118_substring_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |spans AS (
+         |  SELECT doc_id, j AS pos,
+         |    md5(array_to_string(toks[j+1 : j+$SpanWidth], ' ')) AS h
+         |  FROM d CROSS JOIN LATERAL
+         |    (SELECT unnest(range(len(toks) - $SpanWidth + 1)) AS j) js
+         |  WHERE len(toks) >= $SpanWidth),
+         |counts AS (SELECT h, count(*) AS cnt FROM spans GROUP BY h),
+         |marked AS (
+         |  SELECT doc_id, pos, cnt > 1 AS dup
+         |  FROM spans JOIN counts USING (h)),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+         |  FROM marked GROUP BY doc_id),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT p) AS n_cov_tokens
+         |  FROM (SELECT doc_id, pos + unnest(range($SpanWidth)) AS p
+         |        FROM marked WHERE dup)
+         |  GROUP BY doc_id),
+         |tok AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents)
+         |SELECT per.doc_id, n_spans, n_dup_spans,
+         |  COALESCE(n_cov_tokens, 0) AS n_cov_tokens, n_toks,
+         |  round(COALESCE(n_cov_tokens, 0)::DOUBLE / n_toks, 6) AS cov_ratio
+         |FROM per
+         |LEFT JOIN cov ON per.doc_id = cov.doc_id
+         |JOIN tok ON per.doc_id = tok.doc_id
+         |ORDER BY cov_ratio DESC, per.doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -57,7 +57,42 @@ object TextQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
+
+    // BPE-style pair mining — the first merge step of byte-pair-
+    // encoding tokenizer induction: count adjacent character pairs
+    // WITHIN words, weighted by corpus word frequency; the top pair is
+    // the merge a BPE trainer would apply next. Two-level aggregation
+    // is the 100 TB shape: the corpus collapses to its vocabulary first
+    // (groupBy word — map-side combined, vocabulary-sized result), and
+    // pair explosion runs over distinct WORD TYPES only, never the raw
+    // token stream; the final pair agg has a ≤ alphabet² key space.
+    // Single-char words are guarded (sequence(1, 0) would DESCEND and
+    // fabricate a wrapped pair — the segmentHashes landmine).
+    "q119_bpe_pairs" -> { (s, dir) =>
+      bpePairs(tWide(s, dir, "documents"))
+        .orderBy(desc("weight"), col("pair"))
+        .limit(20)
+    },
   )
+
+  /** q119 core: adjacent character pairs within words, weighted by
+    * corpus word frequency (weight counts a pair's every occurrence in
+    * a word; n_word_types counts each word type once). Unordered — the
+    * gated key applies its own presentation ORDER BY/LIMIT. */
+  def bpePairs(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("word"), col("freq"),
+        explode(when(length(col("word")) >= 2, expr(
+            "transform(sequence(1, length(word) - 1)," +
+            " i -> substring(word, i, 2))"))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").cast("long").as("weight"),
+        countDistinct(col("word")).as("n_word_types"))
+  }
 
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
@@ -110,5 +145,23 @@ object TextQueries {
         |     (a,b) -> (a*131 + b) % 2147483647))),
         |   (acc, wh) -> (acc*131 + wh) % 2147483647) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q119: pairs over word TYPES weighted by corpus frequency; a pair
+    // occurring twice in one word counts twice in weight but the word
+    // counts once in n_word_types
+    "q119_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |p AS (
+        |  SELECT word, freq, substr(word, i, 2) AS pair
+        |  FROM w CROSS JOIN LATERAL
+        |    (SELECT unnest(range(1, length(word))) AS i) js
+        |  WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS weight,
+        |  count(DISTINCT word) AS n_word_types
+        |FROM p GROUP BY pair
+        |ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
   )
 }

@@ -50,4 +50,17 @@ class TextOpsSpec extends SparkSpec {
       === 2.0 / 3.0)
     assert(one("ab cdef", TextOps.avgWordLen(col("text"))).getDouble(0) === 3.0)
   }
+
+  test("q119 bpePairs: frequency weighting, in-word repeats, 1-char guard") {
+    val sess = spark
+    import sess.implicits._
+    // vocab: "abab" ×2 docs-occurrences, "ba" ×1, "x" ×1 (no pairs)
+    val docs = Seq((1L, "abab ba x"), (2L, "abab")).toDF("doc_id", "text")
+    val rows = graft.operators.TextQueries.bpePairs(docs)
+      .orderBy("pair").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "abab" pairs: ab, ba, ab -> ab weight 2 per occurrence ×2 = 4
+    // appearing in 1 word type; ba from both "abab"(×2) and "ba"(×1)
+    assert(rows.toSeq === Seq(("ab", 4L, 1L), ("ba", 3L, 2L)))
+  }
 }

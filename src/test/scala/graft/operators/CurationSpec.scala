@@ -220,4 +220,44 @@ class CurationSpec extends SparkSpec {
       assert(rows.init.forall(!_.isNullAt(rows.head.fieldIndex("valid_to"))))
     }
   }
+
+  test("q118 spanHashes: stride-1 span count and the short-doc guard") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks -> 3 spans
+      (2L, (1 to 8).map(i => s"u$i").mkString(" ")),  // exactly W -> 1 span
+      (3L, (1 to 7).map(i => s"v$i").mkString(" "))   // below W -> none
+    ).toDF("doc_id", "text")
+    val spans = CurationQueries.spanHashes(docs).collect()
+    assert(spans.count(_.getLong(0) == 1L) === 3)
+    assert(spans.filter(_.getLong(0) == 1L).map(_.getInt(1)).sorted
+      === Array(0, 1, 2))
+    assert(spans.count(_.getLong(0) == 2L) === 1)
+    assert(spans.count(_.getLong(0) == 3L) === 0,
+      "short docs must emit no spans (descending-sequence wrap guard)")
+  }
+
+  test("q118 catches a shifted duplicate passage that aligned segments miss") {
+    val sess = spark
+    import sess.implicits._
+    val passage = (1 to CurationQueries.SpanWidth).map(i => s"p$i")
+    // the shared 8-token passage sits at offset 3 in doc 1 and offset 1
+    // in doc 2 — different alignment mod SegWidth, so q110's disjoint
+    // segments never line up on it
+    val a = (Seq("a1", "a2", "a3") ++ passage ++ Seq("a4", "a5", "a6", "a7", "a8")).mkString(" ")
+    val b = (Seq("b1") ++ passage ++ Seq("b2", "b3", "b4", "b5", "b6", "b7")).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // aligned segments: zero duplicated fingerprints across docs
+    val segs = CurationQueries.segmentHashes(docs).collect()
+    assert(segs.map(_.getString(1)).groupBy(identity).values
+      .forall(_.length == 1), "aligned segments must NOT see the shifted copy")
+    // overlapping spans: exactly one duplicated span per doc, covering
+    // exactly the passage's 8 token positions
+    val out = CurationQueries.substringDedup(docs)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_dup_spans")).toSeq === Seq(1L, 1L))
+    assert(out.map(_.getAs[Long]("n_cov_tokens")).toSeq === Seq(8L, 8L))
+    assert(out.map(_.getAs[Long]("n_toks")).toSeq === Seq(16L, 15L))
+  }
 }
