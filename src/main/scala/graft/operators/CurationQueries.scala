@@ -550,11 +550,17 @@ object CurationQueries {
     * the gated key applies its own presentation ORDER BY/LIMIT. */
   def substringDedup(docs: DataFrame): DataFrame = {
     val W = SpanWidth
-    val spans = spanHashes(docs)
+    // Cached: spans feeds both the count agg and the join-back, and
+    // marked feeds both per-doc aggs — without the caches the corpus
+    // explode+md5 ran FOUR times (5 parquet scans; PlanProbe --audit).
+    // One tokenize+hash pass of the corpus, materialized narrow
+    // (doc_id, pos, digest), beats recompute at any scale.
+    val spans = spanHashes(docs).cache()
     val counts = spans.groupBy("h").agg(count(lit(1)).as("cnt"))
     val marked = spans.join(counts.hint("SHUFFLE_HASH"), Seq("h"))
       .select(col("doc_id"), col("pos"),
         when(col("cnt") > 1, 1L).otherwise(0L).as("dup"))
+      .cache()
     val per = marked.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum("dup").cast("long").as("n_dup_spans"))

@@ -434,6 +434,40 @@ class PlanSpec extends SparkSpec {
       s"the hamming bound must gate candidates in-plan:\n$p")
   }
 
+  test("q118 substring dedup: hash join-back, cached span stream, no window") {
+    // the q96 de-skew shape applied to span digests: the corpus-wide
+    // occurrence count is a groupBy (map-side combined — a boilerplate
+    // span repeated 10^9 times costs one partial per upstream task)
+    // hash-JOINED back to span rows; a window over h would gather a hot
+    // digest's rows onto one reducer, a sort-merge join would sort
+    // them. The explode+md5 span pass is cached so every consumer
+    // (count agg, join-back, both per-doc aggs) reads ONE
+    // materialization — uncached it ran four times.
+    val p = plan("q118_substring_dedup")
+    assert(!p.contains("Window"),
+      s"span occurrence counts must be a groupBy agg, never a window:\n$p")
+    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"count join-back must be hash — sort-merge would sort hot digests:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"span stream and marked rows must be cached (one corpus pass):\n$p")
+  }
+
+  test("q119 BPE pairs explode the VOCABULARY, never the raw token stream") {
+    // two-level shape: corpus -> word frequencies (map-side combined,
+    // vocabulary-sized) -> pair explosion over word TYPES. Exploding
+    // pairs from the raw token stream would generate word_len rows per
+    // corpus TOKEN instead of per distinct word.
+    val p = plan("q119_bpe_pairs")
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"one corpus scan:\n$p")
+    val gi = p.indexOf("Generate explode(CASE WHEN (length(word")
+    val wi = p.indexOf("HashAggregate(keys=[word")
+    assert(gi >= 0 && wi > gi,
+      s"pair explosion must consume the word-frequency agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded heap, not a full sort:\n$p")
+  }
+
   test("q99 top-k per group aggregates heaps — no Window, no row sort") {
     // the whole point vs q25: partial heaps combine map-side, so the
     // shuffle carries <= k pairs per (partition, group), never the rows
