@@ -169,6 +169,43 @@ object CurationQueries {
       .toDF("doc_id", "pos", "h")
   }
 
+  /** q121: content-defined chunk divisor — a chunk boundary falls
+    * AFTER token t whenever polyhash(t) % CdcDivisor == 0, so the mean
+    * chunk is ~CdcDivisor tokens and boundaries depend only on LOCAL
+    * content: an insertion near a doc's head shifts every q118-style
+    * positional window but CDC boundaries re-synchronize at the next
+    * boundary token, which is why storage/dedup systems chunk this way. */
+  val CdcDivisor = 8
+
+  /** One row per (doc_id, chunk token-length, chunk md5) — content-
+    * defined chunking of the token stream (q121). Entirely narrow
+    * per-row compute: boundary positions, starts/ends, and per-chunk
+    * digests are array ops inside one projection; nothing shuffles
+    * until the digests aggregate. The n >= 2 guard is the usual
+    * descending-sequence landmine (a 1-token doc is one chunk). */
+  def cdcChunkStream(docs: DataFrame): DataFrame = {
+    import graft.plans.GraftExpressions.poly_hash
+    val n = size(col("toks"))
+    val bpos = when(n >= 2,
+        filter(
+          transform(sequence(lit(0), n - 2),
+            j => when(poly_hash(element_at(col("toks"), j + 1))
+              % CdcDivisor === 0, j + 1)),
+          x => x.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        concat(array(lit(0)), bpos).as("starts"),
+        concat(bpos, array(n)).as("ends"))
+      .select(col("doc_id"),
+        explode(zip_with(col("starts"), col("ends"), (st, en) =>
+          struct((en - st).as("len"),
+            md5(concat_ws(" ", slice(col("toks"), st + 1, en - st)))
+              .as("h")))).as("c"))
+      .select(col("doc_id"), col("c.len").as("len"), col("c.h").as("h"))
+  }
+
   /** Heavy-hitters pass 2, shared by q92 (batch pass 1) and q102
     * (streaming pass 1): exact recount of the token stream restricted
     * to the broadcast candidate summary, then the real threshold.
@@ -542,6 +579,26 @@ object CurationQueries {
         .orderBy(desc("cov_ratio"), col("doc_id"))
         .limit(20)
     },
+
+    // Content-defined chunking + chunk-level dedup — the rsync/LBFS
+    // discipline applied to training text: chunk boundaries fall where
+    // a token's hash ≡ 0 mod CdcDivisor, so boundaries RE-SYNCHRONIZE
+    // after an insertion (q118's positional spans all shift; CDC
+    // chunks downstream of the next boundary token are identical) and
+    // a doc is scored by the token fraction living in chunks whose
+    // digest occurs elsewhere in the corpus.
+    //
+    // Scale: chunking is zero-shuffle narrow array compute per row
+    // (the q91 discipline); only (doc_id, len, digest) rows ever
+    // shuffle. Chunk-occurrence counts are a map-side-combined
+    // groupBy("h") SHUFFLE_HASH-joined back (the q96/q118 de-skew
+    // shape — a boilerplate chunk repeated 10^9 times never funnels
+    // through one reducer), and the per-doc roll-up is doc-bounded.
+    "q121_cdc_chunks" -> { (s, dir) =>
+      cdcChunks(tWide(s, dir, "documents"))
+        .orderBy(desc("dup_ratio"), col("doc_id"))
+        .limit(20)
+    },
   )
 
   /** q118 core, one row per doc with >= 1 span: span counts, duplicated-
@@ -578,6 +635,28 @@ object CurationQueries {
         round(col("n_cov_tokens").cast("double") / col("n_toks"), 6))
       .select("doc_id", "n_spans", "n_dup_spans", "n_cov_tokens",
         "n_toks", "cov_ratio")
+  }
+
+  /** q121 core, one row per doc: chunk counts, duplicated-chunk counts
+    * (digest occurs >1 time corpus-wide), duplicated-chunk token mass,
+    * and its ratio of the doc's tokens. sum(len) IS the doc's token
+    * count — chunks partition the token stream, so no second corpus
+    * scan is needed. The chunk stream is cached: it feeds the count
+    * agg and the join-back (one chunking pass, not two). Unordered —
+    * the gated key applies its own presentation ORDER BY/LIMIT. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val chunks = cdcChunkStream(docs).cache()
+    val counts = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    chunks.join(counts.hint("SHUFFLE_HASH"), Seq("h"))
+      .select(col("doc_id"), col("len"),
+        when(col("cnt") > 1, 1L).otherwise(0L).as("dup"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("dup").cast("long").as("n_dup_chunks"),
+        sum(col("len") * col("dup")).cast("long").as("dup_tokens"),
+        sum("len").cast("long").as("n_toks"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens").cast("double") / col("n_toks"), 6))
   }
 
   /** Shared (source, shard) packing CTE body for q111/q112: same
@@ -757,5 +836,40 @@ object CurationQueries {
          |LEFT JOIN cov ON per.doc_id = cov.doc_id
          |JOIN tok ON per.doc_id = tok.doc_id
          |ORDER BY cov_ratio DESC, per.doc_id LIMIT 20""".stripMargin,
+
+    // q121: CDC boundaries replayed via the q53 char-fold polyhash;
+    // parallel unnest zips chunk lengths with chunk digests
+    "q121_cdc_chunks" -> {
+      def wh(tok: String): String =
+        "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"string_split($tok, ''), ch -> ascii(ch)::BIGINT)), " +
+          "(a,b) -> (a*131 + b) % 2147483647)"
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |b AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) >= 2 THEN
+         |    list_filter(list_transform(range(0, len(toks) - 1), j ->
+         |      CASE WHEN ${wh("toks[j+1]")} % $CdcDivisor = 0 THEN j + 1 END),
+         |      x -> x IS NOT NULL)
+         |  ELSE [] END AS bpos FROM d),
+         |se AS (SELECT doc_id, toks,
+         |  list_prepend(0, bpos) AS starts,
+         |  list_append(bpos, len(toks)) AS ends FROM b),
+         |chunks AS (SELECT doc_id,
+         |  unnest(list_transform(range(0, len(starts)), i ->
+         |    ends[i+1] - starts[i+1])) AS len,
+         |  unnest(list_transform(range(0, len(starts)), i ->
+         |    md5(array_to_string(toks[starts[i+1]+1 : ends[i+1]], ' ')))) AS h
+         |  FROM se),
+         |counts AS (SELECT h, count(*) AS cnt FROM chunks GROUP BY h),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_chunks,
+         |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |    CAST(sum(CASE WHEN cnt > 1 THEN len ELSE 0 END) AS BIGINT) AS dup_tokens,
+         |    CAST(sum(len) AS BIGINT) AS n_toks
+         |  FROM chunks JOIN counts USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_chunks, n_dup_chunks, dup_tokens, n_toks,
+         |  round(dup_tokens::DOUBLE / n_toks, 6) AS dup_ratio
+         |FROM per ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin
+    },
   )
 }

@@ -73,7 +73,47 @@ object TextQueries {
         .orderBy(desc("weight"), col("pair"))
         .limit(20)
     },
+
+    // Vocabulary coverage / OOV rate — the tokenizer-sizing question a
+    // training pipeline asks before fixing a vocab: if we keep the
+    // top-K words, what fraction of the token stream is covered, and
+    // how many word types per language fall out-of-vocabulary? One
+    // corpus token pass: tokens collapse to (lang, word) counts
+    // (map-side combined), the global vocabulary derives from THAT
+    // (vocabulary-scale agg + heap top-K, never a re-scan), and the
+    // K-row vocab broadcasts back onto the (lang, word) counts.
+    "q120_vocab_coverage" -> { (s, dir) =>
+      vocabCoverage(tWide(s, dir, "documents")).orderBy("lang")
+    },
   )
+
+  /** q120: top-K corpus vocabulary (ties broken lexicographically —
+    * deterministic at the K boundary). */
+  val VocabK = 500
+
+  /** q120 core, one row per lang: token totals, tokens covered by the
+    * global top-`k` vocabulary, OOV word-type count, coverage ratio.
+    * The (lang, word) count frame is cached — it feeds both the
+    * vocabulary derivation and the coverage roll-up, and is only
+    * vocabulary × languages rows. */
+  def vocabCoverage(docs: DataFrame, k: Int = VocabK): DataFrame = {
+    val lw = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val vocab = lw.groupBy("word").agg(sum("cnt").as("freq"))
+      .orderBy(desc("freq"), col("word")).limit(k)
+      .select(col("word"), lit(1).as("in_vocab"))
+    lw.join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy("lang")
+      .agg(sum("cnt").cast("long").as("total_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("cnt")).otherwise(0L))
+          .cast("long").as("covered_tokens"),
+        countDistinct(when(col("in_vocab").isNull, col("word")))
+          .as("oov_types"))
+      .withColumn("cov_ratio",
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6))
+  }
 
   /** q119 core: adjacent character pairs within words, weighted by
     * corpus word frequency (weight counts a pair's every occurrence in
@@ -163,5 +203,27 @@ object TextQueries {
         |  count(DISTINCT word) AS n_word_types
         |FROM p GROUP BY pair
         |ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
+
+    // q120: global top-K vocab (freq desc, word asc at the boundary);
+    // coverage and OOV types per lang from the (lang, word) counts
+    "q120_vocab_coverage" ->
+      s"""WITH lw AS (
+         |  SELECT lang, word, count(*) AS cnt
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  GROUP BY lang, word),
+         |v AS (
+         |  SELECT word FROM (
+         |    SELECT word, sum(cnt) AS freq FROM lw GROUP BY word
+         |    ORDER BY freq DESC, word LIMIT $VocabK)),
+         |j AS (
+         |  SELECT lang, lw.word AS word, cnt, v.word IS NOT NULL AS iv
+         |  FROM lw LEFT JOIN v ON lw.word = v.word)
+         |SELECT lang,
+         |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN iv THEN cnt ELSE 0 END) AS BIGINT) AS covered_tokens,
+         |  count(DISTINCT CASE WHEN NOT iv THEN word END) AS oov_types,
+         |  round(sum(CASE WHEN iv THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6) AS cov_ratio
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -468,6 +468,35 @@ class PlanSpec extends SparkSpec {
       s"top-20 must be a bounded heap, not a full sort:\n$p")
   }
 
+  test("q120 vocab coverage: heap top-K vocab, broadcast join-back") {
+    // the vocabulary is derived from the cached (lang, word) counts —
+    // never a corpus re-scan — cut with a bounded heap, and broadcast
+    // back (K rows); a shuffled join here would repartition the counts
+    // frame just to meet a K-row table
+    val p = plan("q120_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K vocab must be a heap, not a full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the K-row vocab must broadcast onto the counts:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"(lang, word) counts must be cached — one corpus token pass:\n$p")
+  }
+
+  test("q121 CDC chunking is narrow; only digests shuffle") {
+    // boundary detection, starts/ends, and chunk digests are array ops
+    // inside one projection (the q91 discipline); the dedup roll-up is
+    // the q118 shape — groupBy counts hash-joined back, never a window
+    val p = plan("q121_cdc_chunks")
+    assert(!p.contains("Window"),
+      s"chunk occurrence counts must be a groupBy agg, never a window:\n$p")
+    assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"count join-back must be hash:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"the chunk stream must be cached (one chunking pass):\n$p")
+    assert(p.contains("graft_poly_hash"),
+      s"boundary hashing must run the codegen PolyHash kernel in-plan:\n$p")
+  }
+
   test("q99 top-k per group aggregates heaps — no Window, no row sort") {
     // the whole point vs q25: partial heaps combine map-side, so the
     // shuffle carries <= k pairs per (partition, group), never the rows

@@ -51,6 +51,24 @@ class TextOpsSpec extends SparkSpec {
     assert(one("ab cdef", TextOps.avgWordLen(col("text"))).getDouble(0) === 3.0)
   }
 
+  test("q120 vocabCoverage: top-k cut, tie-break, per-lang OOV") {
+    val sess = spark
+    import sess.implicits._
+    // corpus freq: aa=3, bb=2, cc=2, dd=1; k=2 keeps aa and bb (bb
+    // beats cc on the lexicographic tie-break at the boundary)
+    val docs = Seq(
+      ("en", "aa aa bb cc"),
+      ("fr", "aa bb cc dd")).toDF("lang", "text")
+    val rows = graft.operators.TextQueries.vocabCoverage(docs, k = 2)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("covered_tokens"), r.getAs[Long]("oov_types"),
+        r.getAs[Double]("cov_ratio")))
+    assert(rows.toSeq === Seq(
+      ("en", 4L, 3L, 1L, 0.75),   // cc OOV
+      ("fr", 4L, 2L, 2L, 0.5)))   // cc, dd OOV
+  }
+
   test("q119 bpePairs: frequency weighting, in-word repeats, 1-char guard") {
     val sess = spark
     import sess.implicits._

@@ -238,6 +238,45 @@ class CurationSpec extends SparkSpec {
       "short docs must emit no spans (descending-sequence wrap guard)")
   }
 
+  test("q121 CDC boundaries re-synchronize after an insertion") {
+    val sess = spark
+    import sess.implicits._
+    // scala replay of the PolyHash char fold, to pick boundary words
+    def ph(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 131 + c.toInt) % 2147483647L)
+    def isB(w: String) = ph(w) % CurationQueries.CdcDivisor == 0
+    val nonB = Iterator.from(1).map(i => s"w$i").filterNot(isB).take(12).toSeq
+    val bWord = Iterator.from(1).map(i => s"b$i").filter(isB).next()
+    // shared tail: a boundary word then 3 non-boundary words; prefixes
+    // differ in length AND content, so every q118-style positional
+    // span of the tail shifts — but the chunk opened after bWord is
+    // byte-identical in both docs
+    val tail = Seq(bWord) ++ nonB.slice(8, 11)
+    val a = (nonB.slice(0, 5) ++ tail).mkString(" ")
+    val b = (nonB.slice(5, 8) ++ tail).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = CurationQueries.cdcChunks(docs).orderBy("doc_id").collect()
+    // each doc: chunk 1 = prefix..bWord (differs), chunk 2 = the
+    // re-synchronized 3-token tail (shared => duplicated)
+    assert(out.map(_.getAs[Long]("n_chunks")).toSeq === Seq(2L, 2L))
+    assert(out.map(_.getAs[Long]("n_dup_chunks")).toSeq === Seq(1L, 1L))
+    assert(out.map(_.getAs[Long]("dup_tokens")).toSeq === Seq(3L, 3L))
+    assert(out.map(_.getAs[Long]("n_toks")).toSeq === Seq(9L, 7L))
+  }
+
+  test("q121 chunk stream partitions the token stream exactly") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq((1L, (1 to 40).map(i => s"t$i").mkString(" ")),
+      (2L, "solo")).toDF("doc_id", "text")
+    val rows = CurationQueries.cdcChunkStream(docs)
+      .groupBy("doc_id").agg(sum("len").as("s"), count(lit(1)).as("c"))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("s")).toSeq === Seq(40L, 1L),
+      "chunk lengths must sum to the doc's token count (no gap/overlap)")
+    assert(rows(1).getAs[Long]("c") === 1L, "a 1-token doc is one chunk")
+  }
+
   test("q118 catches a shifted duplicate passage that aligned segments miss") {
     val sess = spark
     import sess.implicits._
