@@ -301,7 +301,58 @@ object SimilarityQueries {
           round(col("sim_raw"), 6).as("sim"))
         .orderBy("qid", "rnk")
     },
+
+    // ANN quality evaluation — recall@3 of the IVF probe against exact
+    // brute-force ground truth on the SAME bounded query set (the q45
+    // rule: |Q| ≤ 100 absolutely, so the exact side stays O(n), not
+    // quadratic-by-stealth). A pipeline must measure this before
+    // trusting an index: IVF probes only the query's own bucket, so a
+    // true neighbor assigned to a different centroid is invisible —
+    // recall quantifies exactly that loss. Both sides read the SAME
+    // persisted index frame (build once, shared with q57), queries
+    // broadcast onto both the pruned-bucket probe and the linear exact
+    // scan, and zero-hit queries still report (left join from Q).
+    "q122_ann_recall" -> { (s, dir) => annRecall(s, dir) },
   )
+
+  /** q122 core: per-query IVF hit count vs the exact top-3 and the
+    * recall ratio, ordered by qid. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val idx = s.read.parquet(ivfIndex(s, dir))
+    val q = idx.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cid").as("qcid"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
+    // approximate: the q57 probe — pruned read of the queries' buckets
+    val qcids = q.select("qcid").distinct().collect().map(_.get(0))
+    val members = idx.filter(col("cid").isin(qcids: _*))
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("cid").as("ncid"))
+    val approx = broadcast(q)
+      .join(members, col("qcid") === col("ncid") && col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorOps.cosinePre(
+          seqDot(col("qe"), col("ne")), col("qn"), col("nn")).as("sim_raw"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3).select("qid", "nid")
+    // exact: one linear scan of the index frame per the bounded Q
+    val v = idx.select(col("vec_id").as("nid"), col("embedding").as("ve"),
+      col("nrm").as("vn"))
+    val exact = broadcast(q.select("qid", "qe", "qn"))
+      .join(v, col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorOps.cosinePre(
+          seqDot(col("qe"), col("ve")), col("qn"), col("vn")).as("sim_raw"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3).select("qid", "nid")
+    val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    q.select("qid").join(hits, Seq("qid"), "left_outer")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("qid"), col("n_hit").cast("long").as("n_hit"),
+        round(col("n_hit") / lit(3.0), 6).as("recall"))
+      .orderBy("qid")
+  }
 
   def oracle: Map[String, String] = Map(
     // all-integer replay: same quantize formula as q83's oracle, exact
@@ -411,5 +462,46 @@ object SimilarityQueries {
         |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM probe)
         |SELECT qid, rnk, nid, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // q122: the q57 IVF replay (bounded Q) joined against the exact
+    // brute-force top-3; recall = |intersection| / 3 per query
+    "q122_ann_recall" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id % 100 = 0),
+        |asgn AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM (
+        |    SELECT vec_id, cid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
+        |      SELECT e.vec_id, c.cid,
+        |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS dot,
+        |        e.nrm AS na, c.cn AS nb
+        |      FROM e CROSS JOIN cent c))),
+        |buckets AS MATERIALIZED (SELECT vec_id, cid FROM asgn WHERE rn = 1),
+        |q AS MATERIALIZED (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid
+        |  FROM e JOIN buckets b USING (vec_id)
+        |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 5000),
+        |probe AS (
+        |  SELECT qid, nid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
+        |    SELECT q.qid, e.vec_id AS nid,
+        |      list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) AS dot,
+        |      q.qn AS na, e.nrm AS nb
+        |    FROM q JOIN buckets b ON b.cid = q.cid JOIN e ON e.vec_id = b.vec_id
+        |    WHERE e.vec_id != q.qid)),
+        |ar AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM probe)
+        |  WHERE rnk <= 3),
+        |exd AS (
+        |  SELECT qid, e.vec_id AS nid, CASE WHEN q.qn = 0 OR e.nrm = 0 THEN NULL ELSE
+        |    list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) / (q.qn*e.nrm) END AS sim
+        |  FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+        |ex AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM exd)
+        |  WHERE rnk <= 3),
+        |hits AS (SELECT qid, count(*) AS n_hit FROM ex JOIN ar USING (qid, nid) GROUP BY qid)
+        |SELECT qs.qid, COALESCE(n_hit, 0) AS n_hit,
+        |  round(COALESCE(n_hit, 0) / 3.0, 6) AS recall
+        |FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits USING (qid)
+        |ORDER BY qid""".stripMargin,
   )
 }

@@ -468,6 +468,19 @@ class PlanSpec extends SparkSpec {
       s"top-20 must be a bounded heap, not a full sort:\n$p")
   }
 
+  test("q122 recall eval broadcasts the bounded query set to both sides") {
+    // the IVF side is the q57 pruned probe; the exact side is ONE
+    // linear scan of the index frame against the ≤100-query broadcast.
+    // A CartesianProduct would mean the query bound stopped reaching
+    // the join; a shuffled exact side would repartition the corpus to
+    // meet 100 rows.
+    val p = plan("q122_ann_recall")
+    assert(!p.contains("CartesianProduct"),
+      s"all joins must be bounded-broadcast or equi:\n$p")
+    assert("Broadcast(Hash|NestedLoop)Join".r.findAllIn(p).size >= 2,
+      s"queries must broadcast onto the probe AND exact scans:\n$p")
+  }
+
   test("q120 vocab coverage: heap top-K vocab, broadcast join-back") {
     // the vocabulary is derived from the cached (lang, word) counts —
     // never a corpus re-scan — cut with a bounded heap, and broadcast

@@ -156,4 +156,17 @@ class EdgeCaseSpec extends SparkSpec {
       .collect()
     assert(chunks.length === 1 && chunks.head.getInt(1) === 1)
   }
+
+  test("q122 recall invariants: one row per query, n_hit in [0,3]") {
+    val out = SimilarityQueries.annRecall(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === 10, "sf0.001 has 10 bounded queries")
+    out.foreach { r =>
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0L && h <= 3L, s"n_hit out of range: $h")
+      assert(r.getAs[Double]("recall") ===
+        BigDecimal(h / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, "recall must be n_hit/3 rounded to 6")
+    }
+  }
 }
