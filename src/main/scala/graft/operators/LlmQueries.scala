@@ -217,7 +217,43 @@ object LlmQueries {
       .orderBy("batch_doc", "corpus_doc")
   }
 
+  /** q123 core: for every q44 near-dup pair, the MinHash Jaccard
+    * ESTIMATE next to the exact distinct-shingle Jaccard and the
+    * absolute error — the sketch-calibration number that justifies (or
+    * indicts) the 32-perm/8×4-band parameters before a 100 TB dedup
+    * run trusts them. Exact verification touches ONLY the sketch's own
+    * candidate pairs (output-sized), never all-pairs: the pair list
+    * equi-joins each side's sorted shingle-hash array and the codegen
+    * two-pointer merge (q55's kernel) counts the intersection. */
+  def sketchError(docs: DataFrame): DataFrame = {
+    val h62 = (c: Column) =>
+      graft.plans.GraftExpressions.poly_hash(c, 131) * 2147483648L +
+        graft.plans.GraftExpressions.poly_hash(c, 137)
+    val pairs = minhashPairs(docs)
+      .filter(col("match_cnt") >= NearDupMinMatches)
+    val arrs = docs.select(col("doc_id"),
+      array_sort(transform(shingles(col("text"), 3), sg => h62(sg))))
+    val a = arrs.toDF("doc_a", "arr_a")
+    val b = arrs.toDF("doc_b", "arr_b")
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", graft.plans.GraftExpressions
+        .sorted_intersect(col("arr_a"), col("arr_b")))
+      .withColumn("exact_jaccard", round(col("inter").cast("double") /
+        (size(col("arr_a")) + size(col("arr_b")) - col("inter")), 6))
+      .select(col("doc_a"), col("doc_b"), col("match_cnt"),
+        col("est_jaccard"), col("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6)
+          .as("abs_err"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sketch-quality evaluation: MinHash estimate vs exact Jaccard on
+    // the sketch's own candidate pairs (the q122 discipline applied to
+    // the dedup sketch — measure the approximation before trusting it).
+    "q123_sketch_error" -> { (s, dir) =>
+      sketchError(tWide(s, dir, "documents")).orderBy("doc_a", "doc_b")
+    },
+
     // Exact dedup: md5 grouping, min-doc_id survivor, per-lang report.
     "q43_dedup_exact" -> { (s, dir) =>
       tWide(s, dir, "documents")
@@ -469,6 +505,59 @@ object LlmQueries {
         |SELECT doc_a, doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard
         |FROM est WHERE match_cnt >= 26
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q123: the q44 pipeline's pairs, re-verified exactly via the q55
+    // distinct-shingle 62-bit arrays (list_intersect = the engine's
+    // sorted two-pointer merge)
+    "q123_sketch_error" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+        |    (a,b) -> (a*131 + b) % 2147483647) AS h
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id, i,
+        |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
+        |  GROUP BY doc_id, i),
+        |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
+        |  FROM cand
+        |   JOIN sig sa ON sa.doc_id = doc_a
+        |   JOIN sig sb ON sb.doc_id = doc_b),
+        |arrs AS MATERIALIZED (
+        |  SELECT doc_id, list_transform(list_distinct(list_transform(
+        |      range(0, len(string_split(text,' ')) - 2),
+        |      i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))),
+        |    sg -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sg,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*131 + b) % 2147483647) * 2147483648
+        |        + list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sg,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*137 + b) % 2147483647)) AS arr
+        |  FROM documents),
+        |x AS (
+        |  SELECT p.doc_a, p.doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard,
+        |    len(list_intersect(a.arr, b.arr))::BIGINT AS inter,
+        |    (len(a.arr) + len(b.arr) - len(list_intersect(a.arr, b.arr)))::BIGINT AS uni
+        |  FROM pairs p
+        |   JOIN arrs a ON a.doc_id = p.doc_a
+        |   JOIN arrs b ON b.doc_id = p.doc_b
+        |  WHERE match_cnt >= 26)
+        |SELECT doc_a, doc_b, match_cnt, est_jaccard,
+        |  round(inter::DOUBLE / uni, 6) AS exact_jaccard,
+        |  round(abs(est_jaccard - round(inter::DOUBLE / uni, 6)), 6) AS abs_err
+        |FROM x ORDER BY doc_a, doc_b""".stripMargin,
 
     // q44's declarative replay restricted to mixed pairs (exactly one
     // side in the ingest batch), relabeled (batch_doc, corpus_doc):

@@ -87,6 +87,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.head.getLong(2) === 32L, "all 32 minhashes must agree")
   }
 
+  test("q123 sketch error: identical docs score est=exact=1, err=0") {
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val rows = LlmQueries.sketchError(docsDF(Seq((1L, text), (2L, text))))
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Double]("est_jaccard") === 1.0)
+    assert(r.getAs[Double]("exact_jaccard") === 1.0)
+    assert(r.getAs[Double]("abs_err") === 0.0)
+  }
+
+  test("q123 exact side counts DISTINCT shingles (multiset-proof)") {
+    // doc 2 repeats doc 1's text — its shingle MULTISET doubles (plus
+    // the three spanning shingles) but the distinct SET barely grows;
+    // an implementation intersecting multisets would overcount the
+    // union and underestimate exact Jaccard
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val rows = LlmQueries.sketchError(
+        docsDF(Seq((1L, base), (2L, s"$base $base"))))
+      .collect()
+    if (rows.nonEmpty) { // pair surfaces only if bands collide — it does
+      val r = rows.head
+      // |A| = 28 distinct trigrams; B repeats them all and adds the 2
+      // seam trigrams (t29 t30 t1, t30 t1 t2): |B| = 30, inter = 28,
+      // union = 30 — exact = 28/30 regardless of the repeat
+      assert(r.getAs[Double]("exact_jaccard") ===
+        BigDecimal(28.0 / 30.0).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val sess = spark
     import sess.implicits._
