@@ -34,6 +34,7 @@ object SparkEntry {
     GraphQueries.queries ++
     MultimodalQueries.queries ++
     WarehouseQueries.queries ++
+    AuditQueries.queries ++
     UdfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +58,6 @@ object SparkEntry {
     GraphQueries.oracle ++
     MultimodalQueries.oracle ++
     WarehouseQueries.oracle ++
+    AuditQueries.oracle ++
     UdfQueries.oracle
 }

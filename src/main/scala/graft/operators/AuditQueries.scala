@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Data-quality / audit family: PII redaction (q124), one-pass column
+  * profiling (q125), and histogram-quantile calibration against exact
+  * percentiles (q126 — third member of the q122/q123 evaluation
+  * family).
+  *
+  * The reference pipeline (see /root/reference/dags/: raw API payloads
+  * staged to S3, then loaded to a warehouse) has no audit stage at all;
+  * these keys add the checks a pipeline at 100 TB cannot skip: what
+  * leaked into the text, what the columns actually contain, and how far
+  * the cheap quantile estimate sits from the exact answer it stands in
+  * for.
+  *
+  * The fixture corpus is digit-free prose, so q124 synthesizes
+  * deterministic PII-carrying payloads from (doc_id, text) — the q115
+  * discipline: the INPUT is fabricated arithmetic both engines can
+  * replay, the MACHINERY under test (regex scan, multi-pattern
+  * redaction, count/verify pass) is the real thing.
+  */
+object AuditQueries {
+
+  /** Portable regexes: Java (Spark) and RE2 (DuckDB) agree on these —
+    * character classes, bounded repetition, and ASCII `\b` only; no
+    * backreferences or lookaround (RE2 has neither). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** q124 payload: 4 of 5 docs get two emails, a phone, and an IPv4
+    * appended, all derived from doc_id; every 5th doc stays clean so the
+    * zero-match path is exercised under the gate. All synthesized digits
+    * live INSIDE a PII pattern, so redaction must leave the payload
+    * digit-free — the invariant AuditSpec pins. */
+  def piiPayload(docId: Column, text: Column): Column =
+    when(docId % 5 === 0, text).otherwise(concat(
+      text,
+      lit(" contact user"), docId.cast("string"),
+      lit("@mail.example or admin-"), docId.cast("string"),
+      lit("@graft.io, tel 555-"),
+      lpad(((docId * 7919) % 10000).cast("string"), 4, "0"),
+      lit(", host 10."), (docId % 256).cast("string"),
+      lit(".0."), ((docId * 13) % 256).cast("string")))
+
+  /** q124 core: count each PII class on the raw payload (the classes
+    * can't overlap — emails here carry no digit-dot runs, phones no
+    * dots), then redact emails → phones → IPs. Narrow, codegen'd
+    * per-row work: one scan, zero shuffles until the presentation
+    * sort. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val payload = piiPayload(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), payload.as("payload"))
+      .select(col("doc_id"),
+        regexp_count(col("payload"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("payload"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("payload"), lit(IpRe)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("payload"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IpRe, "[IP]").as("red"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("red")).as("red_md5"),
+        length(col("red")).cast("long").as("red_len"))
+  }
+
+  /** q125: per-column profile rows from ONE aggregation pass per table
+    * (count + null-count + exact distinct + min/max for every column in
+    * a single agg — Catalyst plans the multi-distinct via one Expand,
+    * i.e. one scan, not a scan per column). Numeric columns report
+    * min/max as rounded doubles, string columns lexicographically;
+    * the other pair stays NULL. */
+  def profileTable(df: DataFrame, tab: String,
+      numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+    val all = numCols ++ strCols
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_rows")) ++
+      all.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
+        countDistinct(col(c)).as(s"${c}_nd")) } ++
+      numCols.flatMap { c => Seq(
+        round(min(col(c)).cast("double"), 6).as(s"${c}_mn"),
+        round(max(col(c)).cast("double"), 6).as(s"${c}_mx")) } ++
+      strCols.flatMap { c => Seq(
+        min(col(c)).as(s"${c}_mns"),
+        max(col(c)).as(s"${c}_mxs")) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows: Seq[Column] =
+      numCols.map { c => struct(
+        lit(tab).as("tab"), lit(c).as("col"),
+        col("_rows").as("n_rows"), col(s"${c}_nnull").as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_mn").as("min_num"), col(s"${c}_mx").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str")) } ++
+      strCols.map { c => struct(
+        lit(tab).as("tab"), lit(c).as("col"),
+        col("_rows").as("n_rows"), col(s"${c}_nnull").as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"${c}_mns").as("min_str"), col(s"${c}_mxs").as("max_str")) }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** q126 histogram resolution. 64 buckets ⇒ estimate error is bounded
+    * by the bucket width; the observed abs_err column quantifies it. */
+  val HistBuckets = 64
+
+  /** q126 core: equi-width-histogram quantile estimates vs the exact
+    * DISCRETE quantile, per event_type. The histogram path is the
+    * 100 TB shape — a min/max pass plus one bounded-key
+    * (event_type × 64) count pass, both map-side combinable, no sort
+    * anywhere; the exact side needs a full per-group sort and exists
+    * precisely to CALIBRATE the cheap path before a run trusts it at
+    * scale. BOTH sides rank by the same integer rule (count·100 ≥
+    * total·q_pct — the ⌈q·n⌉-th order statistic), not an engine
+    * percentile builtin: bucket pick and exact pick are then the same
+    * arithmetic at two resolutions, both engines agree bit-for-bit,
+    * and the estimate provably sits within ONE bucket width above the
+    * exact value (AuditSpec pins the bound). An INTERPOLATED exact
+    * side would break that bound: continuous quantiles land inside
+    * data gaps, arbitrarily many empty buckets from the disc value. */
+  def quantileHistError(s: SparkSession, dir: String): DataFrame = {
+    val B = HistBuckets
+    val ev = loadEvents(s, dir).select(col("event_type"), col("value"))
+    val mm = ev.agg(min("value").as("mn"), max("value").as("mx"))
+    val counts = ev.crossJoin(broadcast(mm))
+      .select(col("event_type"),
+        least(lit(B - 1L),
+          floor((col("value") - col("mn")) / (col("mx") - col("mn")) * B))
+          .cast("long").as("k"))
+      .groupBy("event_type", "k").agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(byType.orderBy("k")))
+      .withColumn("total", sum("cnt").over(byType))
+    val qs = Seq(50L, 90L, 99L)
+    val picked = cum
+      .crossJoin(broadcast(
+        mm.sparkSession.range(1).select(
+          explode(array(qs.map(lit): _*)).as("q_pct"))))
+      .filter(col("cum") * 100 >= col("total") * col("q_pct"))
+      .groupBy("event_type", "q_pct").agg(min("k").as("ksel"))
+    val est = picked.crossJoin(broadcast(mm))
+      .select(col("event_type"), col("q_pct"),
+        round(col("mn") +
+          (col("ksel") + 1).cast("double") / B * (col("mx") - col("mn")), 6)
+          .as("est"))
+    val byTypeVal = Window.partitionBy("event_type").orderBy("value")
+    val exact = ev
+      .withColumn("rk", row_number().over(byTypeVal))
+      .withColumn("n", count(lit(1)).over(byType))
+      .crossJoin(broadcast(
+        mm.sparkSession.range(1).select(
+          explode(array(qs.map(lit): _*)).as("q_pct"))))
+      .filter(col("rk") * 100 >= col("n") * col("q_pct"))
+      .groupBy("event_type", "q_pct")
+      .agg(round(min("value"), 6).as("exact"))
+    est.join(exact, Seq("event_type", "q_pct"))
+      .withColumn("abs_err", round(abs(col("est") - col("exact")), 6))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII redaction audit: multi-pattern counts + redacted-text digest.
+    "q124_pii_redact" -> { (s, dir) =>
+      piiRedact(tWide(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // One-pass-per-table column profile of documents + events. events.ts
+    // is excluded: its TIMESTAMP(NANOS) surface differs by engine
+    // rendering (contract D9 covers the micros-cast QUERY path; a
+    // profile row would compare raw formatted extremes).
+    "q125_profile" -> { (s, dir) =>
+      profileTable(t(s, dir, "documents"), "documents",
+          numCols = Seq("doc_id", "n_chars"),
+          strCols = Seq("text", "lang", "source"))
+        .unionByName(profileTable(
+          loadEvents(s, dir), "events",
+          numCols = Seq("event_id", "user_id", "value"),
+          strCols = Seq("event_type", "props")))
+        .orderBy("tab", "col")
+    },
+
+    // Histogram-quantile calibration (evaluation family #3).
+    "q126_quantile_hist_error" -> { (s, dir) =>
+      quantileHistError(s, dir).orderBy("event_type", "q_pct")
+    },
+  )
+
+  /** DuckDB twin of one profileTable call (same agg expressions, one
+    * UNION ALL arm per column). */
+  private def profileSql(tab: String, numCols: Seq[String],
+      strCols: Seq[String]): String = {
+    val all = numCols ++ strCols
+    val aggExprs =
+      Seq("count(*) AS _rows") ++
+      all.flatMap { c => Seq(
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nnull",
+        s"count(DISTINCT $c) AS ${c}_nd") } ++
+      numCols.flatMap { c => Seq(
+        s"round(CAST(min($c) AS DOUBLE), 6) AS ${c}_mn",
+        s"round(CAST(max($c) AS DOUBLE), 6) AS ${c}_mx") } ++
+      strCols.flatMap { c => Seq(
+        s"min($c) AS ${c}_mns", s"max($c) AS ${c}_mxs") }
+    val arms =
+      numCols.map { c =>
+        s"SELECT '$tab' AS tab, '$c' AS col, _rows AS n_rows, ${c}_nnull AS n_null, ${c}_nd AS n_distinct, ${c}_mn AS min_num, ${c}_mx AS max_num, NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM a_$tab" } ++
+      strCols.map { c =>
+        s"SELECT '$tab', '$c', _rows, ${c}_nnull, ${c}_nd, NULL::DOUBLE, NULL::DOUBLE, ${c}_mns, ${c}_mxs FROM a_$tab" }
+    s"a_$tab AS (SELECT ${aggExprs.mkString(", ")} FROM $tab)," +
+      s" rows_$tab AS (${arms.mkString(" UNION ALL ")})"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q124_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text ELSE
+        |    text || ' contact user' || doc_id::VARCHAR
+        |      || '@mail.example or admin-' || doc_id::VARCHAR
+        |      || '@graft.io, tel 555-'
+        |      || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0')
+        |      || ', host 10.' || (doc_id % 256)::VARCHAR
+        |      || '.0.' || ((doc_id * 13) % 256)::VARCHAR END AS payload
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(payload, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(payload, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |    CAST(len(regexp_extract_all(payload, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |    regexp_replace(regexp_replace(regexp_replace(payload,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |  md5(red) AS red_md5, CAST(length(red) AS BIGINT) AS red_len
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q125_profile" -> {
+      val d = profileSql("documents",
+        Seq("doc_id", "n_chars"), Seq("text", "lang", "source"))
+      val e = profileSql("events",
+        Seq("event_id", "user_id", "value"), Seq("event_type", "props"))
+      s"""WITH $d, $e
+         |SELECT * FROM rows_documents
+         |UNION ALL SELECT * FROM rows_events
+         |ORDER BY tab, col""".stripMargin
+    },
+
+    "q126_quantile_hist_error" ->
+      s"""WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+         |c AS (
+         |  SELECT event_type,
+         |    CAST(least(${HistBuckets - 1},
+         |      floor((value - mn) / (mx - mn) * $HistBuckets)) AS BIGINT) AS k,
+         |    count(*) AS cnt
+         |  FROM events, mm GROUP BY event_type, k, mn, mx),
+         |cum AS (
+         |  SELECT event_type, k, cnt,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY k) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS total
+         |  FROM c),
+         |picked AS (
+         |  SELECT event_type, q_pct, min(k) AS ksel
+         |  FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS q_pct) q
+         |  WHERE cum * 100 >= total * q_pct
+         |  GROUP BY event_type, q_pct),
+         |est AS (
+         |  SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+         |    round(mn + CAST(ksel + 1 AS DOUBLE) / $HistBuckets * (mx - mn), 6) AS est
+         |  FROM picked, mm),
+         |rk AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |ex AS (
+         |  SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+         |    round(min(value), 6) AS exact
+         |  FROM rk CROSS JOIN (SELECT unnest([50, 90, 99]) AS q_pct) q
+         |  WHERE rk * 100 >= n * q_pct
+         |  GROUP BY event_type, q_pct)
+         |SELECT event_type, q_pct, est, exact,
+         |  round(abs(est - exact), 6) AS abs_err
+         |FROM est JOIN ex USING (event_type, q_pct)
+         |ORDER BY event_type, q_pct""".stripMargin,
+  )
+}

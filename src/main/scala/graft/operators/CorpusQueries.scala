@@ -453,7 +453,55 @@ object CorpusQueries {
           count(col("hit")).as("n_contaminated"))
         .orderBy("source")
     },
+
+    // Deterministic stratification-free train/val/test assignment: the
+    // split is a PURE FUNCTION of doc_id (MINSTD LCG mod 100 → 80/10/10),
+    // so any worker — or any later pipeline stage — recomputes it without
+    // a manifest join; this per-doc manifest is the audit artifact.
+    // Different LCG constants than q71's shuffle key (48271 vs
+    // 1103515245) so split membership and sample order stay uncorrelated.
+    "q127_split_assign" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          splitOf(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Split LEAKAGE audit: near-dup pairs (q44's gate-proven MinHash
+    // pipeline) whose two members landed in different splits are
+    // train/test contamination the split assignment cannot see (Lee et
+    // al. 2022's argument for dedup-before-split). Because the split is
+    // arithmetic on doc_id, both endpoints' splits are computed INLINE
+    // on the pair rows — no join against an assignment table, zero
+    // exchanges beyond the ones inside the pair pipeline; the matrix agg
+    // has a ≤ 3×3 key space.
+    "q128_split_leakage" -> { (s, dir) =>
+      val pairs = LlmQueries.minhashPairs(tWide(s, dir, "documents"))
+        .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches)
+        .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+      pairs
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaked", col("split_lo") =!= col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    },
   )
+
+  /** q127/q128 split assignment: MINSTD LCG on the doc_id reduced mod
+    * p = 2³¹−1 (the reduce-first discipline of q71 — ≡ identical mod p,
+    * never overflows int64), bucketed mod 100: < 80 train, < 90 val,
+    * else test. Pure row-key arithmetic — the determinism contract. */
+  def splitOf(docId: Column): Column = {
+    val b = ((docId % 2147483647L) * 48271L + 11L) % 2147483647L % 100L
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  private val splitSql =
+    "CASE WHEN ((doc_id % 2147483647) * 48271 + 11) % 2147483647 % 100 < 80 THEN 'train' " +
+    "WHEN ((doc_id % 2147483647) * 48271 + 11) % 2147483647 % 100 < 90 THEN 'val' " +
+    "ELSE 'test' END"
 
   /** DuckDB-side dot product of `embedding` with plane j — the q45 D7
     * pattern (element products cast to double, left-fold accumulation)
@@ -656,5 +704,51 @@ object CorpusQueries {
         |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
         |WHERE d.doc_id % 97 != 0
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q127_split_assign" ->
+      s"""SELECT doc_id, source, $splitSql AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q44's pair chain verbatim (sh/h/mh/sig/bands/cand/est — the same
+    // MATERIALIZED discipline), then the split CASE applied to both
+    // endpoints inline, exactly as the engine computes it on pair rows
+    "q128_split_leakage" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, len(string_split(text,' ')) - 2),
+         |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+         |    (a,b) -> (a*131 + b) % 2147483647) AS h
+         |  FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
+         |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
+         |  GROUP BY doc_id, i),
+         |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
+         |  FROM cand
+         |   JOIN sig sa ON sa.doc_id = doc_a
+         |   JOIN sig sb ON sb.doc_id = doc_b),
+         |sp AS (
+         |  SELECT ${splitSql.replace("doc_id", "doc_a")} AS sa,
+         |         ${splitSql.replace("doc_id", "doc_b")} AS sb
+         |  FROM est WHERE match_cnt >= 26)
+         |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+         |  count(*) AS n_pairs, least(sa, sb) != greatest(sa, sb) AS leaked
+         |FROM sp GROUP BY split_lo, split_hi
+         |ORDER BY split_lo, split_hi""".stripMargin,
   )
 }

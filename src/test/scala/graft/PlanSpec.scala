@@ -510,6 +510,39 @@ class PlanSpec extends SparkSpec {
       s"boundary hashing must run the codegen PolyHash kernel in-plan:\n$p")
   }
 
+  test("q124 PII redaction is one narrow scan — no join, no aggregate") {
+    // synth + count + redact + digest are all per-row projection work;
+    // the only exchange allowed is the presentation sort's range
+    // partitioning. A join or aggregate here would mean the redaction
+    // stopped being embarrassingly parallel.
+    val p = plan("q124_pii_redact")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"redaction must be pure per-row work:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"exactly one corpus scan:\n$p")
+  }
+
+  test("q126 histogram path: bounded-key aggs, broadcast scalars, one exact sort pass") {
+    // the min/max row and the 3-row quantile list broadcast; the
+    // histogram agg keys on (event_type, bucket) <= 5x64. The ONLY
+    // per-row sort in the plan belongs to the exact-percentile side —
+    // the thing being calibrated, deliberately present.
+    val p = plan("q126_quantile_hist_error")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"scalar min/max and q_pct rows must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar joins must broadcast, not cartesian:\n$p")
+  }
+
+  test("q128 split leakage computes splits inline — no assignment join") {
+    // split_a/split_b are arithmetic on the pair endpoints, so beyond
+    // the band self-join inside minhashPairs there is no further join;
+    // the matrix agg keys on <= 9 combinations
+    val p = plan("q128_split_leakage")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      s"only the band self-join may shuffle-join:\n$p")
+  }
+
   test("q99 top-k per group aggregates heaps — no Window, no row sort") {
     // the whole point vs q25: partial heaps combine map-side, so the
     // shuffle carries <= k pairs per (partition, group), never the rows

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit evidence for the audit family (q124–q126) and the split ops
+  * (q127/q128) beyond the DuckDB gate: the redaction completeness
+  * invariant, profile-law checks on crafted nulls/duplicates, the
+  * histogram-estimate error bound, and split totality/determinism. */
+class AuditSpec extends SparkSpec {
+
+  private def docsDf = {
+    val sess = spark
+    import sess.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "clean doc stays clean"), // % 5 == 0 → no PII appended
+      (7L, "join scan filter merge"),
+      (12L, "a b c d e f g")
+    ).toDF("doc_id", "text")
+  }
+
+  test("q124: every synthesized digit lives inside a PII pattern — redaction leaves the payload digit-free") {
+    val red = AuditQueries.piiRedact(docsDf)
+    // re-derive the redacted string (piiRedact only ships its md5)
+    val payload = AuditQueries.piiPayload(col("doc_id"), col("text"))
+    val redTxt = docsDf.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(payload,
+        AuditQueries.EmailRe, "[EMAIL]"),
+        AuditQueries.PhoneRe, "[PHONE]"),
+        AuditQueries.IpRe, "[IP]").as("red"))
+    val leftover = redTxt.filter(col("red").rlike("[0-9]")).count()
+    assert(leftover === 0L,
+      "digits surviving redaction = a PII pattern the regexes missed")
+    val counts = red.orderBy("doc_id").collect()
+    // non-exempt docs: exactly 2 emails, 1 phone, 1 ip; %5==0 doc: zero
+    val byId = counts.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(5L) === ((0L, 0L, 0L)), "clean doc must count zero PII")
+    Seq(1L, 7L, 12L).foreach { id =>
+      assert(byId(id) === ((2L, 1L, 1L)), s"doc $id PII counts")
+    }
+  }
+
+  test("q125: profile laws on crafted nulls and duplicates") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq[(Option[Long], String)](
+      (Some(1L), "x"), (Some(2L), "y"), (Some(3L), null),
+      (None, "x"), (Some(2L), "x")
+    ).toDF("k", "s")
+    val p = AuditQueries.profileTable(df, "t", Seq("k"), Seq("s"))
+      .collect().map(r => r.getString(1) -> r).toMap
+    val kRow = p("k"); val sRow = p("s")
+    assert(kRow.getLong(2) === 5L && sRow.getLong(2) === 5L) // n_rows
+    assert(kRow.getLong(3) === 1L, "k null count")
+    assert(sRow.getLong(3) === 1L, "s null count")
+    assert(kRow.getLong(4) === 3L, "k distinct ignores null: 1,2,3")
+    assert(sRow.getLong(4) === 2L, "s distinct ignores null: x,y")
+    assert(kRow.getDouble(5) === 1.0 && kRow.getDouble(6) === 3.0)
+    assert(sRow.getString(7) === "x" && sRow.getString(8) === "y")
+  }
+
+  test("q126: histogram estimate is within ONE bucket width above the exact disc quantile") {
+    val out = AuditQueries
+      .quantileHistError(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 15, "5 event types x 3 quantiles")
+    val ev = graft.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+      .agg(min("value"), max("value")).head()
+    val width = (ev.getDouble(1) - ev.getDouble(0)) / AuditQueries.HistBuckets
+    out.foreach { r =>
+      val est = r.getDouble(2); val exact = r.getDouble(3)
+      val err = r.getDouble(4)
+      // both sides rank by the same cum*100 >= n*q rule, so the exact
+      // disc value LIVES in the picked bucket and est is that bucket's
+      // upper edge: 0 <= est - exact <= width (6-dp rounding dust)
+      assert(est >= exact - 1e-6,
+        s"${r.getString(0)} p${r.getLong(1)}: upper edge below exact")
+      assert(err <= width + 1e-6,
+        s"${r.getString(0)} p${r.getLong(1)}: err $err > width $width")
+    }
+  }
+
+  test("q127: split assignment is total, deterministic, and near 80/10/10") {
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    val counts = docs
+      .select(CorpusQueries.splitOf(col("doc_id")).as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === n, "every doc gets exactly one split")
+    val train = counts.getOrElse("train", 0L).toDouble / n
+    assert(train > 0.7 && train < 0.9, s"train share $train far from 0.8")
+    assert(counts.contains("val") && counts.contains("test"))
+  }
+
+  test("q128: leakage matrix pair total equals the gated near-dup pair count") {
+    val docs = graft.Tables.tWide(spark, "/root/testdata/sf0.001", "documents")
+    val nPairs = LlmQueries.minhashPairs(docs)
+      .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches).count()
+    val matrix = SparkEntryCall.q128(spark)
+    assert(matrix.agg(sum("n_pairs")).head().getLong(0) === nPairs,
+      "canonicalizing (lo, hi) must neither drop nor double-count pairs")
+  }
+
+  private object SparkEntryCall {
+    def q128(s: org.apache.spark.sql.SparkSession) =
+      graft.SparkEntry.queries("q128_split_leakage")(s, "/root/testdata/sf0.001")
+  }
+}
