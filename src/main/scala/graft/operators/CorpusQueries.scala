@@ -498,7 +498,7 @@ object CorpusQueries {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
-  private val splitSql =
+  private[operators] val splitSql =
     "CASE WHEN ((doc_id % 2147483647) * 48271 + 11) % 2147483647 % 100 < 80 THEN 'train' " +
     "WHEN ((doc_id % 2147483647) * 48271 + 11) % 2147483647 % 100 < 90 THEN 'val' " +
     "ELSE 'test' END"

@@ -157,6 +157,31 @@ object GraphQueries {
         .orderBy("cluster_id")
     },
 
+    // Split REPAIR — the fix for what q128 measures: reassign every
+    // clustered doc to its cluster CANONICAL's split (the min-label
+    // doc decides for the whole near-dup cluster), so no near-dup pair
+    // can straddle train/test afterwards. Output is the movement
+    // matrix a pipeline would execute: (from_split, to_split, n_docs).
+    // Both splits are doc_id arithmetic computed inline on the
+    // (node, lbl) cluster rows — no assignment join; the matrix agg
+    // has a ≤ 3×3 key space. Residual-leakage-zero proven in
+    // AuditSpec.
+    "q129_split_repair" -> { (s, dir) =>
+      val prs = LlmQueries.minhashPairs(tWide(s, dir, "documents"))
+        .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = prs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(
+          prs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      minLabel(s, edges, ClusterIters)
+        .select(CorpusQueries.splitOf(col("node")).as("from_split"),
+          CorpusQueries.splitOf(col("lbl")).as("to_split"))
+        .groupBy("from_split", "to_split")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("moved", col("from_split") =!= col("to_split"))
+        .orderBy("from_split", "to_split")
+    },
+
     // PageRank (damping 0.85, un-normalized per-node base) over the
     // customer–supplier graph in exact integer micro-units; top-20
     // most central nodes. Same iterated-Pregel shape as minLabel: the
@@ -329,10 +354,24 @@ object GraphQueries {
        |SELECT node, pr FROM r$RankIters
        |ORDER BY pr DESC, node LIMIT 20""".stripMargin
 
+  // q129: the cluster chain, both endpoint splits computed inline on
+  // the (node, lbl) rows — the engine's exact arithmetic
+  private val q129Sql: String =
+    s"""WITH $clusterCtes,
+       |mv AS (
+       |  SELECT ${CorpusQueries.splitSql.replace("doc_id", "node")} AS from_split,
+       |         ${CorpusQueries.splitSql.replace("doc_id", "lbl")} AS to_split
+       |  FROM l$ClusterIters)
+       |SELECT from_split, to_split, count(*) AS n_docs,
+       |  from_split != to_split AS moved
+       |FROM mv GROUP BY from_split, to_split
+       |ORDER BY from_split, to_split""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q87_components" -> q87Sql,
     "q89_dedup_clusters" -> q89Sql,
     "q101_pagerank" -> q101Sql,
     "q117_cluster_survivors" -> q117Sql,
+    "q129_split_repair" -> q129Sql,
   )
 }

@@ -94,6 +94,28 @@ class AuditSpec extends SparkSpec {
     assert(counts.contains("val") && counts.contains("test"))
   }
 
+  test("q129: repaired assignment leaves zero near-dup pairs straddling splits") {
+    val sess = spark
+    import sess.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.tWide(spark, dir, "documents")
+    val pairs = LlmQueries.minhashPairs(docs)
+      .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches)
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // repaired split of a clustered doc = its canonical's split
+    val repaired = GraphQueries
+      .minLabel(spark, edges, GraphQueries.ClusterIters)
+      .select(col("node"), CorpusQueries.splitOf(col("lbl")).as("split"))
+    val residual = pairs
+      .join(repaired.toDF("doc_a", "sa"), "doc_a")
+      .join(repaired.toDF("doc_b", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(residual === 0L,
+      "a pair's endpoints share a component, so repaired splits must agree")
+  }
+
   test("q128: leakage matrix pair total equals the gated near-dup pair count") {
     val docs = graft.Tables.tWide(spark, "/root/testdata/sf0.001", "documents")
     val nPairs = LlmQueries.minhashPairs(docs)
