@@ -28,9 +28,15 @@ object Bench {
     // vs warm 2.3 s on the same code and a quiet box). Every key is
     // ≤ ~7 s, so the rerun adds well under a minute of wall-clock —
     // bounded, and it buys comparable numbers. Only a first run over
-    // 10 s stays single: unbounded bench wall-clock risks the
-    // harness's patience.
-    val RerunBelowSecs = 10.0
+    // the window stays single: unbounded bench wall-clock risks the
+    // harness's patience. The window was 10 s through the first r8
+    // artifact; q117's COLD first run measured 11.0-13.8 s against a
+    // 2.5 s warm minimum (5 localCheckpoint jobs, each paying plan
+    // compilation), so a 10 s window recorded the cold number — the
+    // exact phantom the rerun exists to prevent. 15 s covers every
+    // key's observed cold run while still bounding a genuinely-slow
+    // key to one execution.
+    val RerunBelowSecs = 15.0
     def timed(work: () => Unit): Double = {
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -141,7 +147,7 @@ object Bench {
         s"""{
            |"metric":"total","value":${ms(total)},"unit":"sec",
            |"failed":$failed,"load_avg":${ms(load)},"sf":"$sfDir",
-           |"agg":"min of 2 runs when first run < 10s",
+           |"agg":"min of 2 runs when first run < ${RerunBelowSecs.toInt}s",
            |"queries":{
            |$perQuery
            |}
