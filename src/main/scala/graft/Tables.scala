@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Shared fixture loaders + determinism helpers (SURVEY.md §1b, §2b D1–D9).
   *
@@ -53,14 +53,33 @@ object Tables {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.1.2 throws
-    * [PARQUET_TYPE_ILLEGAL] on it. Read nanos as long + floor-divide to
-    * micros — identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast for
-    * positive epochs (contract D9). The conf is a runtime SQL conf set here
-    * because the driver owns SparkSession construction. */
+  /** `events.ts` has shipped under two parquet encodings across fixture
+    * generations, so this loader branches on the READ type rather than
+    * assuming either (contract D9):
+    *
+    *  - TIMESTAMP(NANOS): Spark 4.1.2 throws [PARQUET_TYPE_ILLEGAL] unless
+    *    `spark.sql.legacy.parquet.nanosAsLong` is set, which surfaces the
+    *    column as LongType nanos → floor-divide to micros. Identical to
+    *    DuckDB's TIMESTAMP_NS → TIMESTAMP cast for positive epochs.
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=false: Spark reads
+    *    TimestampNTZType → cast to TimestampType (session TZ is UTC, so
+    *    the instant is unchanged and matches DuckDB's
+    *    `CAST(ts AS TIMESTAMP)` on the same file).
+    *
+    * The nanosAsLong conf is harmless for micros files (it only affects
+    * NANOS columns) and is a runtime SQL conf set here because the driver
+    * owns SparkSession construction. */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsCol = raw.schema("ts").dataType match {
+      case LongType                           => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType | TimestampType   => col("ts").cast(TimestampType)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet read type $other — expected " +
+            "LongType (nanosAsLong), TimestampNTZType, or TimestampType")
+    }
+    raw.withColumn("ts", tsCol)
   }
 }
