@@ -9,9 +9,10 @@ import graft.Tables._
   * percentiles (q126 — third member of the q122/q123 evaluation
   * family).
   *
-  * The reference pipeline (see /root/reference/dags/: raw API payloads
-  * staged to S3, then loaded to a warehouse) has no audit stage at all;
-  * these keys add the checks a pipeline at 100 TB cannot skip: what
+  * The reference pipeline (santoroc/appstore-aws-etl: `utils/utils/
+  * s3.py` stages raw API payloads to S3, `utils/utils/secrets.py`
+  * fetches warehouse credentials) has no audit stage at all; these
+  * keys add the checks a pipeline at 100 TB cannot skip: what
   * leaked into the text, what the columns actually contain, and how far
   * the cheap quantile estimate sits from the exact answer it stands in
   * for.
@@ -173,16 +174,18 @@ object AuditQueries {
     },
 
     // One-pass-per-table column profile of documents + events. events.ts
-    // is excluded: its TIMESTAMP(NANOS) surface differs by engine
-    // rendering (contract D9 covers the micros-cast QUERY path; a
-    // profile row would compare raw formatted extremes).
+    // IS profiled, as `ts_us` = epoch micros (a long): loadEvents yields
+    // a true TimestampType either fixture encoding (D9), and profiling
+    // the integer instant rather than a formatted timestamp keeps the
+    // min/max surface engine-renderer-independent.
     "q125_profile" -> { (s, dir) =>
       profileTable(t(s, dir, "documents"), "documents",
           numCols = Seq("doc_id", "n_chars"),
           strCols = Seq("text", "lang", "source"))
         .unionByName(profileTable(
-          loadEvents(s, dir), "events",
-          numCols = Seq("event_id", "user_id", "value"),
+          loadEvents(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+          "events",
+          numCols = Seq("event_id", "user_id", "value", "ts_us"),
           strCols = Seq("event_type", "props")))
         .orderBy("tab", "col")
     },
@@ -194,9 +197,12 @@ object AuditQueries {
   )
 
   /** DuckDB twin of one profileTable call (same agg expressions, one
-    * UNION ALL arm per column). */
+    * UNION ALL arm per column). `from` lets a derived table stand in
+    * for the raw one (events adds ts_us) while `tab` stays the
+    * reported table name. */
   private def profileSql(tab: String, numCols: Seq[String],
-      strCols: Seq[String]): String = {
+      strCols: Seq[String], from: String = ""): String = {
+    val src = if (from.isEmpty) tab else from
     val all = numCols ++ strCols
     val aggExprs =
       Seq("count(*) AS _rows") ++
@@ -213,7 +219,7 @@ object AuditQueries {
         s"SELECT '$tab' AS tab, '$c' AS col, _rows AS n_rows, ${c}_nnull AS n_null, ${c}_nd AS n_distinct, ${c}_mn AS min_num, ${c}_mx AS max_num, NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM a_$tab" } ++
       strCols.map { c =>
         s"SELECT '$tab', '$c', _rows, ${c}_nnull, ${c}_nd, NULL::DOUBLE, NULL::DOUBLE, ${c}_mns, ${c}_mxs FROM a_$tab" }
-    s"a_$tab AS (SELECT ${aggExprs.mkString(", ")} FROM $tab)," +
+    s"a_$tab AS (SELECT ${aggExprs.mkString(", ")} FROM $src)," +
       s" rows_$tab AS (${arms.mkString(" UNION ALL ")})"
   }
 
@@ -246,7 +252,10 @@ object AuditQueries {
       val d = profileSql("documents",
         Seq("doc_id", "n_chars"), Seq("text", "lang", "source"))
       val e = profileSql("events",
-        Seq("event_id", "user_id", "value"), Seq("event_type", "props"))
+        Seq("event_id", "user_id", "value", "ts_us"),
+        Seq("event_type", "props"),
+        from = "(SELECT *, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)" +
+          " AS ts_us FROM events)")
       s"""WITH $d, $e
          |SELECT * FROM rows_documents
          |UNION ALL SELECT * FROM rows_events

@@ -278,9 +278,12 @@ object SimilarityQueries {
     // shards (cf. q98 collecting its ~100 KB Bloom sketch).
     "q57_ann_ivf" -> { (s, dir) =>
       // ---- probe: queries name their centroids; members come from a
-      // partition-PRUNED read of just those buckets
+      // partition-PRUNED read of just those buckets. The query set is
+      // ABSOLUTELY bounded (|Q| ≤ 100: vec_id % 50 = 0 AND vec_id < 5000,
+      // the q45/q122 rule) so broadcast(q) stays O(1) in corpus size — a
+      // modulo alone would grow the broadcast O(n/50) at 100 TB.
       val idx = s.read.parquet(ivfIndex(s, dir))
-      val q = idx.filter(col("vec_id") % 50 === 0)
+      val q = idx.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cid").as("qcid"))
       // bounded by the query count; the partition values arrive as the
@@ -451,7 +454,7 @@ object SimilarityQueries {
         |        e.nrm AS na, c.cn AS nb
         |      FROM e CROSS JOIN cent c))),
         |buckets AS MATERIALIZED (SELECT vec_id, cid FROM asgn WHERE rn = 1),
-        |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0),
+        |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0 AND e.vec_id < 5000),
         |probe AS (
         |  SELECT qid, nid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
         |    SELECT q.qid, e.vec_id AS nid,
