@@ -236,6 +236,10 @@ class PlanSpec extends SparkSpec {
       s"member scan must prune index buckets by query centroid:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"the bounded query side must broadcast into the probe:\n$p")
+    // the broadcast side must be ABSOLUTELY bounded (|Q| <= 100), not
+    // just modulo-sampled — the r9 verdict's one flagged scale-killer
+    assert(p.contains("LessThan(vec_id,5000)"),
+      s"q57's query-set cap must reach the index scan as a pushed filter:\n$p")
   }
 
   test("q83 quantization runs the one-pass codegen kernel, not HOF lambdas") {
