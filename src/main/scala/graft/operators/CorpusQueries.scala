@@ -402,6 +402,34 @@ object CorpusQueries {
         .orderBy("source")
     },
 
+    // Temperature-based source sampling weights — the mBERT/XLM-R
+    // multilingual recipe (Devlin et al. 2019 §3; Conneau et al. 2020
+    // §3.1): sample source i with p_i ∝ n_i^α (α = 0.5 here), which
+    // up-weights small sources relative to proportional sampling.
+    // Complements q107: q107 EXECUTES a weight table over the corpus;
+    // this key COMPUTES one from the corpus itself, plus the per-source
+    // oversample factor (expected epoch appearances per doc) a mixture
+    // run needs to budget repetition. Metadata-scale: one bounded
+    // two-phase count, a single-row total broadcast back — the corpus
+    // is scanned once, everything after is arithmetic on |sources|
+    // rows. expected_docs rounds half-up via floor(x + 0.5) — the same
+    // integer formula on both engines, no banker's-rounding skew.
+    "q130_mix_temperature" -> { (s, dir) =>
+      val n = t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = n.agg(
+        sum(sqrt(col("n_docs"))).as("z"),
+        sum(col("n_docs")).cast("long").as("epoch"))
+      n.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(sqrt(col("n_docs")) / col("z"), 6).as("weight"),
+          floor(sqrt(col("n_docs")) / col("z") * col("epoch") + 0.5)
+            .cast("long").as("expected_docs"),
+          round(sqrt(col("n_docs")) / col("z") * col("epoch")
+            / col("n_docs"), 6).as("oversample"))
+        .orderBy("source")
+    },
+
     // q81's decontamination with a Bloom-sketch prefilter: the eval
     // gram set aggregates into a fixed-size Bloom filter (Spark's own
     // BloomFilterAggregate — the runtime-row-group-filter machinery),
@@ -708,6 +736,17 @@ object CorpusQueries {
     "q127_split_assign" ->
       s"""SELECT doc_id, source, $splitSql AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q130_mix_temperature" ->
+      """WITH n AS (SELECT source, count(*) AS n_docs
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(sqrt(n_docs)) AS z,
+        |  CAST(sum(n_docs) AS BIGINT) AS epoch FROM n)
+        |SELECT source, n_docs,
+        |  round(sqrt(n_docs) / z, 6) AS weight,
+        |  CAST(floor(sqrt(n_docs) / z * epoch + 0.5) AS BIGINT) AS expected_docs,
+        |  round(sqrt(n_docs) / z * epoch / n_docs, 6) AS oversample
+        |FROM n, tot ORDER BY source""".stripMargin,
 
     // q44's pair chain verbatim (sh/h/mh/sig/bands/cand/est — the same
     // MATERIALIZED discipline), then the split CASE applied to both

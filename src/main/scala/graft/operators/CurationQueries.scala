@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -599,6 +599,23 @@ object CurationQueries {
         .orderBy(desc("dup_ratio"), col("doc_id"))
         .limit(20)
     },
+
+    // Per-doc n-gram NOVELTY — the corpus-wide complement of q82's
+    // WITHIN-doc repetition score: the fraction of a doc's distinct
+    // 3-shingles that occur in NO other document. Low novelty marks
+    // boilerplate/template mass that exact and near dedup both miss
+    // (the doc pair is not a near-dup, but its building blocks are
+    // corpus-wide clichés); the low tail is the curation review queue.
+    // Scale: one shingle+hash pass (62-bit portable hashes — only 8-byte
+    // keys ever shuffle), a map-combined groupBy("h") occurrence count
+    // SHUFFLE_HASH-joined back (q118/q121's de-skew discipline — a
+    // cliché shingle in 10^9 docs must not funnel through a sort-merge),
+    // then a doc-bounded roll-up.
+    "q131_ngram_novelty" -> { (s, dir) =>
+      ngramNovelty(tWide(s, dir, "documents"))
+        .orderBy(col("novelty"), col("doc_id"))
+        .limit(20)
+    },
   )
 
   /** q118 core, one row per doc with >= 1 span: span counts, duplicated-
@@ -635,6 +652,30 @@ object CurationQueries {
         round(col("n_cov_tokens").cast("double") / col("n_toks"), 6))
       .select("doc_id", "n_spans", "n_dup_spans", "n_cov_tokens",
         "n_toks", "cov_ratio")
+  }
+
+  /** q131 core, one row per doc with ≥ 1 shingle: distinct-shingle
+    * count, corpus-unique shingle count, and their ratio. The shingle
+    * stream is cached — it feeds the occurrence count and the join-back
+    * (one tokenize+hash pass, not two; the q118 lesson). Unordered —
+    * the gated key applies its own presentation ORDER BY/LIMIT. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    import graft.plans.GraftExpressions.poly_hash
+    val h62 = (c: Column) =>
+      poly_hash(c, 131) * 2147483648L + poly_hash(c, 137)
+    val sh = docs
+      .select(col("doc_id"),
+        explode(LlmQueries.shingles(col("text"), 3)).as("sg"))
+      .select(col("doc_id"), h62(col("sg")).as("h"))
+      .cache()
+    val counts = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+    sh.join(counts.hint("SHUFFLE_HASH"), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
   }
 
   /** q121 core, one row per doc: chunk counts, duplicated-chunk counts
@@ -871,5 +912,31 @@ object CurationQueries {
          |  round(dup_tokens::DOUBLE / n_toks, 6) AS dup_ratio
          |FROM per ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin
     },
+
+    // q131: the q123 62-bit shingle-hash rendering (131/137 polynomial
+    // pair), occurrence-counted corpus-wide and rolled up per doc
+    "q131_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+        |      (a,b) -> (a*131 + b) % 2147483647) * 2147483648
+        |    + list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+        |      (a,b) -> (a*137 + b) % 2147483647) AS h
+        |  FROM sh),
+        |c AS (SELECT h, count(*) AS cnt FROM h GROUP BY h),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM h JOIN c USING (h) GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_unique,
+        |  round(n_unique::DOUBLE / n_shingles, 6) AS novelty
+        |FROM per ORDER BY novelty, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -184,6 +184,41 @@ object EventAnalytics {
           col("cnt"))
         .orderBy("event_type")
     },
+
+    // Ingest-rate anomaly detection — the ops monitor a pipeline runs
+    // over its own event stream: hourly counts per event_type, z-scored
+    // against that type's own hourly distribution, anomalous buckets
+    // (|z| ≥ 2) reported. Mean/variance come from EXACT integer sums
+    // (n, Σcnt, Σcnt²) — both engines derive identical IEEE doubles
+    // from identical longs via the textually identical formula, so the
+    // |z| ≥ 2 cut is deterministic (no engine stddev builtin, whose
+    // accumulation order could differ). Scale: one bounded-key count
+    // (type × hour), a |types|-row stats re-agg broadcast back — the
+    // q126 histogram discipline; nothing sorts, nothing windows. The
+    // var > 0 guard keeps constant-rate types out of NaN territory on
+    // both engines.
+    "q133_rate_anomaly" -> { (s, dir) =>
+      val hourly = loadEvents(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum("cnt").cast("long").as("s1"),
+          sum(col("cnt") * col("cnt")).cast("long").as("s2"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("mean", col("s1").cast("double") / col("n_hours"))
+        .withColumn("variance",
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1") / col("n_hours"))
+            / col("n_hours"))
+        .filter(col("variance") > 0)
+        .withColumn("z", (col("cnt") - col("mean")) / sqrt(col("variance")))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("event_type"), col("hr"), col("cnt"),
+          round(col("mean"), 6).as("mean_cnt"),
+          round(col("z"), 6).as("zscore"))
+        .orderBy("event_type", "hr")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -271,5 +306,29 @@ object EventAnalytics {
         | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
         | count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q133_rate_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY event_type, hr),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(cnt) AS BIGINT) AS s1,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS s2
+        |  FROM hourly GROUP BY event_type),
+        |j AS (
+        |  SELECT h.event_type, h.hr, h.cnt,
+        |    s1::DOUBLE / n_hours AS mean,
+        |    (s2::DOUBLE - s1::DOUBLE * s1 / n_hours) / n_hours AS variance
+        |  FROM hourly h JOIN stats s USING (event_type)),
+        |z AS (
+        |  SELECT event_type, hr, cnt, mean,
+        |    (cnt - mean) / sqrt(variance) AS z
+        |  FROM j WHERE variance > 0)
+        |SELECT event_type, hr, cnt,
+        |  round(mean, 6) AS mean_cnt, round(z, 6) AS zscore
+        |FROM z WHERE abs(z) >= 2
+        |ORDER BY event_type, hr""".stripMargin,
   )
 }

@@ -246,12 +246,65 @@ object LlmQueries {
           .as("abs_err"))
   }
 
+  /** q132 core: precision/recall of the LSH CANDIDATE set against exact
+    * Jaccard ≥ 0.8 ground truth, per match_cnt threshold. q123 measures
+    * how far the estimate sits from exact ON candidate pairs; this
+    * measures what the bands MISS — a true near-dup pair agreeing in no
+    * band never becomes a candidate, and only an exact all-pairs pass
+    * can see it. That pass is quadratic, so it runs on an ABSOLUTELY
+    * bounded subcorpus (doc_id < 300 — the q45/q122 bounded-eval rule):
+    * calibrate the 8×4-band recall on a sample, then trust the banding
+    * at 100 TB. The ≥ 0.8 truth test is integer cross-multiplication
+    * (5·inter ≥ 4·union) — no float boundary on either engine. */
+  def candidatePR(docs: DataFrame): DataFrame = {
+    val h62 = (c: Column) =>
+      graft.plans.GraftExpressions.poly_hash(c, 131) * 2147483648L +
+        graft.plans.GraftExpressions.poly_hash(c, 137)
+    val sub = docs.filter(col("doc_id") < 300)
+    val arrs = sub.select(col("doc_id"),
+        array_sort(transform(shingles(col("text"), 3), sg => h62(sg)))
+          .as("arr"))
+      .filter(size(col("arr")) > 0)
+    val a = arrs.toDF("doc_a", "arr_a")
+    val b = arrs.toDF("doc_b", "arr_b")
+    val tru = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", graft.plans.GraftExpressions
+        .sorted_intersect(col("arr_a"), col("arr_b")))
+      .filter(col("inter") * 5 >=
+        (size(col("arr_a")) + size(col("arr_b")) - col("inter")) * 4)
+      .select("doc_a", "doc_b")
+    val marked = minhashPairs(sub)
+      .select(col("doc_a"), col("doc_b"), col("match_cnt"))
+      .join(tru.withColumn("is_true", lit(1L)),
+        Seq("doc_a", "doc_b"), "left_outer")
+      .na.fill(0L, Seq("is_true"))
+    val th = docs.sparkSession.range(1).select(
+      explode(array(lit(13L), lit(20L), lit(26L))).as("threshold"))
+    val perTh = marked.crossJoin(broadcast(th))
+      .filter(col("match_cnt") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_cand"),
+        sum("is_true").cast("long").as("n_tp"))
+    val tot = tru.agg(count(lit(1)).cast("long").as("n_true"))
+    perTh.crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_cand"), col("n_true"), col("n_tp"),
+        round(col("n_tp").cast("double") / col("n_cand"), 6).as("prec"),
+        round(col("n_tp").cast("double") / col("n_true"), 6).as("rec"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Sketch-quality evaluation: MinHash estimate vs exact Jaccard on
     // the sketch's own candidate pairs (the q122 discipline applied to
     // the dedup sketch — measure the approximation before trusting it).
     "q123_sketch_error" -> { (s, dir) =>
       sketchError(tWide(s, dir, "documents")).orderBy("doc_a", "doc_b")
+    },
+
+    // Candidate-generation calibration: band-recall/precision vs exact
+    // ground truth on a bounded subcorpus (evaluation family, alongside
+    // q122/q123/q126's exact-side disciplines).
+    "q132_candidate_pr" -> { (s, dir) =>
+      candidatePR(tWide(s, dir, "documents")).orderBy("threshold")
     },
 
     // Exact dedup: md5 grouping, min-doc_id survivor, per-lang report.
@@ -611,5 +664,68 @@ object LlmQueries {
         | count(DISTINCT source) AS n_sources,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q132: the q44 candidate chain on the bounded subcorpus, LEFT-joined
+    // against exact ≥0.8 truth (integer cross-multiplication — no float
+    // boundary), grouped per match_cnt threshold
+    "q132_candidate_pr" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
+        |  FROM documents WHERE doc_id < 300),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+        |    (a,b) -> (a*131 + b) % 2147483647) AS h
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id, i,
+        |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
+        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
+        |  GROUP BY doc_id, i),
+        |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
+        |  FROM cand
+        |   JOIN sig sa ON sa.doc_id = doc_a
+        |   JOIN sig sb ON sb.doc_id = doc_b),
+        |arrs AS MATERIALIZED (
+        |  SELECT doc_id, list_transform(list_distinct(list_transform(
+        |      range(0, len(string_split(text,' ')) - 2),
+        |      i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))),
+        |    sg -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sg,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*131 + b) % 2147483647) * 2147483648
+        |        + list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sg,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*137 + b) % 2147483647)) AS arr
+        |  FROM documents
+        |  WHERE doc_id < 300 AND len(string_split(text,' ')) >= 3),
+        |tru AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM arrs a JOIN arrs b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.arr, b.arr)) AS BIGINT) * 5 >=
+        |    (len(a.arr) + len(b.arr) - len(list_intersect(a.arr, b.arr))) * 4),
+        |tot AS (SELECT count(*) AS n_true FROM tru),
+        |mk AS (
+        |  SELECT e.match_cnt,
+        |    CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+        |  FROM est e LEFT JOIN tru t
+        |    ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b),
+        |per AS (
+        |  SELECT threshold, count(*) AS n_cand,
+        |    CAST(sum(is_true) AS BIGINT) AS n_tp
+        |  FROM mk CROSS JOIN (SELECT unnest([13, 20, 26]) AS threshold) th
+        |  WHERE match_cnt >= threshold GROUP BY threshold)
+        |SELECT CAST(threshold AS BIGINT) AS threshold, n_cand,
+        |  CAST(n_true AS BIGINT) AS n_true, n_tp,
+        |  round(n_tp::DOUBLE / n_cand, 6) AS prec,
+        |  round(n_tp::DOUBLE / n_true, 6) AS rec
+        |FROM per, tot ORDER BY threshold""".stripMargin,
   )
 }

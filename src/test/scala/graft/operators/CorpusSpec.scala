@@ -106,4 +106,23 @@ class CorpusSpec extends SparkSpec {
     assert(fp.toDouble / nonMembers.size < 0.10,
       s"false-positive rate ${fp.toDouble / nonMembers.size} out of design range")
   }
+
+  test("q130: temperature weights sum to 1; small sources oversample more") {
+    val out = CorpusQueries
+      .queries("q130_mix_temperature")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val wsum = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights must sum to 1, got $wsum")
+    val epoch = out.map(_.getAs[Long]("n_docs")).sum
+    val esum = out.map(_.getAs[Long]("expected_docs")).sum
+    // per-source half-up rounding drifts the total by at most 0.5/source
+    assert(math.abs(esum - epoch) <= out.length,
+      s"expected-doc total $esum far from epoch size $epoch")
+    // alpha = 0.5 up-weights small sources: oversample factors are
+    // non-increasing as n_docs grows (sqrt(n)/n monotonicity)
+    val byN = out.sortBy(_.getAs[Long]("n_docs"))
+      .map(_.getAs[Double]("oversample"))
+    assert(byN.zip(byN.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"oversample must fall as source size grows: ${byN.toSeq}")
+  }
 }

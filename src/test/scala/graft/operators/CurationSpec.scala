@@ -299,4 +299,20 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_cov_tokens")).toSeq === Seq(8L, 8L))
     assert(out.map(_.getAs[Long]("n_toks")).toSeq === Seq(16L, 15L))
   }
+
+  test("q131: verbatim duplicates score zero novelty, unique docs score one") {
+    val sess = spark
+    import sess.implicits._
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val uniq = (1 to 10).map(i => s"u$i").mkString(" ")
+    val out = CurationQueries.ngramNovelty(
+        Seq((1L, common), (2L, common), (3L, uniq)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty"))
+      .toMap
+    // every shingle of docs 1/2 occurs in the other; doc 3 shares none
+    assert(out(1L) === 0.0 && out(2L) === 0.0,
+      "a verbatim duplicate has no corpus-unique shingles")
+    assert(out(3L) === 1.0, "an unrelated doc is fully novel")
+  }
 }

@@ -27,4 +27,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_versions_hit") === nonEmptyVersions,
       "every non-empty version contains at least one event")
   }
+
+  test("q133: flagged buckets equal a driver-side exact recompute") {
+    val out = EventAnalytics.queries("q133_rate_anomaly")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val hourly = loadEvents(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val flagged = hourly.groupBy(_._1).flatMap { case (_, rows) =>
+      val n = rows.length.toDouble
+      val s1 = rows.map(_._3).sum.toDouble
+      val s2 = rows.map(r => r._3 * r._3).sum.toDouble
+      val mean = s1 / n
+      val variance = (s2 - s1 * s1 / n) / n
+      if (variance <= 0) Seq.empty[(String, java.sql.Timestamp, Long)]
+      else rows.toSeq.filter(r =>
+        math.abs((r._3 - mean) / math.sqrt(variance)) >= 2.0)
+    }.toSet
+    assert(out === flagged,
+      "the declarative z-score filter must match exact driver arithmetic")
+  }
 }

@@ -168,4 +168,24 @@ class LlmOpsSpec extends SparkSpec {
       "near-dup must be closer in hamming space than unrelated")
     assert(hamming(sh(1L), sh(1L)) === 0)
   }
+
+  test("q132: candidate PR laws — tp bounded, candidate set shrinks with threshold") {
+    val out = LlmQueries.candidatePR(
+        graft.Tables.tWide(spark, "/root/testdata/sf0.001", "documents"))
+      .orderBy("threshold").collect()
+    assert(out.nonEmpty, "bounded subcorpus must yield candidate rows")
+    val nTrue = out.head.getAs[Long]("n_true")
+    out.foreach { r =>
+      val tp = r.getAs[Long]("n_tp")
+      assert(tp <= math.min(r.getAs[Long]("n_cand"), nTrue),
+        s"tp $tp exceeds candidate or truth count")
+    }
+    // raising the threshold only removes candidates (and their tps)
+    val cands = out.map(_.getAs[Long]("n_cand"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      s"candidate counts must be non-increasing: ${cands.toSeq}")
+    val tps = out.map(_.getAs[Long]("n_tp"))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b },
+      s"tp counts must be non-increasing: ${tps.toSeq}")
+  }
 }
