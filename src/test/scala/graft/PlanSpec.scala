@@ -242,6 +242,26 @@ class PlanSpec extends SparkSpec {
       s"q57's query-set cap must reach the index scan as a pushed filter:\n$p")
   }
 
+  test("q131 novelty join-back is a shuffled hash join, never a sort-merge") {
+    // a cliché shingle appearing in 10^9 docs makes its hash key hot;
+    // SMJ would sort that key's rows on one reducer, the hash join
+    // streams them (the q118/q121 de-skew discipline)
+    val p = plan("q131_ngram_novelty")
+    assert(p.contains("ShuffledHashJoin"),
+      s"occurrence counts must hash-join back to the shingle stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge on the potentially hot shingle-hash key:\n$p")
+  }
+
+  test("q133 stats ride a broadcast back onto the hourly counts") {
+    // the |types|-row stats frame must broadcast — a shuffled join on
+    // event_type would move the hourly counts a second time for a
+    // metadata-sized right side
+    val p = plan("q133_rate_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type stats must broadcast onto hourly counts:\n$p")
+  }
+
   test("q83 quantization runs the one-pass codegen kernel, not HOF lambdas") {
     // regression guard for the r4 lift: the r3 shape evaluated four
     // interpreted lambdas per vector (two transform+aggregate chains);
