@@ -76,6 +76,9 @@ object Bench {
         operators.LlmQueries.grownBandIndex(spark, sfDir, rebuild = true); () }),
       "q114_index_build" -> (() => {
         operators.CurationQueries.segCountIndex(spark, sfDir, rebuild = true); () }),
+      // q134's build+append cycle IS its cost (the q113 convention)
+      "q134_index_build" -> (() => {
+        operators.SimilarityQueries.ivfIndexGrown(spark, sfDir, rebuild = true); () }),
       // The micro-batch machinery FLOOR under q108: the same staged
       // two-batch replay and parquet sink, but a pass-through pipeline
       // (no signatures, no band join) — so q108 minus this pseudo-key

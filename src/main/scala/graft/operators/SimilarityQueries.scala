@@ -82,6 +82,100 @@ object SimilarityQueries {
     idxPath
   }
 
+  /** q134's index: the SAME content as [[ivfIndex]] but reached through
+    * the append lifecycle a long-lived vector store actually runs —
+    * ingest epoch A (vec_id % 10 ≠ 3) builds the hive-partitioned
+    * index, epoch B (vec_id % 10 = 3) is assigned to the SAME FROZEN
+    * centroid set and APPENDED (dynamic-partition append: only the
+    * centroids epoch B lands in gain files; epoch A's partitions are
+    * never rewritten, never re-shuffled). Nearest-centroid assignment
+    * is per-vector arithmetic independent of every other vector, so
+    * with frozen centroids the grown index provably equals the one-shot
+    * build — q134's oracle is q57's twin VERBATIM, making the gate the
+    * equivalence proof (the q113 discipline applied to ANN serving).
+    * Centroids freeze at vec_id % 100 = 0, all of which live in epoch A
+    * (% 100 = 0 ⇒ % 10 = 0 ≠ 3) — real deployments re-cluster offline
+    * and rebuild; between re-clusterings this append IS the ingest path.
+    *
+    * The two-step build is not atomic, so it runs under a temp
+    * directory and publishes via delete + RENAME (the grownBandIndex
+    * swap discipline): a `_SUCCESS` at the FINAL path ⇒ both epochs
+    * landed; a crash mid-build leaves only a temp dir the next build
+    * deletes. */
+  def ivfIndexGrown(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    import org.apache.hadoop.fs.Path
+    val tmp = System.getProperty("java.io.tmpdir")
+    graft.sources.Staging.vacuumStale(s, tmp, "graft_ivf_grown_")
+    val idxPath = s"$tmp/graft_ivf_grown_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    val done = new Path(idxPath, "_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (rebuild || !fs.exists(done)) {
+      val bld = idxPath + "__build_tmp"
+      fs.delete(new Path(bld), true)
+      val e = tWide(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
+        .persist()
+      val epochA = e.filter(col("vec_id") % 10 =!= 3)
+      val cent = epochA.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      def assigned(part: DataFrame): DataFrame = {
+        val wAsgn = Window.partitionBy("vec_id")
+          .orderBy(desc("csim"), col("cid"))
+        val buckets = part.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"),
+            graft.functions.VectorOps.cosinePre(
+              seqDot(col("embedding"), col("ce")), col("nrm"), col("cn"))
+              .as("csim"))
+          .withColumn("rn", row_number().over(wAsgn))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"))
+        part.join(buckets, "vec_id")
+      }
+      graft.sources.Staging.store(assigned(epochA), bld,
+        partitionBy = Seq("cid"))
+      graft.sources.Staging.store(assigned(e.filter(col("vec_id") % 10 === 3)),
+        bld, mode = org.apache.spark.sql.SaveMode.Append,
+        partitionBy = Seq("cid"))
+      e.unpersist()
+      fs.delete(new Path(idxPath), true)
+      fs.rename(new Path(bld), new Path(idxPath))
+    }
+    idxPath
+  }
+
+  /** The shared q57/q134 probe against a persisted IVF index path:
+    * queries (ABSOLUTELY bounded, |Q| ≤ 100 — the q45/q122 rule) name
+    * their centroids, members come from a partition-PRUNED read of just
+    * those buckets, and the bounded query side broadcasts into the
+    * band-bucket join. */
+  def ivfProbe(s: SparkSession, idxPath: String): DataFrame = {
+    val idx = s.read.parquet(idxPath)
+    val q = idx.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cid").as("qcid"))
+    // bounded by the query count; the partition values arrive as the
+    // inference-typed partition column — pass them through raw
+    val qcids = q.select("qcid").distinct().collect().map(_.get(0))
+    val members = idx.filter(col("cid").isin(qcids: _*))
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("cid").as("ncid"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
+    broadcast(q).join(members, col("qcid") === col("ncid") &&
+        col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorOps.cosinePre(
+          seqDot(col("qe"), col("ne")), col("qn"), col("nn")).as("sim_raw"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("nid"),
+        round(col("sim_raw"), 6).as("sim"))
+      .orderBy("qid", "rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quantized-vector similarity search: the memory-cut retrieval path
     // (int8 codes are ¼ of float32 — q83's storage trick applied to
@@ -276,33 +370,14 @@ object SimilarityQueries {
     // collected to the driver to become the pruning predicate — the
     // same routing handshake a production ANN service does to pick
     // shards (cf. q98 collecting its ~100 KB Bloom sketch).
-    "q57_ann_ivf" -> { (s, dir) =>
-      // ---- probe: queries name their centroids; members come from a
-      // partition-PRUNED read of just those buckets. The query set is
-      // ABSOLUTELY bounded (|Q| ≤ 100: vec_id % 50 = 0 AND vec_id < 5000,
-      // the q45/q122 rule) so broadcast(q) stays O(1) in corpus size — a
-      // modulo alone would grow the broadcast O(n/50) at 100 TB.
-      val idx = s.read.parquet(ivfIndex(s, dir))
-      val q = idx.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("cid").as("qcid"))
-      // bounded by the query count; the partition values arrive as the
-      // inference-typed partition column — pass them through raw
-      val qcids = q.select("qcid").distinct().collect().map(_.get(0))
-      val members = idx.filter(col("cid").isin(qcids: _*))
-        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("nrm").as("nn"), col("cid").as("ncid"))
-      val wTop = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
-      broadcast(q).join(members, col("qcid") === col("ncid") &&
-          col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid"),
-          graft.functions.VectorOps.cosinePre(
-            seqDot(col("qe"), col("ne")), col("qn"), col("nn")).as("sim_raw"))
-        .withColumn("rnk", row_number().over(wTop).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("rnk"), col("nid"),
-          round(col("sim_raw"), 6).as("sim"))
-        .orderBy("qid", "rnk")
+    "q57_ann_ivf" -> { (s, dir) => ivfProbe(s, ivfIndex(s, dir)) },
+
+    // The q57 probe against the GROWN index (epoch A build + epoch B
+    // dynamic-partition append, frozen centroids). Oracle is q57's twin
+    // verbatim: with frozen centroids, incremental assignment must
+    // reproduce the one-shot build bit-for-bit.
+    "q134_ann_grow_reprobe" -> { (s, dir) =>
+      ivfProbe(s, ivfIndexGrown(s, dir))
     },
 
     // ANN quality evaluation — recall@3 of the IVF probe against exact
@@ -441,30 +516,11 @@ object SimilarityQueries {
         |  round(max(sim), 6) AS max_cos
         |FROM p GROUP BY label ORDER BY label""".stripMargin,
 
-    "q57_ann_ivf" ->
-      """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id % 100 = 0),
-        |asgn AS (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM (
-        |    SELECT vec_id, cid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
-        |      SELECT e.vec_id, c.cid,
-        |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS dot,
-        |        e.nrm AS na, c.cn AS nb
-        |      FROM e CROSS JOIN cent c))),
-        |buckets AS MATERIALIZED (SELECT vec_id, cid FROM asgn WHERE rn = 1),
-        |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0 AND e.vec_id < 5000),
-        |probe AS (
-        |  SELECT qid, nid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
-        |    SELECT q.qid, e.vec_id AS nid,
-        |      list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) AS dot,
-        |      q.qn AS na, e.nrm AS nb
-        |    FROM q JOIN buckets b ON b.cid = q.cid JOIN e ON e.vec_id = b.vec_id
-        |    WHERE e.vec_id != q.qid)),
-        |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM probe)
-        |SELECT qid, rnk, nid, round(sim, 6) AS sim
-        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "q57_ann_ivf" -> IvfProbeSql,
+
+    // q134 = q57's answer from the grown index; same SQL, and the gate
+    // becomes the append≡rebuild equivalence proof
+    "q134_ann_grow_reprobe" -> IvfProbeSql,
 
     // q122: the q57 IVF replay (bounded Q) joined against the exact
     // brute-force top-3; recall = |intersection| / 3 per query
@@ -507,4 +563,31 @@ object SimilarityQueries {
         |FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits USING (qid)
         |ORDER BY qid""".stripMargin,
   )
+
+  /** DuckDB twin of the IVF probe — shared by q57 (one-shot index) and
+    * q134 (grown index), whose contents are provably identical. */
+  private val IvfProbeSql: String =
+    """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id % 100 = 0),
+      |asgn AS (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM (
+      |    SELECT vec_id, cid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
+      |      SELECT e.vec_id, c.cid,
+      |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS dot,
+      |        e.nrm AS na, c.cn AS nb
+      |      FROM e CROSS JOIN cent c))),
+      |buckets AS MATERIALIZED (SELECT vec_id, cid FROM asgn WHERE rn = 1),
+      |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0 AND e.vec_id < 5000),
+      |probe AS (
+      |  SELECT qid, nid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
+      |    SELECT q.qid, e.vec_id AS nid,
+      |      list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) AS dot,
+      |      q.qn AS na, e.nrm AS nb
+      |    FROM q JOIN buckets b ON b.cid = q.cid JOIN e ON e.vec_id = b.vec_id
+      |    WHERE e.vec_id != q.qid)),
+      |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM probe)
+      |SELECT qid, rnk, nid, round(sim, 6) AS sim
+      |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 }

@@ -169,6 +169,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(1L)) === 0)
   }
 
+  test("q134: the grown IVF index equals the one-shot build row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(path: String) = spark.read.parquet(path)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+    val oneShot = rows(SimilarityQueries.ivfIndex(spark, dir))
+    val grown = rows(SimilarityQueries.ivfIndexGrown(spark, dir))
+    assert(grown === oneShot,
+      "frozen-centroid append must reproduce the one-shot assignment")
+  }
+
   test("q132: candidate PR laws — tp bounded, candidate set shrinks with threshold") {
     val out = LlmQueries.candidatePR(
         graft.Tables.tWide(spark, "/root/testdata/sf0.001", "documents"))
