@@ -126,7 +126,7 @@ object AsOfJoin {
     // per-target-slice max — one aggregated row per (key, target slice).
     val w = struct(
       (col(rightTs) +: rightTieBreak.map(col)) :+
-        struct(right.columns.map(col): _*).as("row"): _*)
+        struct(right.columns.toIndexedSeq.map(col): _*).as("row"): _*)
     val lastPer = r2.groupBy(col(rightKey), col("__slice_r"))
       .agg(max(w).as("__w"))
     val carry = lastPer.filter(col("__slice_r") < nSlices - 1)
@@ -135,7 +135,7 @@ object AsOfJoin {
       .groupBy(col(rightKey).as("__ck"), col("__slice_t"))
       .agg(max("__w").as("__w"))
       .selectExpr("__slice_t AS __slice_r", "__w.row.*")
-    val r3 = r2.unionByName(carry.select(r2.columns.map(col): _*))
+    val r3 = r2.unionByName(carry.select(r2.columns.toIndexedSeq.map(col): _*))
       .withColumn("__skey_r",
         col(rightKey).cast("long") * nSlices + col("__slice_r"))
     asof(l2, r3, "__skey_l", "__skey_r", leftTs, rightTs, rightTieBreak)

@@ -124,7 +124,7 @@ object CorpusQueries {
       .filter(col("__rnb") <= col("__need"))
       .drop("__rnb")
     keepAll.unionByName(boundary)
-      .select(docs.columns.map(col(_)): _*)
+      .select(docs.columns.toIndexedSeq.map(col(_)): _*)
   }
 
   /** Sign-LSH coding + band-key explode shared by q109's index build

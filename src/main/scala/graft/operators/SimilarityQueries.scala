@@ -160,7 +160,7 @@ object SimilarityQueries {
     // bounded by the query count; the partition values arrive as the
     // inference-typed partition column — pass them through raw
     val qcids = q.select("qcid").distinct().collect().map(_.get(0))
-    val members = idx.filter(col("cid").isin(qcids: _*))
+    val members = idx.filter(col("cid").isin(qcids.toIndexedSeq: _*))
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
         col("nrm").as("nn"), col("cid").as("ncid"))
     val wTop = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
@@ -403,7 +403,7 @@ object SimilarityQueries {
     val wTop = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
     // approximate: the q57 probe — pruned read of the queries' buckets
     val qcids = q.select("qcid").distinct().collect().map(_.get(0))
-    val members = idx.filter(col("cid").isin(qcids: _*))
+    val members = idx.filter(col("cid").isin(qcids.toIndexedSeq: _*))
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
         col("nrm").as("nn"), col("cid").as("ncid"))
     val approx = broadcast(q)

@@ -117,7 +117,7 @@ object Staging {
     // and merge again, like the streaming serving table)
     existing.join(u.select(keys.head, keys.tail: _*), keys, "left_anti")
       .unionByName(u)
-      .select(existing.columns.map(org.apache.spark.sql.functions.col(_)): _*)
+      .select(existing.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col(_)): _*)
   }
 
   /** Compact a parquet prefix to ~`targetBytes` output files: the
@@ -344,7 +344,7 @@ object JsonConfig {
       }
     require(node != null && node.isObject,
       s"malformed JSON config: ${json.take(80)}")
-    val it = node.fields()
+    val it = node.properties().iterator()
     val b = Map.newBuilder[String, String]
     while (it.hasNext) {
       val e = it.next()
