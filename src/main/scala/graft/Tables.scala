@@ -68,9 +68,17 @@ object Tables {
     *
     * The nanosAsLong conf is harmless for micros files (it only affects
     * NANOS columns) and is a runtime SQL conf set here because the driver
-    * owns SparkSession construction. */
+    * owns SparkSession construction.
+    *
+    * The session time zone is pinned to UTC here too: the NTZ→Timestamp
+    * cast is only instant-preserving under UTC, and DuckDB's replay of
+    * the same file is TZ-naive — a non-UTC driver (Bench, ad-hoc tools)
+    * would otherwise shift every events instant relative to the gated
+    * path. Pinning at the ONE loader every events consumer goes through
+    * beats auditing each SparkSession builder. */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val tsCol = raw.schema("ts").dataType match {
       case LongType                           => expr("timestamp_micros(ts div 1000)")

@@ -417,8 +417,22 @@ object CorpusQueries {
     "q130_mix_temperature" -> { (s, dir) =>
       val n = t(s, dir, "documents")
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      // z = Σ√n_docs is a FLOAT sum sitting directly under round(...,6)
+      // and floor(x+0.5), so its accumulation ORDER must be pinned: a
+      // plain sum() accumulates in partition order (changes with
+      // shuffle.partitions/cpus) while DuckDB picks its own order — a
+      // ULP difference at a boundary would flip weight/expected_docs.
+      // Both engines therefore fold in SORTED-SOURCE order: collect the
+      // |sources|-row frame into one sorted array (metadata-scale — this
+      // whole frame is |sources| rows by construction) and left-fold it;
+      // the twin's list(... ORDER BY source) + list_reduce is the same
+      // chain of additions term-for-term.
       val tot = n.agg(
-        sum(sqrt(col("n_docs"))).as("z"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("source"), col("n_docs")))),
+            x => sqrt(x.getField("n_docs"))),
+          lit(0.0), (a, x) => a + x).as("z"),
         sum(col("n_docs")).cast("long").as("epoch"))
       n.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"),
@@ -740,7 +754,8 @@ object CorpusQueries {
     "q130_mix_temperature" ->
       """WITH n AS (SELECT source, count(*) AS n_docs
         |  FROM documents GROUP BY source),
-        |tot AS (SELECT sum(sqrt(n_docs)) AS z,
+        |tot AS (SELECT
+        |  list_reduce(list(sqrt(n_docs) ORDER BY source), (a,b) -> a + b) AS z,
         |  CAST(sum(n_docs) AS BIGINT) AS epoch FROM n)
         |SELECT source, n_docs,
         |  round(sqrt(n_docs) / z, 6) AS weight,

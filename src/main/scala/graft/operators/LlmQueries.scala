@@ -289,7 +289,11 @@ object LlmQueries {
     perTh.crossJoin(broadcast(tot))
       .select(col("threshold"), col("n_cand"), col("n_true"), col("n_tp"),
         round(col("n_tp").cast("double") / col("n_cand"), 6).as("prec"),
-        round(col("n_tp").cast("double") / col("n_true"), 6).as("rec"))
+        // n_true = 0 ⇒ Spark double division yields NaN where DuckDB
+        // yields NULL — guard to NULL on both engines. (n_cand needs no
+        // guard: a threshold group only exists with ≥ 1 candidate row.)
+        when(col("n_true") > 0,
+          round(col("n_tp").cast("double") / col("n_true"), 6)).as("rec"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -725,7 +729,7 @@ object LlmQueries {
         |SELECT CAST(threshold AS BIGINT) AS threshold, n_cand,
         |  CAST(n_true AS BIGINT) AS n_true, n_tp,
         |  round(n_tp::DOUBLE / n_cand, 6) AS prec,
-        |  round(n_tp::DOUBLE / n_true, 6) AS rec
+        |  CASE WHEN n_true > 0 THEN round(n_tp::DOUBLE / n_true, 6) END AS rec
         |FROM per, tot ORDER BY threshold""".stripMargin,
   )
 }

@@ -23,6 +23,32 @@ object SimilarityQueries {
 
   private def tokens(text: Column) = split(text, " ")
 
+  /** IVF centroid policy — the k-vs-recall contract. Centroids are the
+    * vectors with vec_id % stride = 0 where
+    *   stride = CentroidBaseStride × ceil(n / (MaxCentroids × CentroidBaseStride)),
+    * i.e. k = n/100 while the corpus is small, hard-capped at
+    * k ≤ [[MaxCentroids]] (and ≥ MaxCentroids/2 asymptotically) once it
+    * isn't. Decoupling k from n is what keeps IVF a 100 TB shape: the
+    * centroid table stays a bounded broadcast (4096 × 64 floats ≈ 1 MB)
+    * and assignment stays O(n·k) with fixed k — a k ∝ n rule would make
+    * assignment O(n²/100) with an O(n) broadcast. The recall side of the
+    * contract: per-probe candidate sets average n/k vectors, so capping k
+    * GROWS buckets linearly with the corpus instead of holding them at
+    * 100 — recall per probed bucket rises (bigger buckets), probe cost
+    * rises with n/k; deployments wanting flat probe cost raise
+    * MaxCentroids (and re-cluster) rather than letting k float with n.
+    * The stride stays a MULTIPLE of CentroidBaseStride=100 so every
+    * centroid id satisfies % 100 = 0 ⇒ % 10 = 0 ≠ 3: centroids always
+    * live in q134's base epoch A, which is what lets the grown index
+    * freeze them. Mirrored verbatim in the q57/q122/q134 oracle SQL
+    * (`par` CTE). */
+  private[operators] val CentroidBaseStride = 100L
+  private[operators] val MaxCentroids = 4096L
+  private[operators] def centroidStride(n: Long): Long = {
+    val block = MaxCentroids * CentroidBaseStride
+    CentroidBaseStride * math.max(1L, (n + block - 1L) / block)
+  }
+
   /** 60-bit SimHash per doc: two char-poly word hashes (bases 131/137)
     * supply bits 0..29 / 30..59; bit votes weighted by term frequency.
     * Aggregated in one pass by [[graft.plans.SimHashAgg]] (a
@@ -40,7 +66,8 @@ object SimilarityQueries {
   }
 
   /** Build — or REUSE — q57's persisted IVF index: nearest-centroid
-    * assignment (centroids = vec_id % 100 = 0), written hive-partitioned
+    * assignment (centroids per [[centroidStride]] — k capped at
+    * [[MaxCentroids]]), written hive-partitioned
     * BY CENTROID under java.io.tmpdir, once per (session, sf). The path
     * is a pure function of (input dir, session) and the content a pure
     * function of the input, so a completed build (parquet `_SUCCESS`
@@ -62,7 +89,10 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
         .persist()
-      val cent = e.filter(col("vec_id") % 100 === 0)
+      // one count on the persisted frame — a metadata-scale scalar (the
+      // q98 sketch-collect class), sizing the centroid stride per the
+      // k-vs-recall contract above
+      val cent = e.filter(col("vec_id") % centroidStride(e.count()) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           col("nrm").as("cn"))
       val wAsgn = Window.partitionBy("vec_id")
@@ -93,8 +123,9 @@ object SimilarityQueries {
     * with frozen centroids the grown index provably equals the one-shot
     * build — q134's oracle is q57's twin VERBATIM, making the gate the
     * equivalence proof (the q113 discipline applied to ANN serving).
-    * Centroids freeze at vec_id % 100 = 0, all of which live in epoch A
-    * (% 100 = 0 ⇒ % 10 = 0 ≠ 3) — real deployments re-cluster offline
+    * Centroids freeze at vec_id % [[centroidStride]] = 0, all of which
+    * live in epoch A (stride is a multiple of 100 ⇒ % 10 = 0 ≠ 3) —
+    * real deployments re-cluster offline
     * and rebuild; between re-clusterings this append IS the ingest path.
     *
     * The two-step build is not atomic, so it runs under a temp
@@ -119,7 +150,10 @@ object SimilarityQueries {
         .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
         .persist()
       val epochA = e.filter(col("vec_id") % 10 =!= 3)
-      val cent = epochA.filter(col("vec_id") % 100 === 0)
+      // stride from the FULL corpus count — the (re)clustering-time
+      // parameter both builds share, so grown ≡ one-shot stays provable;
+      // the stride's ×100 granularity keeps every centroid in epoch A
+      val cent = epochA.filter(col("vec_id") % centroidStride(e.count()) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           col("nrm").as("cn"))
       def assigned(part: DataFrame): DataFrame = {
@@ -142,7 +176,11 @@ object SimilarityQueries {
         partitionBy = Seq("cid"))
       e.unpersist()
       fs.delete(new Path(idxPath), true)
-      fs.rename(new Path(bld), new Path(idxPath))
+      // a silently-failed rename (dest recreated concurrently, cross-FS
+      // tmpdir) would surface later as an opaque parquet read error —
+      // fail AT the publish step instead
+      require(fs.rename(new Path(bld), new Path(idxPath)),
+        s"ivf index publish failed: rename $bld -> $idxPath")
     }
     idxPath
   }
@@ -356,7 +394,9 @@ object SimilarityQueries {
         .orderBy("label")
     },
 
-    // IVF ANN with a PERSISTED index: centroids = vec_id % 100 = 0;
+    // IVF ANN with a PERSISTED index: centroids per centroidStride
+    // (k = n/100 small, capped at MaxCentroids — the k-vs-recall
+    // contract documented at the top of this object);
     // every vector is assigned to its nearest centroid ONCE and the
     // index (vector + norm + assignment) is written hive-partitioned BY
     // CENTROID; probes then read ONLY the buckets their query centroids
@@ -528,7 +568,8 @@ object SimilarityQueries {
       """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
         |  FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id % 100 = 0),
+        |par AS (SELECT 100 * GREATEST(1, CAST(ceil(count(*) / 409600.0) AS BIGINT)) AS stride FROM e),
+        |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e, par WHERE vec_id % stride = 0),
         |asgn AS (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM (
         |    SELECT vec_id, cid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
@@ -570,7 +611,8 @@ object SimilarityQueries {
     """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
       |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
       |  FROM embeddings),
-      |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e WHERE vec_id % 100 = 0),
+      |par AS (SELECT 100 * GREATEST(1, CAST(ceil(count(*) / 409600.0) AS BIGINT)) AS stride FROM e),
+      |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e, par WHERE vec_id % stride = 0),
       |asgn AS (
       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM (
       |    SELECT vec_id, cid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
