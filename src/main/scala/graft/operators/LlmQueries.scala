@@ -173,6 +173,40 @@ object LlmQueries {
     tab
   }
 
+  /** Build — or REUSE — the persisted MinHash candidate-PAIR frame for
+    * the (session, dir) corpus: [[minhashPairs]] output (doc_a, doc_b,
+    * match_cnt, est_jaccard), UNFILTERED, written once under
+    * java.io.tmpdir (the q106/q57 build-once discipline applied to pair
+    * output). Seven keys consume this pipeline — q44 and q123 directly,
+    * q89/q117/q129 as cluster edges, q128 as leakage pairs, q132 as the
+    * calibration candidate set — and each used to rebuild
+    * shingles→signatures→band-join from scratch; now the shingle
+    * pipeline is paid once per corpus and every consumer reads a
+    * candidate-sized parquet (hundreds of rows at sf0.1). Persisting
+    * UNFILTERED pairs (not just ≥ [[NearDupMinMatches]]) is what lets
+    * q132 probe it too: band candidacy and match_cnt are pair-local
+    * quantities, so the full-corpus frame restricted to doc_id < 300 on
+    * both endpoints IS the bounded subcorpus's pair set. At 100 TB this
+    * frame is the natural persisted artifact of a dedup run — built once
+    * per corpus version, consumed by every downstream cluster / survivor
+    * / leakage / repair / calibration pass (Bench times the build
+    * separately as q44_index_build; probes are probe-only after the
+    * first call). */
+  def nearDupPairs(s: SparkSession, dir: String,
+      rebuild: Boolean = false): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    graft.sources.Staging.vacuumStale(s, tmp, "graft_neardup_pairs_")
+    val path = s"$tmp/graft_neardup_pairs_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (rebuild || !fs.exists(done)) {
+      graft.sources.Staging.store(
+        minhashPairs(graft.Tables.tWide(s, dir, "documents")), path)
+    }
+    s.read.parquet(path)
+  }
+
   def minhashPairs(docs: DataFrame, k: Int = 3): DataFrame = {
     // consumed twice (both sides of the band join); cache avoids
     // recomputing the shingle scan per consumer. NB callers running many
@@ -225,12 +259,18 @@ object LlmQueries {
     * candidate pairs (output-sized), never all-pairs: the pair list
     * equi-joins each side's sorted shingle-hash array and the codegen
     * two-pointer merge (q55's kernel) counts the intersection. */
-  def sketchError(docs: DataFrame): DataFrame = {
+  def sketchError(docs: DataFrame): DataFrame =
+    sketchErrorFrom(
+      minhashPairs(docs).filter(col("match_cnt") >= NearDupMinMatches), docs)
+
+  /** [[sketchError]] over an externally-supplied near-dup pair frame
+    * (doc_a, doc_b, match_cnt, est_jaccard — already thresholded):
+    * the q123 gated key probes [[nearDupPairs]] through this so the
+    * shingle pipeline isn't rebuilt per consumer. */
+  def sketchErrorFrom(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val h62 = (c: Column) =>
       graft.plans.GraftExpressions.poly_hash(c, 131) * 2147483648L +
         graft.plans.GraftExpressions.poly_hash(c, 137)
-    val pairs = minhashPairs(docs)
-      .filter(col("match_cnt") >= NearDupMinMatches)
     val arrs = docs.select(col("doc_id"),
       array_sort(transform(shingles(col("text"), 3), sg => h62(sg))))
     val a = arrs.toDF("doc_a", "arr_a")
@@ -256,7 +296,16 @@ object LlmQueries {
     * calibrate the 8×4-band recall on a sample, then trust the banding
     * at 100 TB. The ≥ 0.8 truth test is integer cross-multiplication
     * (5·inter ≥ 4·union) — no float boundary on either engine. */
-  def candidatePR(docs: DataFrame): DataFrame = {
+  def candidatePR(docs: DataFrame): DataFrame =
+    candidatePRFrom(minhashPairs(docs.filter(col("doc_id") < 300)), docs)
+
+  /** [[candidatePR]] over an externally-supplied UNFILTERED candidate
+    * frame restricted to the bounded subcorpus (both endpoints
+    * doc_id < 300). Band candidacy and match_cnt are pair-local, so the
+    * full-corpus [[nearDupPairs]] frame restricted on both endpoints is
+    * exactly the subcorpus pair set — which is what the q132 gated key
+    * passes in. */
+  def candidatePRFrom(cand: DataFrame, docs: DataFrame): DataFrame = {
     val h62 = (c: Column) =>
       graft.plans.GraftExpressions.poly_hash(c, 131) * 2147483648L +
         graft.plans.GraftExpressions.poly_hash(c, 137)
@@ -273,7 +322,7 @@ object LlmQueries {
       .filter(col("inter") * 5 >=
         (size(col("arr_a")) + size(col("arr_b")) - col("inter")) * 4)
       .select("doc_a", "doc_b")
-    val marked = minhashPairs(sub)
+    val marked = cand
       .select(col("doc_a"), col("doc_b"), col("match_cnt"))
       .join(tru.withColumn("is_true", lit(1L)),
         Seq("doc_a", "doc_b"), "left_outer")
@@ -301,14 +350,19 @@ object LlmQueries {
     // the sketch's own candidate pairs (the q122 discipline applied to
     // the dedup sketch — measure the approximation before trusting it).
     "q123_sketch_error" -> { (s, dir) =>
-      sketchError(tWide(s, dir, "documents")).orderBy("doc_a", "doc_b")
+      sketchErrorFrom(
+        nearDupPairs(s, dir).filter(col("match_cnt") >= NearDupMinMatches),
+        tWide(s, dir, "documents")).orderBy("doc_a", "doc_b")
     },
 
     // Candidate-generation calibration: band-recall/precision vs exact
     // ground truth on a bounded subcorpus (evaluation family, alongside
     // q122/q123/q126's exact-side disciplines).
     "q132_candidate_pr" -> { (s, dir) =>
-      candidatePR(tWide(s, dir, "documents")).orderBy("threshold")
+      candidatePRFrom(
+        nearDupPairs(s, dir)
+          .filter(col("doc_a") < 300 && col("doc_b") < 300),
+        tWide(s, dir, "documents")).orderBy("threshold")
     },
 
     // Exact dedup: md5 grouping, min-doc_id survivor, per-lang report.
@@ -326,7 +380,7 @@ object LlmQueries {
     // MinHash near-dup: word 3-shingles → 32-perm signature → 8×4 bands
     // → bucket join → est Jaccard ≥ 0.8 (match_cnt ≥ 26).
     "q44_dedup_near" -> { (s, dir) =>
-      minhashPairs(tWide(s, dir, "documents"))
+      nearDupPairs(s, dir)
         .filter(col("match_cnt") >= NearDupMinMatches)
         .orderBy("doc_a", "doc_b")
     },

@@ -78,12 +78,31 @@ class PlanSpec extends SparkSpec {
       s"the status predicate must prune directories, not filter rows:\n$p")
   }
 
-  test("q44 has exactly one join (signatures ride the band join) and a codegen verify") {
-    // regression guard for the r3 rewrite: the old shape had three joins
-    // (band candidates + two signature re-joins) and an interpreted
-    // zip_with verify; the new one carries signatures through the single
-    // band join and verifies with the codegen zip_equal kernel
+  test("q44 probes the persisted pair frame with a pushed filter, no join") {
+    // since the r11 refactor q44 (with six sibling consumers) PROBES the
+    // build-once nearDupPairs parquet: its own plan must be a
+    // filter-pushed scan of the pair frame — zero joins, zero shingle
+    // work. (The r3 one-join + codegen-verify shape is pinned on the
+    // BUILD plan in the next test.)
     val p = plan("q44_dedup_near")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)"
+      .r.findAllIn(p).size
+    assert(joins === 0, s"probe must not join, found $joins:\n$p")
+    assert(p.contains("graft_neardup_pairs_"),
+      s"probe must read the persisted pair frame:\n$p")
+    assert(p.contains("GreaterThanOrEqual(match_cnt,26)"),
+      s"threshold must push into the pair scan:\n$p")
+  }
+
+  test("pair-frame BUILD has exactly one join (signatures ride the band join) and a codegen verify") {
+    // regression guard for the r3 rewrite, now pinned where the work
+    // lives: the old shape had three joins (band candidates + two
+    // signature re-joins) and an interpreted zip_with verify; the build
+    // carries signatures through the single band join and verifies with
+    // the codegen zip_equal kernel
+    val p = graft.operators.LlmQueries
+      .minhashPairs(Tables.tWide(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
     val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)"
       .r.findAllIn(p).size
     assert(joins === 1, s"expected exactly the band join, found $joins:\n$p")

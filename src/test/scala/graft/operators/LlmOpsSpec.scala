@@ -87,6 +87,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.head.getLong(2) === 32L, "all 32 minhashes must agree")
   }
 
+  test("nearDupPairs persisted frame equals the direct minhashPairs pipeline") {
+    // the build-once pair index serves seven gated keys; this law pins
+    // that the parquet round-trip (and the build/reuse guard) changes
+    // NOTHING vs computing pairs from scratch on the same corpus
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val persisted = LlmQueries.nearDupPairs(spark, dir, rebuild = true)
+      .select("doc_a", "doc_b", "match_cnt", "est_jaccard")
+      .collect().map(key).toSet
+    val direct = LlmQueries.minhashPairs(
+        graft.Tables.tWide(spark, dir, "documents"))
+      .select("doc_a", "doc_b", "match_cnt", "est_jaccard")
+      .collect().map(key).toSet
+    assert(persisted === direct)
+    assert(persisted.nonEmpty, "fixture corpus must produce candidates")
+    // and the REUSE path (no rebuild) serves the identical content
+    val reused = LlmQueries.nearDupPairs(spark, dir)
+      .select("doc_a", "doc_b", "match_cnt", "est_jaccard")
+      .collect().map(key).toSet
+    assert(reused === persisted)
+  }
+
   test("q123 sketch error: identical docs score est=exact=1, err=0") {
     val text = (1 to 30).map(i => s"t$i").mkString(" ")
     val rows = LlmQueries.sketchError(docsDF(Seq((1L, text), (2L, text))))
