@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** User-defined function surface (SURVEY.md §2b q47–q49): scalar UDF,
-  * typed Aggregator UDAF, and a generator (UDF-array + explode — the
-  * Catalyst-friendly UDTF form: the Generator stays a built-in `explode`,
-  * only element production is user code).
+  * typed Aggregator UDAF, and a generator. q49's generator is the true
+  * Catalyst form since round 11 ([[graft.plans.WordBigrams]] — one row
+  * per bigram straight off the string); the UDF-array + explode form it
+  * replaced survives here as [[bigrams]] for the spec-side equivalence
+  * law.
   *
   * UDFs are optimizer-opaque (no pushdown through them) — each is kept
   * leaf-level over an already-pruned projection. */
@@ -67,10 +69,14 @@ object UdfQueries {
         .orderBy("l_returnflag")
     },
 
+    // True Catalyst Generator (graft.plans.WordBigrams): one row per
+    // bigram straight off the string — no intermediate array, no UDF
+    // boundary. The UDF-array + explode form this replaces survives in
+    // UdfQueriesSpec as the equivalence law.
     "q49_udtf_bigrams" -> { (s, dir) =>
-      val bg = udf(bigrams)
       tWide(s, dir, "documents")
-        .select(explode(bg(col("text"))).as("bigram"))
+        .select(graft.plans.GraftExpressions.word_bigrams(col("text"))
+          .as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("bigram"))

@@ -68,6 +68,12 @@ object GraftFunctions {
       "graft_seq_dot_long(a, b) takes 2 arguments")
   }
 
+  private def bigramsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(s) => WordBigrams(s)
+    case _ => throw new IllegalArgumentException(
+      "graft_bigrams(str) takes 1 argument")
+  }
+
   /** k (capacity) must be a compile-time INTEGRAL literal — the same
     * constraint Spark's own approx aggregates place on their accuracy
     * argument. Fractional literals are rejected, not truncated: a user
@@ -130,6 +136,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_seq_dot_long"),
       new ExpressionInfo(classOf[SeqDotLong].getName, "graft_seq_dot_long"),
       dotLongBuilder),
+    (FunctionIdentifier("graft_bigrams"),
+      new ExpressionInfo(classOf[WordBigrams].getName, "graft_bigrams"),
+      bigramsBuilder),
     (FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
       misraGriesBuilder),

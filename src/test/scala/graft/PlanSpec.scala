@@ -111,6 +111,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with"), s"interpreted lambda crept back in:\n$p")
   }
 
+  test("q49 generates with the native WordBigrams Generator, no UDF in-plan") {
+    // round-11 close of the last "UDF where an Expression fits": the
+    // Generate node runs graft_bigrams directly — no ScalaUDF, no
+    // intermediate array explode
+    val p = plan("q49_udtf_bigrams")
+    assert(p.contains("graft_bigrams"),
+      s"expected the native Generator in-plan:\n$p")
+    assert(!p.contains("UDF") && !p.toLowerCase.contains("scalaudf"),
+      s"no UDF may remain in the q49 plan:\n$p")
+    assert(!p.contains("explode"),
+      s"the generator must emit rows directly, not via array+explode:\n$p")
+  }
+
   test("q106 incremental dedup reads corpus bands pre-bucketed, shuffles only the batch") {
     // the 100 TB story: the corpus band index is written once, bucketed
     // on the band key; the daily probe must never re-shuffle it. At

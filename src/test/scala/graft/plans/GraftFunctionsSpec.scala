@@ -18,6 +18,36 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) === 11.0)
   }
 
+  test("WordBigrams generator equals the UDF-array + explode form (the q49 equivalence law)") {
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    // edges on purpose: normal text, single token (no bigram), empty
+    // string (split -1 gives one empty token — no bigram), trailing
+    // space (trailing empty token SURVIVES and pairs), null (no rows)
+    val docs = Seq[(Long, String)](
+      (1L, "a b c d"), (2L, "solo"), (3L, ""), (4L, "x y "),
+      (6L, "a b c d")).toDF("doc_id", "text")
+      .unionByName(Seq(5L).toDF("doc_id").withColumn("text",
+        lit(null).cast("string")))
+    val viaGen = docs
+      .select(col("doc_id"),
+        GraftExpressions.word_bigrams(col("text")).as("bigram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val bg = udf(graft.functions.UdfQueries.bigrams)
+    val viaUdf = docs
+      .select(col("doc_id"), explode(bg(col("text"))).as("bigram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaGen === viaUdf)
+    assert(viaGen.contains((4L, "y ")), "trailing empty token must pair")
+    assert(!viaGen.exists(_._1 == 5L) && !viaGen.exists(_._1 == 2L))
+    // SQL surface
+    GraftFunctions.register(spark)
+    val sql = spark.sql("SELECT graft_bigrams('p q r') AS bigram")
+      .collect().map(_.getString(0)).toSeq
+    assert(sql === Seq("p q", "q r"))
+  }
+
   test("sorted_intersect matches array_intersect size on sorted inputs") {
     GraftFunctions.register(spark)
     val sess = spark
