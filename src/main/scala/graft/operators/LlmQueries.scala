@@ -207,6 +207,78 @@ object LlmQueries {
     s.read.parquet(path)
   }
 
+  /** q136's pair frame: the SAME content as [[nearDupPairs]] but
+    * reached through the append lifecycle a long-lived dedup service
+    * actually runs — ingest epoch A (doc_id % 10 ≠ 3) builds the pair
+    * frame with the one-shot [[minhashPairs]] shape restricted to A,
+    * and epoch B (doc_id % 10 = 3) APPENDS only its DELTA: every pair
+    * with ≥ 1 endpoint in B, generated by joining B's band rows against
+    * the FULL band set (normalized via least/greatest so B×B pairs
+    * collapse under the distinct) — epoch A's pairs are never
+    * recomputed, A×A work is never repeated. Because band keys,
+    * signatures and match_cnt are all per-doc / per-pair quantities,
+    * build+delta provably equals the one-shot pair set over A∪B —
+    * q136's oracle is q44's twin VERBATIM, making the gate the
+    * equivalence proof (the q113/q134 growth discipline applied to
+    * pair output). At 100 TB the delta join's full-band side is the
+    * persisted bucketed band index (the q113 table) rather than a
+    * recompute, and each ingest appends pairs touching only its own
+    * band buckets.
+    *
+    * Two-step build ⇒ temp-dir + atomic rename publish (`_SUCCESS` at
+    * the final path ⇒ both epochs landed), the ivfIndexGrown
+    * discipline. */
+  def grownPairIndex(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SaveMode
+    val tmp = System.getProperty("java.io.tmpdir")
+    graft.sources.Staging.vacuumStale(s, tmp, "graft_grown_pairs_")
+    val path = s"$tmp/graft_grown_pairs_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    val done = new Path(path, "_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (rebuild || !fs.exists(done)) {
+      val bld = path + "__build_tmp"
+      fs.delete(new Path(bld), true)
+      val sig = minhashSignatures(
+        graft.Tables.tWide(s, dir, "documents")).cache()
+      val bands = bandKeys(sig)
+      val zipEq = graft.plans.GraftExpressions.zip_equal _
+      // epoch A: the one-shot pair shape restricted to A
+      val bandsA = bands.filter(col("doc_id") % 10 =!= 3)
+      val pairsA = bandsA.toDF("doc_a", "sig_a", "key_a")
+        .join(bandsA.toDF("doc_b", "sig_b", "key_b"),
+          col("key_a") === col("key_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          zipEq(col("sig_a"), col("sig_b")).as("match_cnt"))
+        .distinct()
+        .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
+      graft.sources.Staging.store(pairsA, bld)
+      // epoch B delta: every pair with >= 1 endpoint in B. B rides the
+      // small side; the full-band side is what the persisted band index
+      // serves at scale. least/greatest normalizes pair order so the
+      // two orientations of a B×B pair collapse under distinct; A×A
+      // pairs can't appear (the b-side is epoch B only), so the append
+      // never duplicates an epoch-A row.
+      val delta = bands.toDF("doc_a", "sig_a", "key_a")
+        .join(bands.filter(col("doc_id") % 10 === 3)
+            .toDF("doc_b", "sig_b", "key_b"),
+          col("key_a") === col("key_b") && col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+          zipEq(col("sig_a"), col("sig_b")).as("match_cnt"))
+        .distinct()
+        .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
+      graft.sources.Staging.store(delta, bld, mode = SaveMode.Append)
+      sig.unpersist()
+      fs.delete(new Path(path), true)
+      require(fs.rename(new Path(bld), new Path(path)),
+        s"pair index publish failed: rename $bld -> $path")
+    }
+    path
+  }
+
   def minhashPairs(docs: DataFrame, k: Int = 3): DataFrame = {
     // consumed twice (both sides of the band join); cache avoids
     // recomputing the shingle scan per consumer. NB callers running many
@@ -385,6 +457,20 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // The pair-index GROWTH path under the gate — the lifecycle step
+    // q44's persisted frame presumes but doesn't exercise: epoch A
+    // builds the pair frame, epoch B appends only its new×old + new×new
+    // DELTA (A×A never recomputes), and the probe reads the GROWN
+    // frame. The answer must equal the one-shot pair set over A∪B —
+    // the oracle is q44's twin verbatim, so the gate IS the
+    // append ≡ rebuild equivalence proof (q113/q134's discipline
+    // applied to pair output).
+    "q136_pair_grow_reprobe" -> { (s, dir) =>
+      s.read.parquet(grownPairIndex(s, dir))
+        .filter(col("match_cnt") >= NearDupMinMatches)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Incremental (delta-vs-corpus) near-dup — the shape a real training
     // pipeline runs DAILY: a new ingest batch (doc_id % 10 = 7, ~10%)
     // asks "which of my docs duplicate the EXISTING corpus" without ever
@@ -536,6 +622,42 @@ object LlmQueries {
     },
   )
 
+  /** The q44 twin — also q136's oracle verbatim (the grown pair frame
+    * must equal the one-shot pair set). */
+  private val nearDupSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, len(string_split(text,' ')) - 2),
+      |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
+      |    (a,b) -> (a*131 + b) % 2147483647) AS h
+      |  FROM sh),
+      |mh AS (
+      |  SELECT doc_id, i,
+      |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
+      |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
+      |  GROUP BY doc_id, i),
+      |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |est AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
+      |  FROM cand
+      |   JOIN sig sa ON sa.doc_id = doc_a
+      |   JOIN sig sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard
+      |FROM est WHERE match_cnt >= 26
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Shared twin for q106/q108: the one-shot q44 replay restricted to
     * mixed (batch, corpus) pairs and relabeled. */
   private val incrementalDedupSql: String =
@@ -583,39 +705,11 @@ object LlmQueries {
         |  min(keep_id) AS min_keep_id
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q44_dedup_near" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
-        |    range(0, len(string_split(text,' ')) - 2),
-        |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(string_split(s,''), ch -> ascii(ch)::BIGINT)),
-        |    (a,b) -> (a*131 + b) % 2147483647) AS h
-        |  FROM sh),
-        |mh AS (
-        |  SELECT doc_id, i,
-        |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
-        |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
-        |  GROUP BY doc_id, i),
-        |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
-        |bands AS MATERIALIZED (
-        |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
-        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        |est AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
-        |  FROM cand
-        |   JOIN sig sa ON sa.doc_id = doc_a
-        |   JOIN sig sb ON sb.doc_id = doc_b)
-        |SELECT doc_a, doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard
-        |FROM est WHERE match_cnt >= 26
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q44_dedup_near" -> nearDupSql,
+    // the grown (A build + B delta append) pair frame holds exactly the
+    // one-shot pair set over A∪B, so q44's twin IS the oracle:
+    // append-then-probe must be indistinguishable from build-once
+    "q136_pair_grow_reprobe" -> nearDupSql,
 
     // q123: the q44 pipeline's pairs, re-verified exactly via the q55
     // distinct-shingle 62-bit arrays (list_intersect = the engine's

@@ -110,6 +110,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(reused === persisted)
   }
 
+  test("grownPairIndex (A build + B delta append) equals the one-shot pair frame") {
+    // the q136 gate's row-level form: epoch-wise growth must reproduce
+    // the one-shot pair set EXACTLY, including sub-threshold candidates
+    // (the persisted frames are unfiltered)
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val grown = spark.read
+      .parquet(LlmQueries.grownPairIndex(spark, dir, rebuild = true))
+      .select("doc_a", "doc_b", "match_cnt", "est_jaccard")
+      .collect().map(key).toSet
+    val oneShot = LlmQueries.nearDupPairs(spark, dir, rebuild = true)
+      .select("doc_a", "doc_b", "match_cnt", "est_jaccard")
+      .collect().map(key).toSet
+    assert(grown === oneShot)
+    // the delta actually contributed: epoch B endpoints exist in the set
+    assert(grown.exists { case (a, b, _, _) => a % 10 == 3 || b % 10 == 3 },
+      "fixture corpus must produce candidate pairs touching epoch B")
+  }
+
   test("q123 sketch error: identical docs score est=exact=1, err=0") {
     val text = (1 to 30).map(i => s"t$i").mkString(" ")
     val rows = LlmQueries.sketchError(docsDF(Seq((1L, text), (2L, text))))
