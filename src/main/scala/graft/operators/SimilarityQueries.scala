@@ -42,9 +42,9 @@ object SimilarityQueries {
     * live in q134's base epoch A, which is what lets the grown index
     * freeze them. Mirrored verbatim in the q57/q122/q134 oracle SQL
     * (`par` CTE). */
-  private[operators] val CentroidBaseStride = 100L
-  private[operators] val MaxCentroids = 4096L
-  private[operators] def centroidStride(n: Long): Long = {
+  private[graft] val CentroidBaseStride = 100L
+  private[graft] val MaxCentroids = 4096L
+  private[graft] def centroidStride(n: Long): Long = {
     val block = MaxCentroids * CentroidBaseStride
     CentroidBaseStride * math.max(1L, (n + block - 1L) / block)
   }

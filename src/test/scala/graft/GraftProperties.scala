@@ -32,6 +32,20 @@ object GraftProperties extends Properties("graft") {
       (xs.isEmpty && a == null && b == null) || a.compareTo(b) == 0
     }
 
+  property("centroidStride caps the IVF centroid count (k-vs-recall contract)") =
+    Prop.forAll(Gen.chooseNum(0L, 1L << 40)) { n =>
+      import graft.operators.SimilarityQueries.{centroidStride, MaxCentroids}
+      val stride = centroidStride(n)
+      // pure arithmetic — no Spark job. The three clauses ARE the
+      // contract: stride stays a multiple of 100 (centroids live in the
+      // grown index's frozen epoch A), k = n/stride never exceeds the
+      // cap, and below the cap threshold the legacy k = n/100 rule is
+      // unchanged (fixture outputs identical).
+      stride % 100L == 0L &&
+        n / stride <= MaxCentroids &&
+        (n > 409600L || stride == 100L)
+    }
+
   property("filter partitions the row count") =
     Prop.forAll(moneyGen) { xs =>
       val base = df(xs)

@@ -94,6 +94,19 @@ class PlanSpec extends SparkSpec {
       s"threshold must push into the pair scan:\n$p")
   }
 
+  test("q136 probes the grown pair frame with a pushed filter, no join") {
+    // same probe contract as q44, against the epoch-grown frame: the
+    // growth work lives in the build; the gated key is a scan
+    val p = plan("q136_pair_grow_reprobe")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)"
+      .r.findAllIn(p).size
+    assert(joins === 0, s"probe must not join, found $joins:\n$p")
+    assert(p.contains("graft_grown_pairs_"),
+      s"probe must read the grown pair frame:\n$p")
+    assert(p.contains("GreaterThanOrEqual(match_cnt,26)"),
+      s"threshold must push into the pair scan:\n$p")
+  }
+
   test("pair-frame BUILD has exactly one join (signatures ride the band join) and a codegen verify") {
     // regression guard for the r3 rewrite, now pinned where the work
     // lives: the old shape had three joins (band candidates + two
