@@ -227,14 +227,17 @@ object SimilarityQueries {
     // IVF path (q57) composes the same way at cluster scale. Coding
     // runs the interpreted int8Codes HOF once per vector (corpus-linear,
     // 100× off the pairwise hot path, and deliberately the same
-    // expression VectorOpsSpec pins against the q83 kernel).
+    // expression VectorOpsSpec pins against the q83 kernel). Query set
+    // ABSOLUTELY bounded since r11 (vec_id % 50 = 0 AND < 5000, the
+    // q45/q122 rule — a modulo alone would grow |Q| with the corpus
+    // and turn the linear scan quadratic-by-stealth).
     "q90_sim_quantized" -> { (s, dir) =>
       import graft.plans.GraftExpressions.seq_dot_long
       val coded = tWide(s, dir, "embeddings")
         .select(col("vec_id"),
           graft.functions.VectorOps.int8Codes(col("embedding"), 0.5)
             .as("codes"))
-      val q = coded.filter(col("vec_id") % 50 === 0)
+      val q = coded.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("qid"), col("codes").as("qc"))
       val v = coded.select(col("vec_id").as("nid"), col("codes").as("vc"))
       val w = Window.partitionBy("qid").orderBy(desc("dot"), col("nid"))
@@ -431,7 +434,60 @@ object SimilarityQueries {
     // broadcast onto both the pruned-bucket probe and the linear exact
     // scan, and zero-hit queries still report (left join from Q).
     "q122_ann_recall" -> { (s, dir) => annRecall(s, dir) },
+
+    // Quantization-quality evaluation — recall@5 of the int8 retrieval
+    // path (q90's integer-dot ranking) against the EXACT float-dot
+    // top-5 on the same absolutely-bounded query set: the
+    // measure-before-trust discipline (q122 for IVF, q123/q132 for
+    // MinHash) applied to the quantized path. Both sides rank by the
+    // same metric family (raw dot product) so the number isolates PURE
+    // int8 rounding loss — a cosine-vs-dot comparison would conflate
+    // quantization with normalization. Both scans are one linear pass
+    // with the bounded query side broadcast; ties break identically
+    // (metric DESC, nid) on both engines and in the twin.
+    "q137_quant_recall" -> { (s, dir) =>
+      quantRecall(tWide(s, dir, "embeddings").select("vec_id", "embedding"))
+    },
   )
+
+  /** q137 core over any (vec_id, embedding) frame: recall@5 of the
+    * int8-dot ranking (q90's chain) against exact float-dot top-5 on
+    * the absolutely-bounded query set. Factored so the spec can feed
+    * synthetic well-separated vectors (the recall-1 law). */
+  def quantRecall(emb: DataFrame): DataFrame = {
+    import graft.plans.GraftExpressions.seq_dot_long
+    val coded = emb.select(col("vec_id"),
+      graft.functions.VectorOps.int8Codes(col("embedding"), 0.5)
+        .as("codes"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("m"), col("nid"))
+    // quantized side: q90's ranking verbatim
+    val qq = coded.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("codes").as("qc"))
+    val quant = broadcast(qq)
+      .crossJoin(coded.select(col("vec_id").as("nid"), col("codes").as("vc")))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        seq_dot_long(col("qc"), col("vc")).cast("double").as("m"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5).select("qid", "nid")
+    // exact side: float-dot (same metric family, unquantized)
+    val qe = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = broadcast(qe)
+      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        graft.operators.LlmQueries.seqDot(col("qv"), col("nv")).as("m"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5).select("qid", "nid")
+    val hits = exact.join(quant, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    qe.select("qid").join(hits, Seq("qid"), "left_outer")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("qid"), col("n_hit").cast("long").as("n_hit"),
+        round(col("n_hit") / lit(5.0), 6).as("recall"))
+      .orderBy("qid")
+  }
 
   /** q122 core: per-query IVF hit count vs the exact top-3 and the
     * recall ratio, ordered by qid. */
@@ -481,7 +537,7 @@ object SimilarityQueries {
         |    x -> GREATEST(-127, LEAST(127,
         |      CAST(round(CAST(x AS DOUBLE) * 254.0) AS BIGINT)))) AS codes
         |  FROM embeddings),
-        |q AS (SELECT vec_id AS qid, codes AS qc FROM c WHERE vec_id % 50 = 0),
+        |q AS (SELECT vec_id AS qid, codes AS qc FROM c WHERE vec_id % 50 = 0 AND vec_id < 5000),
         |p AS (
         |  SELECT qid, c.vec_id AS nid,
         |    list_reduce(list_transform(range(1, 65), i -> qc[i] * codes[i]),
@@ -555,6 +611,39 @@ object SimilarityQueries {
         |  count(*) FILTER (sim >= 0.3) AS n_close,
         |  round(max(sim), 6) AS max_cos
         |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
+    // q137: quantized-dot top-5 (q90's chain) joined against exact
+    // float-dot top-5 on the same bounded Q; recall = |∩| / 5. Float
+    // products follow the D7 pattern (float32 product, double
+    // accumulation) so the exact side replays seqDot bit-for-bit.
+    "q137_quant_recall" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT vec_id, embedding, list_transform(embedding,
+        |    x -> GREATEST(-127, LEAST(127,
+        |      CAST(round(CAST(x AS DOUBLE) * 254.0) AS BIGINT)))) AS codes
+        |  FROM embeddings),
+        |q AS MATERIALIZED (SELECT vec_id AS qid, codes AS qc, embedding AS qv
+        |  FROM c WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |qp AS (
+        |  SELECT qid, c.vec_id AS nid,
+        |    list_reduce(list_transform(range(1, 65), i -> qc[i] * codes[i]),
+        |      (a, b) -> a + b) AS m
+        |  FROM q JOIN c ON c.vec_id != qid),
+        |qr AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY m DESC, nid) AS rnk FROM qp)
+        |  WHERE rnk <= 5),
+        |ep AS (
+        |  SELECT qid, c.vec_id AS nid,
+        |    list_reduce(list_transform(range(1, 65), i -> CAST(qv[i]*c.embedding[i] AS DOUBLE)), (a,b) -> a+b) AS m
+        |  FROM q JOIN c ON c.vec_id != qid),
+        |er AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY m DESC, nid) AS rnk FROM ep)
+        |  WHERE rnk <= 5),
+        |hits AS (SELECT qid, count(*) AS n_hit FROM er JOIN qr USING (qid, nid) GROUP BY qid)
+        |SELECT qs.qid, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(COALESCE(n_hit, 0) / 5.0, 6) AS recall
+        |FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits USING (qid)
+        |ORDER BY qid""".stripMargin,
 
     "q57_ann_ivf" -> IvfProbeSql,
 

@@ -106,4 +106,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(1).getSeq[Long](0) === Seq(25L, -25L, 0L, 0L))
     assert(out(1).getLong(1) === 0L)
   }
+
+  test("q137 law: int8 quantization preserves well-separated rankings (recall 1)") {
+    // corpus dots spaced 0.025 apart — two orders of magnitude above
+    // the int8 step (0.5/127 ≈ 0.004 per dim): quantized and exact
+    // top-5 must coincide exactly. A recall < 1 here would mean the
+    // quantized ranking broke on data it has no excuse to break on.
+    val sess = spark
+    import sess.implicits._
+    val emb = (0 to 9).map { k =>
+      (k.toLong,
+        if (k == 0) Seq(0.5f, 0f) else Seq(0.05f * k, 0f))
+    }.toDF("vec_id", "embedding")   // vec_id 0 is the one bounded query
+    val out = graft.operators.SimilarityQueries.quantRecall(emb).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 5L, "all 5 exact neighbors recovered")
+    assert(out.head.getDouble(2) === 1.0)
+  }
 }
