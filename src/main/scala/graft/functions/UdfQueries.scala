@@ -72,7 +72,7 @@ object UdfQueries {
     // True Catalyst Generator (graft.plans.WordBigrams): one row per
     // bigram straight off the string — no intermediate array, no UDF
     // boundary. The UDF-array + explode form this replaces survives in
-    // UdfQueriesSpec as the equivalence law.
+    // GraftFunctionsSpec as the equivalence law.
     "q49_udtf_bigrams" -> { (s, dir) =>
       tWide(s, dir, "documents")
         .select(graft.plans.GraftExpressions.word_bigrams(col("text"))

@@ -651,7 +651,7 @@ case class MortonCode(left: Expression, right: Expression)
   * "UDF where an Expression fits" instance, closed). Tokenization
   * contract matches the UDF it replaces exactly (split on single
   * spaces, limit -1 so trailing empty tokens survive — the DuckDB
-  * string_split twin's behavior); UdfQueriesSpec keeps the UDF form as
+  * string_split twin's behavior); GraftFunctionsSpec keeps the UDF form as
   * the equivalence law. Generators only join WholeStageCodegen through
   * the dedicated CollectionGenerator path (explode/posexplode), so like
   * Spark's own `Stack`/`JsonTuple` this one evaluates row-at-a-time
