@@ -435,6 +435,96 @@ object SimilarityQueries {
     // scan, and zero-hit queries still report (left join from Q).
     "q122_ann_recall" -> { (s, dir) => annRecall(s, dir) },
 
+    // Streaming ANN query SERVING — the remaining lifecycle member of
+    // the IVF family (q57 build+probe, q134 grow, q122 recall; this is
+    // the always-on query path): query VECTORS arrive as file-source
+    // micro-batches, each batch assigns its queries to the frozen
+    // capped centroid set (broadcast, same arithmetic as the build —
+    // per-row work, no stream-side shuffle before the probe), names
+    // its centroids (the bounded routing handshake), reads ONLY those
+    // partitions of the persisted index, ranks top-3 per query inside
+    // the micro-batch via foreachBatch (per-query results are
+    // index-side only, so per-batch top-3 IS global top-3), and
+    // appends to a parquet sink. Oracle is q57's twin VERBATIM:
+    // streamed serving must reproduce the one-shot probe bit-for-bit.
+    "q138_stream_ann_serve" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      val idxPath = ivfIndex(s, dir)
+      val idx = s.read.parquet(idxPath)
+      // reconstruct the frozen centroid set from the index by the same
+      // capped-stride rule the build used (one metadata-scale count)
+      val stride = centroidStride(idx.count())
+      val cent = idx.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("ccid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val base = freshBase(s, dir, "q138")
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      // the bounded q57 query set arrives as TWO micro-batches of RAW
+      // vectors (a real serving path doesn't know its centroids yet)
+      val qset = tWide(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select("vec_id", "embedding")
+      val src = stageBatches(s, base, Seq(
+        qset.filter(col("vec_id") % 100 === 0),
+        qset.filter(col("vec_id") % 100 =!= 0)))
+      graft.Tables.withShufflePartitions(s, 8) {
+        val stream = s.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val wAsgn = Window.partitionBy("qid")
+              .orderBy(desc("csim"), col("ccid"))
+            val wTop = Window.partitionBy("qid")
+              .orderBy(desc("sim_raw"), col("nid"))
+            val qb = batch
+              .withColumn("qn",
+                graft.functions.VectorOps.l2Norm(col("embedding")))
+              .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+                col("qn"))
+            val asg = qb.crossJoin(broadcast(cent))
+              .select(col("qid"), col("qe"), col("qn"), col("ccid"),
+                graft.functions.VectorOps.cosinePre(
+                  seqDot(col("qe"), col("ce")), col("qn"), col("cn"))
+                  .as("csim"))
+              .withColumn("rn", row_number().over(wAsgn))
+              .filter(col("rn") === 1)
+              .select(col("qid"), col("qe"), col("qn"),
+                col("ccid").as("qcid"))
+            // routing handshake: the batch's distinct centroid ids, in
+            // the PARTITION COLUMN's own inferred type so the isin
+            // prunes directories rather than casting the attribute
+            val cidT = idx.schema("cid").dataType
+            val qcids = asg.select(col("qcid").cast(cidT)).distinct()
+              .collect().map(_.get(0))
+            val members = idx
+              .filter(col("cid").isin(qcids.toIndexedSeq: _*))
+              .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+                col("nrm").as("nn"), col("cid").cast("long").as("ncid"))
+            broadcast(asg)
+              .join(members, col("qcid") === col("ncid") &&
+                col("nid") =!= col("qid"))
+              .select(col("qid"), col("nid"),
+                graft.functions.VectorOps.cosinePre(
+                  seqDot(col("qe"), col("ne")), col("qn"), col("nn"))
+                  .as("sim_raw"))
+              .withColumn("rnk", row_number().over(wTop).cast("long"))
+              .filter(col("rnk") <= 3)
+              .select(col("qid"), col("rnk"), col("nid"),
+                round(col("sim_raw"), 6).as("sim"))
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(outDir)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(outDir).orderBy("qid", "rnk")
+    },
+
     // Quantization-quality evaluation — recall@5 of the int8 retrieval
     // path (q90's integer-dot ranking) against the EXACT float-dot
     // top-5 on the same absolutely-bounded query set: the
@@ -650,6 +740,10 @@ object SimilarityQueries {
     // q134 = q57's answer from the grown index; same SQL, and the gate
     // becomes the append≡rebuild equivalence proof
     "q134_ann_grow_reprobe" -> IvfProbeSql,
+
+    // q138 = q57's answer reached through streamed micro-batch serving;
+    // same SQL, and the gate becomes the streamed ≡ one-shot proof
+    "q138_stream_ann_serve" -> IvfProbeSql,
 
     // q122: the q57 IVF replay (bounded Q) joined against the exact
     // brute-force top-3; recall = |intersection| / 3 per query

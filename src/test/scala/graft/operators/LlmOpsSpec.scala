@@ -223,6 +223,25 @@ class LlmOpsSpec extends SparkSpec {
       "frozen-centroid append must reproduce the one-shot assignment")
   }
 
+  test("q138: streamed ANN serving equals the one-shot q57 probe row-for-row") {
+    // the serving path recomputes each query's centroid per micro-batch
+    // from the reconstructed frozen centroid set; this law pins that
+    // the recomputed assignment + per-batch top-3 reproduce the batch
+    // probe EXACTLY (the oracle proves it against DuckDB; this proves
+    // it engine-side, so a drift points at the streaming path alone)
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rnk", "nid", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+    val streamed = rows(
+      SimilarityQueries.queries("q138_stream_ann_serve")(spark, dir))
+    val oneShot = rows(
+      SimilarityQueries.queries("q57_ann_ivf")(spark, dir))
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty, "fixture query set must produce neighbors")
+  }
+
   test("q132: candidate PR laws — tp bounded, candidate set shrinks with threshold") {
     val out = LlmQueries.candidatePR(
         graft.Tables.tWide(spark, "/root/testdata/sf0.001", "documents"))
