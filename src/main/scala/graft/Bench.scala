@@ -88,6 +88,9 @@ object Bench {
         operators.LlmQueries.grownBandIndex(spark, sfDir, rebuild = true); () }),
       "q114_index_build" -> (() => {
         operators.CurationQueries.segCountIndex(spark, sfDir, rebuild = true); () }),
+      "q139_index_build" -> (() => {
+        operators.MultimodalQueries.imageHashIndex(spark, sfDir,
+          rebuild = true); () }),
       // q134's build+append cycle IS its cost (the q113 convention)
       "q134_index_build" -> (() => {
         operators.SimilarityQueries.ivfIndexGrown(spark, sfDir, rebuild = true); () }),

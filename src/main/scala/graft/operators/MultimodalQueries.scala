@@ -84,15 +84,98 @@ object MultimodalQueries {
         .select(col("node").as("media_id"), col("lbl").as("cluster_id"))
         .orderBy("media_id")
     },
+
+    // Image ingest dedup as a TRUE STREAM — the multimodal member that
+    // completes streaming coverage across the dedup families (q108
+    // text, q114 segments, q135 embeddings, images here): new images
+    // (media_id % 10 = 7) arrive as file-source micro-batches, each
+    // row runs the REAL ImageIO encode→decode→dHash path inside the
+    // stream (mapPartitions — stateless narrow work, the q115 decode
+    // justification), bands its 64-bit hash (4×16 bits, per-row
+    // arithmetic), stream-static joins the persisted bucketed corpus
+    // hash index ([[imageHashIndex]], the q106 lifecycle: built once
+    // from media_id % 10 ≠ 7, grown per ingest via appendBucketed at
+    // 100 TB), verifies hamming ≤ 6 in-batch and appends verified
+    // pairs to a parquet sink. Read-back dedups band-collision
+    // repeats. Oracle: the q115 dHash chain restricted to mixed
+    // (batch, corpus) pairs — streaming ingest must reproduce the
+    // one-shot batch answer bit-for-bit (the q106/q108 discipline).
+    "q139_stream_image_dedup" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      val tab = imageHashIndex(s, dir)
+      val corpus = s.table(tab)
+        .toDF("corpus_media", "h_c", "b_c", "bk_c")
+      val base = freshBase(s, dir, "q139")
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val batchDocs = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+      val src = stageBatches(s, base, Seq(
+        batchDocs.filter(col("doc_id") % 20 === 7),
+        batchDocs.filter(col("doc_id") % 20 === 17)))
+      graft.Tables.withShufflePartitions(s, 8) {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val hashes = hashRows(stream).toDF("batch_media", "h_b")
+        val bands = hashes
+          .withColumn("b", explode(sequence(lit(0), lit(3))))
+          .withColumn("bk",
+            expr("shiftright(h_b, CAST(16 * b AS INT)) & 65535"))
+        val pairs = bands
+          .join(corpus, col("b") === col("b_c") && col("bk") === col("bk_c"))
+          .filter(bit_count(col("h_b").bitwiseXOR(col("h_c"))) <= 6)
+          .select(col("batch_media"), col("corpus_media"),
+            bit_count(col("h_b").bitwiseXOR(col("h_c"))).cast("long")
+              .as("hamming"))
+        val q = graft.streaming.StreamPipelines
+          .writeParquetStream(pairs, outDir, ckpt)
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(outDir)
+        .select("batch_media", "corpus_media", "hamming")
+        .distinct()
+        .orderBy("batch_media", "corpus_media")
+    },
   )
+
+  /** Build — or REUSE — q139's persisted corpus image-hash band index:
+    * dHash + 4×16-bit band rows for every NON-batch image
+    * (media_id % 10 ≠ 7), bucketed on the band key. The q106/q109
+    * lifecycle applied to the image family: written once, grown per
+    * ingest via `Staging.appendBucketed` at 100 TB, never re-shuffled
+    * (Bench times the build separately as q139_index_build). */
+  def imageHashIndex(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    graft.sources.Staging.vacuumStale(s, wh, "graft_image_bands_")
+    val tab = "graft_image_bands_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    if (rebuild || !s.catalog.tableExists(tab)) {
+      val bands = syntheticImageHashes(s, dir)
+        .filter(col("media_id") % 10 =!= 7)
+        .withColumn("b", explode(sequence(lit(0), lit(3))))
+        .withColumn("bk", expr("shiftright(h, CAST(16 * b AS INT)) & 65535"))
+      graft.sources.Staging.storeBucketed(
+        bands.repartition(8, col("bk")), tab, Seq("bk"), 8)
+    }
+    tab
+  }
 
   /** q115's hash stage: one deterministic 9×8 grayscale PNG per
     * document through the REAL ImageIO encode → decode → dHash path.
     * Returns (media_id, h). */
-  def syntheticImageHashes(s: SparkSession, dir: String): DataFrame = {
+  def syntheticImageHashes(s: SparkSession, dir: String): DataFrame =
+    hashRows(tWide(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** The synth + ImageIO decode + dHash kernel over any (id, text)
+    * frame — stateless narrow per-row work, so it runs identically on
+    * the batch hash stage above and on q139's micro-batched stream. */
+  def hashRows(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    tWide(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    df.as[(Long, String)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, text) =>
@@ -202,5 +285,43 @@ object MultimodalQueries {
          |${GraphQueries.labelSteps(GraphQueries.ClusterIters)}
          |SELECT node AS media_id, lbl AS cluster_id
          |FROM l${GraphQueries.ClusterIters} ORDER BY media_id""".stripMargin,
+
+    // q139: the q115 px/h/bands chain restricted to mixed
+    // (batch, corpus) pairs and relabeled — signatures are per-image
+    // quantities, so the one-shot pair query with a side filter IS the
+    // incremental answer (the q106/q109 twin discipline); streaming
+    // ingest must reproduce it bit-for-bit
+    "q139_stream_image_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(72), i ->
+        |    CASE WHEN len(text) = 0 THEN 0
+        |         ELSE ascii(text[CAST(i % len(text) AS INTEGER) + 1])
+        |    END) AS px
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(64), k ->
+        |      CASE WHEN px[CAST((k // 8) * 9 + (k % 8) AS INTEGER) + 1]
+        |              > px[CAST((k // 8) * 9 + (k % 8) AS INTEGER) + 2]
+        |           THEN CASE WHEN k = 63 THEN -9223372036854775807 - 1
+        |                     ELSE (1::BIGINT << CAST(k AS INTEGER)) END
+        |           ELSE 0::BIGINT
+        |      END)), (a, b) -> a + b) AS h
+        |  FROM px),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, b, (h >> CAST(16 * b AS INTEGER)) & 65535 AS bk, h
+        |  FROM h CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |pairs AS (
+        |  SELECT DISTINCT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+        |  FROM (
+        |    SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.h AS ha, y.h AS hb
+        |    FROM bands x JOIN bands y
+        |      ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+        |    WHERE (x.doc_id % 10 = 7) != (y.doc_id % 10 = 7))
+        |  WHERE bit_count(xor(ha, hb)) <= 6)
+        |SELECT CASE WHEN id_a % 10 = 7 THEN id_a ELSE id_b END AS batch_media,
+        |  CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS corpus_media,
+        |  hamming
+        |FROM pairs ORDER BY batch_media, corpus_media""".stripMargin,
   )
 }
