@@ -66,6 +66,71 @@ object ScanQueries {
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     },
+
+    // CSV as a SOURCE FORMAT under the gate: stage `documents` as
+    // RFC-4180 CSV (quoteAll + doubled-quote escaping, header), read it
+    // back with an EXPLICIT schema (schema-on-read — never inference in
+    // a pipeline: one malformed row would silently re-type a column)
+    // and multiLine (embedded newlines live inside quotes), then
+    // checksum-aggregate. The DuckDB twin reads the ORIGINAL parquet
+    // table, so the hash match proves the CSV round trip is lossless
+    // character-for-character (the per-lang poly-hash sum pins every
+    // text byte; id/char sums pin the numeric columns). Note the CSV
+    // reader's default nullValue="" turns an empty quoted text into
+    // NULL — poly_hash(NULL) drops out of the sum exactly like the
+    // empty string's hash 0, so the checksum stays oracle-identical.
+    "q140_csv_roundtrip" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.poly_hash
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q140_")
+      val stage = s"$tmp/graft_q140_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      graft.sources.Staging.vacuum(s, stage)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .write.option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"").csv(stage)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, " +
+          "n_chars BIGINT, text STRING")
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").csv(stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(poly_hash(col("text"))).cast("long").as("text_checksum"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
+
+    // JSON-lines as a SOURCE FORMAT under the gate: same discipline as
+    // q140 (write → explicit-schema read-back → checksum agg vs the
+    // original table). Spark's json writer emits one object per line
+    // and DROPS null fields; the schema'd reader restores them as
+    // NULL, which the checksum treats identically to q140's CSV case.
+    "q141_jsonl_roundtrip" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.poly_hash
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q141_")
+      val stage = s"$tmp/graft_q141_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      graft.sources.Staging.vacuum(s, stage)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .write.json(stage)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, " +
+          "n_chars BIGINT, text STRING")
+        .json(stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(poly_hash(col("text"))).cast("long").as("text_checksum"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -88,5 +153,21 @@ object ScanQueries {
     "q80_compact_staging" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both roundtrip twins read the ORIGINAL parquet table: equality
+    // proves the staged format conversion lost nothing (the poly-hash
+    // fold is the q81 per-char replay; '' folds to 0 on both engines,
+    // matching the CSV/JSON NULL-for-empty read-back)
+    "q140_csv_roundtrip" -> formatRoundtripSql,
+    "q141_jsonl_roundtrip" -> formatRoundtripSql,
   )
+
+  private val formatRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(text,''), ch -> ascii(ch)::BIGINT)),
+      |    (a,b) -> (a*131 + b) % 2147483647)) AS BIGINT) AS text_checksum,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }
