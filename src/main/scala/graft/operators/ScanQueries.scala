@@ -131,6 +131,35 @@ object ScanQueries {
           sum("doc_id").cast("long").as("id_sum"))
         .orderBy("lang")
     },
+
+    // ORC as a SOURCE FORMAT under the gate: the third staging format a
+    // lake actually serves (columnar like parquet — typed, splittable,
+    // predicate-pushdown-capable — unlike the q140/q141 text formats).
+    // Spark's native ORC reader/writer (spark.sql.orc.impl=native is the
+    // default) needs no extra jars; types and NULLs round-trip exactly,
+    // so unlike CSV/JSON no empty-vs-NULL asymmetry exists to document.
+    // Same discipline as q140: write → read back → checksum-aggregate,
+    // with the DuckDB twin on the ORIGINAL parquet table proving the
+    // conversion lossless.
+    "q142_orc_roundtrip" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.poly_hash
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q142_")
+      val stage = s"$tmp/graft_q142_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      graft.sources.Staging.vacuum(s, stage)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .write.orc(stage)
+      s.read.orc(stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(poly_hash(col("text"))).cast("long").as("text_checksum"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -160,6 +189,7 @@ object ScanQueries {
     // matching the CSV/JSON NULL-for-empty read-back)
     "q140_csv_roundtrip" -> formatRoundtripSql,
     "q141_jsonl_roundtrip" -> formatRoundtripSql,
+    "q142_orc_roundtrip" -> formatRoundtripSql,
   )
 
   private val formatRoundtripSql: String =
