@@ -129,22 +129,26 @@ object CorpusQueries {
 
   /** Sign-LSH coding + band-key explode shared by q109's index build
     * and its per-batch probe side: 16-plane sign code in one kernel
-    * pass, 4×4-bit band keys, embedding + norm riding each band row. */
-  private[graft] def codedBands(e: DataFrame): DataFrame = {
+    * pass, 4×4-bit band keys, embedding + norm riding each band row.
+    * `carry` names extra input columns to ride along unchanged (q143
+    * carries the cluster id so its candidate join needs no join-back). */
+  private[graft] def codedBands(e: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     import graft.plans.GraftExpressions.sign_lsh_code
     val signs = Array.tabulate(Planes * Dims) { idx =>
       planeSign(idx % Dims + 1, idx / Dims).toDouble
     }
-    val coded = e.select(col("vec_id"), col("embedding"),
+    val coded = e.select(Seq(col("vec_id"), col("embedding"),
       graft.functions.VectorOps.l2Norm(col("embedding")).as("nrm"),
-      sign_lsh_code(col("embedding"), signs, Planes, Dims).as("code"))
+      sign_lsh_code(col("embedding"), signs, Planes, Dims).as("code")) ++
+      carry.map(col): _*)
     val bks = (0 until Bands).map { b =>
       concat_ws(":", lit(b),
         shiftright(col("code"), (Bands - 1 - b) * 4)
           .bitwiseAND(lit(15)))
     }
-    coded.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(bks: _*)).as("bk"))
+    coded.select(Seq(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(bks: _*)).as("bk")) ++ carry.map(col): _*)
   }
 
   /** Build — or REUSE (same (dir, session) ⇒ same content; Bench times
@@ -616,19 +620,27 @@ object CorpusQueries {
     * optional extra candidate predicate) → exact cosine. The final
     * SELECT is caller-supplied (q73 keeps (id_a, id_b); q109 relabels
     * to (batch_vec, corpus_vec)). */
-  private def embedLshSql(candExtra: String, finalSelect: String): String = {
+  /** The plane-bit → band-key CTE pair (`c`, `bands`) of [[embedLshSql]],
+    * exposed (without the WITH) so q143's oracle can splice the SAME
+    * sign-LSH replay after its IVF-assignment CTEs — one source of truth
+    * for the plane constants on the DuckDB side too. */
+  private[graft] def lshBandCtes: String = {
     val bitCols = (0 until Planes).map(j =>
       s"CASE WHEN ${planeDotSql(j)} > 0 THEN 1 ELSE 0 END AS bit$j")
       .mkString(",\n    ")
     val bandKey = (0 until Bands).map(b =>
       s"WHEN $b THEN bit${4 * b}*8 + bit${4 * b + 1}*4 + " +
         s"bit${4 * b + 2}*2 + bit${4 * b + 3}").mkString(" ")
-    s"""WITH c AS (
+    s"""c AS (
        |  SELECT vec_id, $bitCols
        |  FROM embeddings),
        |bands AS (
        |  SELECT vec_id, b, CASE b $bandKey END AS key
-       |  FROM c CROSS JOIN (SELECT unnest(range($Bands)) AS b) bb),
+       |  FROM c CROSS JOIN (SELECT unnest(range($Bands)) AS b) bb)""".stripMargin
+  }
+
+  private def embedLshSql(candExtra: String, finalSelect: String): String = {
+    s"""WITH $lshBandCtes,
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM bands x JOIN bands y

@@ -435,6 +435,45 @@ object SimilarityQueries {
     // scan, and zero-hit queries still report (left join from Q).
     "q122_ann_recall" -> { (s, dir) => annRecall(s, dir) },
 
+    // Semantic dedup over the clustered corpus (the SemDeDup recipe —
+    // Abbas et al. 2023, arXiv:2303.09540: cluster embeddings, dedup
+    // WITHIN clusters): reuses q57's persisted IVF index for the
+    // cluster assignment (build-once discipline — Bench prices this key
+    // probe-only) and drops, per cluster, every vector with a
+    // lower-id semantic duplicate at exact cosine >= 0.4. The paper's
+    // within-cluster step is all-pairs (fine while clusters stay
+    // ~stride-sized; unbounded once MaxCentroids caps k and clusters
+    // grow with the corpus), so candidates here take a SECOND, sharper
+    // filter: same cluster AND same sign-LSH band (the q73 coding,
+    // carried through codedBands with cid riding each band row — no
+    // join-back). The (cid, band)-bucketed self-join is
+    // hash-partitionable and strictly smaller than either filter
+    // alone; the pair graph's "keep lowest id" rule makes the survivor
+    // set deterministic without iterating components (q87 covers the
+    // transitive version). Output: each dropped vector with its
+    // cluster and its lowest-id in-cluster duplicate.
+    "q143_semdedup" -> { (s, dir) =>
+      import graft.operators.CorpusQueries.codedBands
+      val idx = s.read.parquet(ivfIndex(s, dir))
+        .select(col("vec_id"), col("embedding"),
+          col("cid").cast("long").as("cid"))
+      // both sides of the band self-join consume the coded frame and
+      // alias-renamed self-join sides defeat ReuseExchange — cache (the
+      // q73 discipline)
+      val bands = codedBands(idx, carry = Seq("cid")).cache()
+      val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a", "cid_a")
+      val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b", "cid_b")
+      ba.join(bb,
+          col("bk_a") === col("bk_b") && col("cid_a") === col("cid_b") &&
+          col("id_a") < col("id_b"))
+        .withColumn("sim", graft.functions.VectorOps.cosinePre(
+          seqDot(col("e_a"), col("e_b")), col("n_a"), col("n_b")))
+        .filter(col("sim") >= 0.4)
+        .groupBy(col("cid_a").as("cid"), col("id_b").as("vec_id"))
+        .agg(min(col("id_a")).as("dup_of"))
+        .orderBy("vec_id")
+    },
+
     // Streaming ANN query SERVING — the remaining lifecycle member of
     // the IVF family (q57 build+probe, q134 grow, q122 recall; this is
     // the always-on query path): query VECTORS arrive as file-source
@@ -747,21 +786,8 @@ object SimilarityQueries {
 
     // q122: the q57 IVF replay (bounded Q) joined against the exact
     // brute-force top-3; recall = |intersection| / 3 per query
-    "q122_ann_recall" ->
-      """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
-        |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
-        |  FROM embeddings),
-        |par AS (SELECT 100 * GREATEST(1, CAST(ceil(count(*) / 409600.0) AS BIGINT)) AS stride FROM e),
-        |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM e, par WHERE vec_id % stride = 0),
-        |asgn AS (
-        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM (
-        |    SELECT vec_id, cid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
-        |      SELECT e.vec_id, c.cid,
-        |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS dot,
-        |        e.nrm AS na, c.cn AS nb
-        |      FROM e CROSS JOIN cent c))),
-        |buckets AS MATERIALIZED (SELECT vec_id, cid FROM asgn WHERE rn = 1),
-        |q AS MATERIALIZED (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid
+    "q122_ann_recall" -> (IvfAssignCtes + ",\n" +
+      """q AS MATERIALIZED (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid
         |  FROM e JOIN buckets b USING (vec_id)
         |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 5000),
         |probe AS (
@@ -785,12 +811,41 @@ object SimilarityQueries {
         |SELECT qs.qid, COALESCE(n_hit, 0) AS n_hit,
         |  round(COALESCE(n_hit, 0) / 3.0, 6) AS recall
         |FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits USING (qid)
-        |ORDER BY qid""".stripMargin,
+        |ORDER BY qid""".stripMargin),
+
+    // q143: the IVF-assignment CTEs name each vector's cluster; the
+    // spliced sign-LSH band CTEs (CorpusQueries.lshBandCtes — the SAME
+    // generated plane constants as q73's twin) supply the in-cluster
+    // candidate filter; survivors of exact cosine >= 0.4 drop the
+    // higher-id member (dup_of = its lowest-id in-cluster duplicate)
+    "q143_semdedup" -> (IvfAssignCtes + ",\n" +
+      CorpusQueries.lshBandCtes + ",\n" +
+      """cand AS (
+        |  SELECT DISTINCT ba.cid, x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id
+        |  JOIN buckets ba ON ba.vec_id = x.vec_id
+        |  JOIN buckets bb ON bb.vec_id = y.vec_id AND bb.cid = ba.cid),
+        |p AS (
+        |  SELECT cid, id_a, id_b,
+        |    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN NULL ELSE
+        |      list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*b.embedding[i] AS DOUBLE)), (x,y)->x+y)
+        |      / (a.nrm*b.nrm) END AS sim
+        |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
+        |SELECT cid, id_b AS vec_id, min(id_a) AS dup_of
+        |FROM p WHERE sim >= 0.4
+        |GROUP BY cid, id_b
+        |ORDER BY vec_id""".stripMargin),
   )
 
   /** DuckDB twin of the IVF probe — shared by q57 (one-shot index) and
     * q134 (grown index), whose contents are provably identical. */
-  private val IvfProbeSql: String =
+  /** Shared IVF-assignment CTE prefix (embedding norms → capped-stride
+    * centroids → nearest-centroid `buckets`): the DuckDB source of truth
+    * for the assignment the persisted index materializes, spliced into
+    * the q57/q134/q138 probe twin, q122's recall twin, and q143's
+    * SemDeDup twin. */
+  private val IvfAssignCtes: String =
     """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
       |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
       |  FROM embeddings),
@@ -803,8 +858,10 @@ object SimilarityQueries {
       |        list_reduce(list_transform(range(1,65), i -> CAST(e.embedding[i]*c.ce[i] AS DOUBLE)), (a,b)->a+b) AS dot,
       |        e.nrm AS na, c.cn AS nb
       |      FROM e CROSS JOIN cent c))),
-      |buckets AS MATERIALIZED (SELECT vec_id, cid FROM asgn WHERE rn = 1),
-      |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0 AND e.vec_id < 5000),
+      |buckets AS MATERIALIZED (SELECT vec_id, cid FROM asgn WHERE rn = 1)""".stripMargin
+
+  private val IvfProbeSql: String = IvfAssignCtes + ",\n" +
+    """q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0 AND e.vec_id < 5000),
       |probe AS (
       |  SELECT qid, nid, CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot/(na*nb) END AS sim FROM (
       |    SELECT q.qid, e.vec_id AS nid,

@@ -340,6 +340,21 @@ class PlanSpec extends SparkSpec {
       s"per-plane seq_dot bit columns crept back into q73's coding stage:\n$p")
   }
 
+  test("q143 semdedup candidates come from an equi-join, never all-pairs") {
+    // the scale contract: within-cluster dedup must NOT be the paper's
+    // all-pairs scan (unbounded once MaxCentroids caps k and clusters
+    // grow with the corpus) — candidates join on (band key, cluster id),
+    // a hash-partitionable equi-join, with the coded frame cached once
+    // for both sides
+    val p = plan("q143_semdedup")
+    assert(p.contains("graft_sign_lsh"),
+      s"expected the SignLshCode kernel in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"semdedup candidate generation must never be all-pairs:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"both self-join sides must reuse the cached coded frame:\n$p")
+  }
+
   test("q81 decontaminates with a BROADCAST semi-join on the gram stream") {
     // the 100 TB shape: the eval set's distinct gram hashes broadcast,
     // so the (billion-doc) corpus side stays a linear scan — a shuffled

@@ -223,6 +223,30 @@ class LlmOpsSpec extends SparkSpec {
       "frozen-centroid append must reproduce the one-shot assignment")
   }
 
+  test("q143: semdedup drops only same-cluster lower-id duplicates, a subset of q73's band pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val dropped = SimilarityQueries.queries("q143_semdedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dropped.nonEmpty,
+      "fixture corpus must contain within-cluster near-dups")
+    assert(dropped.forall { case (_, vecId, dupOf) => dupOf < vecId },
+      "the keeper is always the lowest id")
+    // same-cluster law, against the persisted index itself
+    val cid = spark.read.parquet(SimilarityQueries.ivfIndex(spark, dir))
+      .select(col("vec_id"), col("cid").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dropped.foreach { case (c, vecId, dupOf) =>
+      assert(cid(vecId) === c && cid(dupOf) === c,
+        s"pair ($dupOf, $vecId) must share cluster $c") }
+    // the (cid, band) candidate filter is strictly SHARPER than q73's
+    // band-only filter: every dropped pair must appear among q73's
+    // same-band pairs at the same cosine threshold
+    val bandPairs = CorpusQueries.queries("q73_embed_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.forall { case (_, v, d) => bandPairs.contains((d, v)) },
+      "semdedup pairs must be a subset of the band-only pair set")
+  }
+
   test("q138: streamed ANN serving equals the one-shot q57 probe row-for-row") {
     // the serving path recomputes each query's centroid per micro-batch
     // from the reconstructed frozen centroid set; this law pins that
