@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** Data-quality / audit family: PII redaction (q124), one-pass column
-  * profiling (q125), and histogram-quantile calibration against exact
-  * percentiles (q126 — third member of the q122/q123 evaluation
-  * family).
+  * profiling (q125), histogram-quantile calibration against exact
+  * percentiles (q126), and Count-Min-Sketch count calibration (q144)
+  * — members #3 and #4 of the q122/q123 evaluation family.
   *
   * The reference pipeline (santoroc/appstore-aws-etl: `utils/utils/
   * s3.py` stages raw API payloads to S3, `utils/utils/secrets.py`
@@ -167,6 +167,43 @@ object AuditQueries {
       .withColumn("abs_err", round(abs(col("est") - col("exact")), 6))
   }
 
+  /** q144 sketch shape: 4 rows × 1024 buckets = 32 KB, fixed. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** q144 core: one CMS pass over the token stream (the CountMinAgg
+    * scaladoc's 100 TB story — fixed 32 KB partials, map-side combined,
+    * merged by addition), sketch collected driver-side (metadata-scale,
+    * the q98 Bloom-collect class), then the top-20 exact tokens score
+    * est vs true. The estimate is pure codegen arithmetic against the
+    * sketch-as-literal: both PolyHash folds + Kirsch–Mitzenmacher
+    * double hashing + least() over the row cells — no second shuffle
+    * beyond the exact count's own. CMS never undercounts, so
+    * `overcount` = est − true ≥ 0 is a structural invariant (AuditSpec
+    * pins it corpus-wide; the oracle pins the exact cell values). */
+  def cmsError(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CountMinAgg.count_min
+    import graft.plans.GraftExpressions.poly_hash
+    val toks = tWide(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tk"))
+    val cells = toks.agg(count_min(col("tk"), CmsDepth, CmsWidth).as("sk"))
+      .select(col("sk.cells")).head.getSeq[Long](0)
+    val cellsLit = typedlit(cells)
+    val h1 = poly_hash(col("token"), 131)
+    val h2 = poly_hash(col("token"), 137)
+    val est = least((0 until CmsDepth).map { j =>
+      element_at(cellsLit,
+        (pmod(h1 + lit(j.toLong) * h2, lit(CmsWidth.toLong)) +
+          lit(j * CmsWidth + 1)).cast("int"))
+    }: _*)
+    toks.groupBy(col("tk").as("token"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(desc("true_cnt"), col("token")).limit(20)
+      .select(col("token"), col("true_cnt"), est.as("est_cnt"),
+        (est - col("true_cnt")).as("overcount"))
+      .orderBy(desc("true_cnt"), col("token"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII redaction audit: multi-pattern counts + redacted-text digest.
     "q124_pii_redact" -> { (s, dir) =>
@@ -194,6 +231,11 @@ object AuditQueries {
     "q126_quantile_hist_error" -> { (s, dir) =>
       quantileHistError(s, dir).orderBy("event_type", "q_pct")
     },
+
+    // Count-Min Sketch calibration (evaluation family #4): the sketch
+    // every streaming counter service actually ships, measured against
+    // exact counts on the same corpus.
+    "q144_cms_error" -> { (s, dir) => cmsError(s, dir) },
   )
 
   /** DuckDB twin of one profileTable call (same agg expressions, one
@@ -299,5 +341,35 @@ object AuditQueries {
          |  round(abs(est - exact), 6) AS abs_err
          |FROM est JOIN ex USING (event_type, q_pct)
          |ORDER BY event_type, q_pct""".stripMargin,
+
+    // q144: DuckDB reconstructs the ENTIRE sketch in SQL — the CMS cell
+    // vector is a deterministic linear function of the exact counts
+    // under the portable double-hash rule, so est = min-of-row-cells is
+    // value-for-value comparable (both PolyHash folds replayed per
+    // token, as in q81/q140)
+    "q144_cms_error" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+         |cnt AS (SELECT tk, count(*) AS c FROM toks GROUP BY tk),
+         |h AS (
+         |  SELECT tk, c,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(string_split(tk,''), ch -> ascii(ch)::BIGINT)),
+         |      (a,b) -> (a*131 + b) % 2147483647) AS h1,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(string_split(tk,''), ch -> ascii(ch)::BIGINT)),
+         |      (a,b) -> (a*137 + b) % 2147483647) AS h2
+         |  FROM cnt),
+         |b AS (
+         |  SELECT tk, c, j * $CmsWidth + (h1 + j*h2) % $CmsWidth AS cell_idx
+         |  FROM h CROSS JOIN (SELECT unnest(range($CmsDepth)) AS j) jj),
+         |cell AS (SELECT cell_idx, sum(c) AS cell FROM b GROUP BY cell_idx),
+         |est AS (
+         |  SELECT tk, CAST(min(cell) AS BIGINT) AS est
+         |  FROM b JOIN cell USING (cell_idx) GROUP BY tk),
+         |top AS (SELECT tk, c FROM cnt ORDER BY c DESC, tk LIMIT 20)
+         |SELECT t.tk AS token, CAST(t.c AS BIGINT) AS true_cnt, e.est AS est_cnt,
+         |  e.est - CAST(t.c AS BIGINT) AS overcount
+         |FROM top t JOIN est e USING (tk)
+         |ORDER BY true_cnt DESC, token""".stripMargin,
   )
 }

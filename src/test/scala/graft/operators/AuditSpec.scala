@@ -20,6 +20,39 @@ class AuditSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("q144: CMS laws — never undercounts corpus-wide, exact total, partition-invariant") {
+    import graft.plans.CountMinAgg.count_min
+    import graft.plans.GraftExpressions.poly_hash
+    val dir = "/root/testdata/sf0.001"
+    val toks = graft.Tables.tWide(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tk"))
+    def sketch(parts: Int): (Seq[Long], Long) = {
+      val r = toks.repartition(parts)
+        .agg(count_min(col("tk"), 4, 64).as("sk"))  // narrow width → real collisions
+        .select(col("sk.cells"), col("sk.n")).head
+      (r.getSeq[Long](0), r.getLong(1))
+    }
+    val (cells, n) = sketch(7)
+    assert(n === toks.count(), "sketch n must be the exact token tally")
+    assert(sketch(1)._1 === cells,
+      "CMS is a linear transform of the counts — partitioning must not matter")
+    // corpus-wide never-undercount: est(tk) >= true(tk) for EVERY token
+    val cellsLit = typedlit(cells)
+    val est = least((0 until 4).map { j =>
+      element_at(cellsLit,
+        (pmod(poly_hash(col("tk"), 131) + lit(j.toLong) * poly_hash(col("tk"), 137),
+          lit(64L)) + lit(j * 64 + 1)).cast("int"))
+    }: _*)
+    val under = toks.groupBy("tk").agg(count(lit(1)).as("c"))
+      .filter(est < col("c")).count()
+    assert(under === 0L, "a CMS point estimate can never undercount")
+    // row sums all equal n: every row of the sketch sees every item once
+    (0 until 4).foreach { j =>
+      assert(cells.slice(j * 64, (j + 1) * 64).sum === n,
+        s"row $j cells must sum to n")
+    }
+  }
+
   test("q124: every synthesized digit lives inside a PII pattern — redaction leaves the payload digit-free") {
     val red = AuditQueries.piiRedact(docsDf)
     // re-derive the redacted string (piiRedact only ships its md5)
