@@ -85,6 +85,72 @@ object TextQueries {
     "q120_vocab_coverage" -> { (s, dir) =>
       vocabCoverage(tWide(s, dir, "documents")).orderBy("lang")
     },
+
+    // Streaming QUALITY ROUTER — the ingest-time shape of q51's scoring:
+    // documents arrive as file-source micro-batches, each row scores
+    // itself (stateless narrow maps, NO stateful aggregation, no
+    // stream-side shuffle) and foreachBatch routes it to ONE of two
+    // parquet sinks — quality >= 0.5 to the curated store, the rest to
+    // quarantine (the multi-sink fan-out every ingest pipeline runs:
+    // accept/reject is decided in-flight, not by a batch sweep later).
+    // The gated result reads BOTH sinks back and checksum-aggregates
+    // per (sink, lang) — the q140 discipline proving the router is a
+    // LOSSLESS PARTITION of the input: every doc lands in exactly one
+    // sink, bytes intact. The 0.5 cut compares the round(…,6)'d score,
+    // whose pre-round op order the q51 gate already proves bitwise
+    // engine-identical — no boundary ULP hazard. Oracle: the same
+    // routing as a batch CASE over the original table.
+    "q145_stream_quarantine" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      import graft.plans.GraftExpressions.poly_hash
+      val base = freshBase(s, dir, "q145")
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars", "text")
+      val src = stageBatches(s, base, Seq(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)))
+      val passDir = s"$base/pass"
+      val quarDir = s"$base/quarantine"
+      graft.Tables.withShufflePartitions(s, 8) {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, lang STRING, source STRING, " +
+            "n_chars BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+          .withColumn("quality", TextOps.qualityScore(col("text")))
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // both sinks consume the scored batch — cache so the score
+            // pass (and the source file read) runs once per batch
+            batch.persist()
+            batch.filter(col("quality") >= 0.5)
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(passDir)
+            batch.filter(col("quality") < 0.5)
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(quarDir)
+            batch.unpersist()
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // explicit schema on read-back: a sink a batch never fed still
+      // reads as EMPTY rather than failing schema inference
+      def sinkAgg(path: String, tag: String): DataFrame =
+        s.read
+          .schema("doc_id BIGINT, lang STRING, source STRING, " +
+            "n_chars BIGINT, text STRING, quality DOUBLE")
+          .parquet(path)
+          .groupBy(lit(tag).as("sink"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"),
+            sum(poly_hash(col("text"))).cast("long").as("text_checksum"),
+            sum("doc_id").cast("long").as("id_sum"))
+      sinkAgg(passDir, "pass").unionByName(sinkAgg(quarDir, "quarantine"))
+        .orderBy("sink", "lang")
+    },
   )
 
   /** q120: top-K corpus vocabulary (ties broken lexicographically —
@@ -225,5 +291,26 @@ object TextQueries {
          |  count(DISTINCT CASE WHEN NOT iv THEN word END) AS oov_types,
          |  round(sum(CASE WHEN iv THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6) AS cov_ratio
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q145: the same routing as a batch CASE over the original table —
+    // equality proves the streamed dual-sink router is a lossless
+    // partition of the input (quality expr = q51's twin; checksum fold
+    // = the q140 per-char replay)
+    "q145_stream_quarantine" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars, text,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang, n_chars, text,
+        |  round((len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+        |    + (len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','a','it','that','for'], t)))::DOUBLE / len(toks)) * 0.3
+        |    + least(1.0, len(toks) / 50.0) * 0.3, 6) AS quality
+        |  FROM d)
+        |SELECT CASE WHEN quality >= 0.5 THEN 'pass' ELSE 'quarantine' END AS sink,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text,''), ch -> ascii(ch)::BIGINT)),
+        |    (a,b) -> (a*131 + b) % 2147483647)) AS BIGINT) AS text_checksum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY sink, lang ORDER BY sink, lang""".stripMargin,
   )
 }

@@ -66,6 +66,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q145: the dual-sink router is a lossless DISJOINT PARTITION of the input") {
+    // the oracle proves the aggregate checksums; this pins the row-level
+    // law the checksums stand for: every doc_id lands in EXACTLY one sink
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    graft.operators.TextQueries.queries("q145_stream_quarantine")(
+      spark, dir).collect()
+    val base = System.getProperty("java.io.tmpdir") + "/graft_q145_" +
+      graft.sources.Staging.sessionSuffix(spark, dir)
+    val sch = "doc_id BIGINT, lang STRING, source STRING, " +
+      "n_chars BIGINT, text STRING, quality DOUBLE"
+    def ids(sink: String): Seq[Long] =
+      spark.read.schema(sch).parquet(s"$base/$sink")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val pass = ids("pass")
+    val quar = ids("quarantine")
+    val all = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(pass.nonEmpty && quar.nonEmpty,
+      "the 0.5 cut must route docs BOTH ways on the fixture corpus")
+    assert(pass.toSet.intersect(quar.toSet).isEmpty,
+      "no doc may land in both sinks")
+    assert((pass ++ quar).sorted === all.sorted,
+      "the sinks must reassemble the input exactly")
+  }
+
   test("q135 micro-batch plan: stateless sign-LSH coding, no state store, no stream-side shuffle") {
     // the q135 serving shape: per-row coding is a narrow map (no
     // aggregation), the band join is stream-static — so the micro-batch
