@@ -221,6 +221,55 @@ object CurationQueries {
       .orderBy("tok")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL canonicalization + dedup — the first curation step of any
+    // web-crawl corpus: the same resource arrives under host-case
+    // variants, shuffled query-param order, utm_* tracking params, and
+    // #fragments; crawl dedup keys on the CANONICAL form. The fixture
+    // corpus carries no URL column, so each doc synthesizes one
+    // deterministically from (doc_id, lang, source) — the q124/q115
+    // discipline: the INPUT is replayable arithmetic, the MACHINERY
+    // (fragment strip, query parse, tracking-param filter, param sort,
+    // case fold, reassembly, group-dedup) is the real thing, all
+    // array/string built-ins. Variant axes (case %7, param order %2,
+    // utm %3, fragment %5) are coprime to the canonical key's %5 id
+    // class, so every canonical group mixes raw variants — a broken
+    // canonicalizer can't silently pass. Narrow per-row work + one
+    // canonical-key groupBy: the 100 TB shape is a single shuffle on
+    // the dedup key, exactly like q43.
+    "q146_url_dedup" -> { (s, dir) =>
+      val d = col("doc_id")
+      val raw = concat(
+        lit("https://"),
+        when(d % 7 === 0, concat(lit("WWW."), upper(col("source")),
+            lit(".Example.COM")))
+          .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
+        lit("/"), col("lang"), lit("/p"), (d % 5).cast("string"),
+        when(d % 2 === 0,
+          concat(lit("?b="), ((d % 5) + 1).cast("string"),
+            lit("&a="), ((d % 5) * 2).cast("string")))
+          .otherwise(concat(lit("?a="), ((d % 5) * 2).cast("string"),
+            lit("&b="), ((d % 5) + 1).cast("string"))),
+        when(d % 3 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+        when(d % 5 === 0, lit("#sec")).otherwise(lit("")))
+      val noFrag = regexp_replace(raw, "#.*$", "")
+      val hostPath = substring_index(noFrag, "?", 1)
+      val query = when(instr(noFrag, "?") > 0,
+        substring_index(noFrag, "?", -1)).otherwise(lit(""))
+      val params = array_sort(filter(split(query, "&"),
+        p => p =!= "" && !p.startsWith("utm_")))
+      val canon = concat(lower(hostPath),
+        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+          .otherwise(lit("")))
+      tWide(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw_url"), canon.as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_url")).as("n_raw_variants"),
+          min(col("doc_id")).as("first_seen"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("canonical")
+    },
+
     // Overlapping token-window chunking: one row per (doc, window).
     // sequence() materializes the window starts, explode unrolls them,
     // slice takes the window — all codegen'd, no UDF, no shuffle.
@@ -721,6 +770,41 @@ object CurationQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    // q146: same synthesis, same canonicalization in DuckDB list/string
+    // ops — equality proves the canonicalizer collapses every variant
+    // axis and nothing else
+    "q146_url_dedup" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN 'WWW.' || upper(source) || '.Example.COM'
+        |         ELSE 'www.' || source || '.example.com' END ||
+        |    '/' || lang || '/p' || (doc_id % 5)::VARCHAR ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN '?b=' || ((doc_id % 5) + 1)::VARCHAR || '&a=' || ((doc_id % 5) * 2)::VARCHAR
+        |         ELSE '?a=' || ((doc_id % 5) * 2)::VARCHAR || '&b=' || ((doc_id % 5) + 1)::VARCHAR END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS raw_url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, raw_url,
+        |    lower(string_split(nf, '?')[1]) ||
+        |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canonical
+        |  FROM (
+        |    SELECT doc_id, raw_url,
+        |      list_sort(list_filter(
+        |        string_split(CASE WHEN len(string_split(nf, '?')) > 1
+        |                          THEN string_split(nf, '?')[2] ELSE '' END, '&'),
+        |        p -> p != '' AND NOT starts_with(p, 'utm_'))) AS ps, nf
+        |    FROM (SELECT doc_id, raw_url,
+        |            regexp_replace(raw_url, '#.*$', '') AS nf FROM r)))
+        |SELECT canonical, count(*) AS n_docs,
+        |  count(DISTINCT raw_url) AS n_raw_variants,
+        |  min(doc_id) AS first_seen,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
     "q91_chunk_docs" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |st AS (SELECT doc_id, toks,

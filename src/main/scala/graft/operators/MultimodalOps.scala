@@ -286,6 +286,65 @@ object MultimodalOps {
     }
   }
 
+  /** Minimal RIFF/WAVE container around raw 8-bit unsigned mono PCM
+    * samples @8 kHz — the audio analog of q115's synthetic PNG encode:
+    * a REAL container the JDK audio stack parses, whose sample bytes
+    * are exactly the input bytes (so the ASCII-fixture oracle can
+    * replay them via `ascii()`). */
+  def wavBytes(samples: Array[Byte]): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000).putInt(8000) // sample rate, byte rate
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(samples)
+    bb.array()
+  }
+
+  /** q147's acoustic fingerprint: REAL `javax.sound.sampled` container
+    * decode, then a 16-bit energy-envelope hash — bit j set iff window
+    * j's summed amplitude exceeds the track mean (16·E_j > E_total,
+    * ALL-INTEGER math so the DuckDB twin replays it exactly; the same
+    * loudness-profile banding an audio-dedup service uses, scale-free
+    * in track length). The stream is read in its NATIVE format —
+    * the synth path feeds 8-bit unsigned mono PCM, so decoded bytes ==
+    * sample bytes and amplitude = |byte − 128|. Empty tracks and silent
+    * tracks fingerprint to 0. None when the bytes aren't a readable
+    * audio container (decode failures must be loud in the synth path,
+    * never a silent wrong hash). */
+  def audioEnvelopeFp(payload: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val bytes = in.readAllBytes()
+        val n = bytes.length
+        val ej = new Array[Long](16)
+        var tot = 0L
+        var i = 0
+        while (i < n) {
+          val a = math.abs((bytes(i) & 0xff) - 128).toLong
+          ej(((i.toLong * 16L) / n).toInt) += a
+          tot += a
+          i += 1
+        }
+        var fp = 0L
+        var j = 0
+        while (j < 16) { if (16L * ej(j) > tot) fp |= 1L << j; j += 1 }
+        Some(fp)
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** Real audio decode via `javax.sound.sampled` (WAV/AIFF/AU are
     * JDK-native): everything is converted to 16-bit signed PCM first, so
     * 8-bit/unsigned/big-endian sources all land on one sample path.

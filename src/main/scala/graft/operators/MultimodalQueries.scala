@@ -138,7 +138,62 @@ object MultimodalQueries {
         .distinct()
         .orderBy("batch_media", "corpus_media")
     },
+
+    // AUDIO near-dup END-TO-END under the gate — the audio member of
+    // the multimodal dedup family (q115 image, q139 streaming image):
+    // each document's bytes become a REAL RIFF/WAVE container
+    // (MultimodalOps.wavBytes), go through the real
+    // `javax.sound.sampled` decode, and hash to the 16-bit
+    // energy-envelope fingerprint (all-integer: window amplitude sums
+    // vs track mean). Candidates come from a 4×4-bit band self-join on
+    // the fingerprint — hash-partitionable, never all-pairs; hamming
+    // ≤ 1 keeps a pair (a single flipped envelope bit leaves ≥ 3
+    // bands intact, so banding loses nothing at this radius). The
+    // oracle replays sample bytes via ascii() (ASCII fixtures — the
+    // q88/q115 trick aimed at the envelope hash): decode stays real,
+    // arithmetic stays replayable. Same narrow per-row synth+decode
+    // shape as q115: scales as one codec pass + a banded join.
+    "q147_audio_dedup" -> { (s, dir) =>
+      val fps = audioFpRows(
+        tWide(s, dir, "documents").select(col("doc_id"), col("text")))
+      val bands = fps.select(col("media_id"), col("fp"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bk", expr("shiftright(fp, CAST(4 * b AS INT)) & 15"))
+      val ba = bands.select(col("media_id").as("id_a"), col("fp").as("f_a"),
+        col("b"), col("bk"))
+      val bb = bands.select(col("media_id").as("id_b"), col("fp").as("f_b"),
+        col("b").as("b2"), col("bk").as("bk2"))
+      ba.join(bb, col("b") === col("b2") &&
+          col("bk") === col("bk2") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("f_a"), col("f_b"))
+        .distinct()
+        .filter(bit_count(col("f_a").bitwiseXOR(col("f_b"))) <= 1)
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long")
+            .as("ham"))
+        .orderBy("id_a", "id_b")
+    },
   )
+
+  /** q147's fingerprint stage: text bytes → real WAV container → real
+    * JDK audio decode → 16-bit envelope hash, as (media_id, fp).
+    * Stateless narrow per-row work (the hashRows shape for audio);
+    * mapPartitions is justified as in q88 — a codec call, not an
+    * Expression. */
+  def audioFpRows(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val wav = MultimodalOps.wavBytes(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // .get: the WAV was just synthesized — a decode failure is a
+          // bug worth failing loudly on, never a silent wrong hash
+          (id, MultimodalOps.audioEnvelopeFp(wav).get)
+        }
+      }.toDF("media_id", "fp")
+  }
 
   /** Build — or REUSE — q139's persisted corpus image-hash band index:
     * dHash + 4×16-bit band rows for every NON-batch image
@@ -323,5 +378,35 @@ object MultimodalQueries {
         |  CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS corpus_media,
         |  hamming
         |FROM pairs ORDER BY batch_media, corpus_media""".stripMargin,
+
+    // q147: sample bytes replayed via ascii() (decoded 8-bit PCM ==
+    // text bytes), envelope hash in integer SQL, same 4×4-bit banding.
+    // NB a zero-length text would fingerprint engine-side as 0 but drop
+    // out of the sample CTE here — the fixtures carry none (pinned by
+    // FixturesSpec) and a length-0 doc can't pair anyway.
+    "q147_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, i, abs(ascii(text[CAST(i AS INTEGER) + 1]) - 128) AS a
+        |  FROM d CROSS JOIN (SELECT unnest(range(0, (SELECT max(n) FROM d))) AS i) ii
+        |  WHERE i < n),
+        |w AS (SELECT doc_id, (i * 16) // n AS j, sum(a) AS ej
+        |  FROM s GROUP BY doc_id, (i * 16) // n),
+        |t AS (SELECT doc_id, sum(ej) AS etot FROM w GROUP BY doc_id),
+        |fp AS (
+        |  SELECT w.doc_id, CAST(sum(CASE WHEN 16 * ej > etot
+        |    THEN 1::BIGINT << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM w JOIN t USING (doc_id) GROUP BY w.doc_id),
+        |bands AS (
+        |  SELECT doc_id, fp, b, (fp >> CAST(4 * b AS INTEGER)) & 15 AS bk
+        |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    x.fp AS fa, y.fp AS fb
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, bit_count(xor(fa, fb))::BIGINT AS ham
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

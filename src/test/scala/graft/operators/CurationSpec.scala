@@ -63,6 +63,26 @@ class CurationSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q146: canonicalizer collapses every variant axis and partitions the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CurationQueries.queries("q146_url_dedup")(spark, dir)
+      .collect()
+    val nDocs = graft.Tables.t(spark, dir, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs,
+      "canonical groups must partition the corpus (every doc in exactly one)")
+    assert(out.exists(_.getAs[Long]("n_raw_variants") > 1),
+      "the fixture arithmetic guarantees mixed-variant groups — " +
+        "none found means the canonicalizer is keying on the RAW url")
+    out.map(_.getAs[String]("canonical")).foreach { c =>
+      assert(!c.contains("#") && !c.contains("utm_") && c == c.toLowerCase,
+        s"un-canonical survivor: $c")
+      val q = c.dropWhile(_ != '?').drop(1)
+      if (q.nonEmpty)
+        assert(q.split("&").toSeq == q.split("&").toSeq.sorted,
+          s"params must be sorted in $c")
+    }
+  }
+
   test("q91 chunking covers every token exactly once per window position") {
     val q = CurationQueries.queries("q91_chunk_docs")(
       spark, "/root/testdata/sf0.001")

@@ -60,6 +60,33 @@ class MultimodalSpec extends SparkSpec {
     assert(g.features.sum > 0f, "fallback histogram still populated")
   }
 
+  test("q147: wavBytes is a real container and audioEnvelopeFp matches hand-computed bits") {
+    import graft.operators.MultimodalOps.{audioEnvelopeFp, wavBytes}
+    // 32 samples: windows 0..7 loud (amplitude 100), 8..15 quiet (1);
+    // E_j = 200 vs 2, E_tot = 1616, 16·200 > 1616 > 16·2 → fp = 0x00ff
+    val loudQuiet = new Array[Byte](32)
+    for (i <- 0 until 32) {
+      val amp = if (i < 16) 100 else 1
+      loudQuiet(i) = (128 + amp).toByte
+    }
+    assert(audioEnvelopeFp(wavBytes(loudQuiet)) === Some(0x00ffL))
+    // the JDK audio stack really parses the container (header fields
+    // round-trip), and silence/constant amplitude fingerprints to 0
+    // (no window STRICTLY above the mean)
+    val wav = wavBytes(Array.fill[Byte](64)((128 + 5).toByte))
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    try {
+      assert(in.getFormat.getSampleRate === 8000f)
+      assert(in.getFormat.getSampleSizeInBits === 8)
+      assert(in.getFrameLength === 64L)
+    } finally in.close()
+    assert(audioEnvelopeFp(wav) === Some(0L))
+    assert(audioEnvelopeFp(wavBytes(Array.emptyByteArray)) === Some(0L))
+    // non-audio bytes must answer None, not a fabricated fingerprint
+    assert(audioEnvelopeFp("not audio at all".getBytes("UTF-8")) === None)
+  }
+
   test("decodeFeatures: deterministic histogram features + checksum") {
     val payload = Array.tabulate(64)(i => i.toByte) // bytes 0..63
     val rows = mediaDS(Seq(
