@@ -183,11 +183,20 @@ object AuditQueries {
     * pins it corpus-wide; the oracle pins the exact cell values). */
   def cmsError(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.CountMinAgg.count_min
-    import graft.plans.GraftExpressions.poly_hash
-    val toks = tWide(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("tk"))
+    val toks = docTokens(s, dir)
     val cells = toks.agg(count_min(col("tk"), CmsDepth, CmsWidth).as("sk"))
       .select(col("sk.cells")).head.getSeq[Long](0)
+    cmsTop20(toks, cells)
+  }
+
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    tWide(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+
+  /** The q144 reporting stage against ANY sketch cell vector: exact
+    * top-20 token counts scored with the min-of-row-cells estimate. */
+  private def cmsTop20(toks: DataFrame, cells: Seq[Long]): DataFrame = {
+    import graft.plans.GraftExpressions.poly_hash
     val cellsLit = typedlit(cells)
     val h1 = poly_hash(col("token"), 131)
     val h2 = poly_hash(col("token"), 137)
@@ -202,6 +211,28 @@ object AuditQueries {
       .select(col("token"), col("true_cnt"), est.as("est_cnt"),
         (est - col("true_cnt")).as("overcount"))
       .orderBy(desc("true_cnt"), col("token"))
+  }
+
+  /** q148: q144's answer reached through the GROW lifecycle — the
+    * q113/q134/q136 append≡rebuild discipline applied to the sketch
+    * family. A long-lived counter service never resketches its corpus:
+    * each ingest epoch sketches itself and the service ADDS cell
+    * vectors (CMS is linear in the count vector — the mergeable-
+    * summaries property CountMinAgg's merge() implements, here
+    * exercised ACROSS separate aggregations, not within one). Epochs
+    * split on doc_id (%10 = 3 is the q134 ingest class); the oracle is
+    * q144's twin VERBATIM, making the gate the grown ≡ one-shot
+    * equivalence proof. */
+  def cmsGrow(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CountMinAgg.count_min
+    val toks = docTokens(s, dir)
+    def cellsOf(epoch: DataFrame): Seq[Long] =
+      epoch.agg(count_min(col("tk"), CmsDepth, CmsWidth).as("sk"))
+        .select(col("sk.cells")).head.getSeq[Long](0)
+    val base = cellsOf(toks.filter(col("doc_id") % 10 =!= 3))
+    val delta = cellsOf(toks.filter(col("doc_id") % 10 === 3))
+    val grown = base.zip(delta).map { case (a, b) => a + b }
+    cmsTop20(toks, grown)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -236,6 +267,10 @@ object AuditQueries {
     // every streaming counter service actually ships, measured against
     // exact counts on the same corpus.
     "q144_cms_error" -> { (s, dir) => cmsError(s, dir) },
+
+    // The q144 sketch grown epoch-by-epoch; oracle is q144's twin
+    // verbatim — the gate IS the grown ≡ one-shot equivalence proof.
+    "q148_cms_grow" -> { (s, dir) => cmsGrow(s, dir) },
   )
 
   /** DuckDB twin of one profileTable call (same agg expressions, one
@@ -347,7 +382,18 @@ object AuditQueries {
     // under the portable double-hash rule, so est = min-of-row-cells is
     // value-for-value comparable (both PolyHash folds replayed per
     // token, as in q81/q140)
-    "q144_cms_error" ->
+    "q144_cms_error" -> CmsSql,
+
+    // q148 = q144's answer from the epoch-grown sketch; same SQL, and
+    // the gate becomes the sketch-linearity equivalence proof (the
+    // q134/q136 twin-sharing discipline)
+    "q148_cms_grow" -> CmsSql,
+  )
+
+  /** DuckDB twin of the CMS calibration — shared by q144 (one-shot
+    * sketch) and q148 (epoch-grown sketch), whose cell vectors are
+    * provably identical (CMS linearity). */
+  private val CmsSql: String =
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
          |cnt AS (SELECT tk, count(*) AS c FROM toks GROUP BY tk),
          |h AS (
@@ -370,6 +416,5 @@ object AuditQueries {
          |SELECT t.tk AS token, CAST(t.c AS BIGINT) AS true_cnt, e.est AS est_cnt,
          |  e.est - CAST(t.c AS BIGINT) AS overcount
          |FROM top t JOIN est e USING (tk)
-         |ORDER BY true_cnt DESC, token""".stripMargin,
-  )
+         |ORDER BY true_cnt DESC, token""".stripMargin
 }
