@@ -132,6 +132,40 @@ object JoinQueries {
         .orderBy("s_suppkey")
     },
 
+    // POINT-IN-INTERVAL join through TIME BINNING — q76's discipline
+    // for variable-length time windows (the attribution / maintenance-
+    // window / campaign join every event pipeline runs). Spark plans a
+    // raw `ts BETWEEN w_start AND w_end` join as a nested loop; binning
+    // makes it an EQUI-join: each window explodes to the hour bins it
+    // covers (≤ len/bin + 1 rows — windows here are 1–7 h, so ≤ 8), each
+    // event maps to its ONE bin, the join keys on the bin and the
+    // residual range predicate filters inside the hash match. An event's
+    // single bin meets each covering window's distinct bin row exactly
+    // once, so no post-join dedup is needed — identical pair set, no
+    // O(n·m) compare matrix (PlanSpec pins no nested loop). Windows
+    // derive deterministically from the stream itself (event_id % 199
+    // anchors, 1–7 h lengths — the q124 synthesis discipline); zero-hit
+    // windows still report via the left join. All-integer epoch-micros
+    // arithmetic; counts only, so no float-sum ordering hazard.
+    "q149_join_interval_binned" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"))
+      val iv = ev.filter(col("event_id") % 199 === 0)
+        .select(col("event_id").as("window_id"), col("us").as("s_us"),
+          (col("us") + (col("event_id") % 7 + 1) * lit(HourUs)).as("e_us"))
+      val hits = binnedIntervalHits(iv, ev, HourUs)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      iv.select("window_id")
+        .join(hits, Seq("window_id"), "left_outer")
+        .select(col("window_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+        .orderBy("window_id")
+    },
+
     // As-of join: each purchase event matched to the latest click by the
     // same user at or before it. Union + window LVCF: one shuffle on
     // user_id, no range-join blowup — the 100 TB-safe as-of pattern.
@@ -248,6 +282,32 @@ object JoinQueries {
       |GROUP BY r_name, n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  private[graft] val HourUs = 3600000000L // 1 h, in epoch micros
+
+  /** q149's candidate machinery: the [half-open) interval frame
+    * (`window_id`, `s_us`, `e_us`) explodes to the bins it covers, the
+    * point frame (`us`, payload) maps to its ONE bin, and the equi-join
+    * on the bin carries the residual range predicate — the identical
+    * pair set as `us BETWEEN`, in a hash-joinable shape. All-integer
+    * bin arithmetic (`DIV`, never a double floor(x/w) whose rounding
+    * could shear a boundary point into the wrong bin); timestamps are
+    * epoch micros ≥ 0 (DIV truncates toward zero, = floor on
+    * non-negatives). Empty intervals are dropped (they match nothing,
+    * and `sequence` would DESCEND on their inverted bin range — the
+    * q119 landmine). */
+  private[graft] def binnedIntervalHits(iv: DataFrame, ev: DataFrame,
+      binUs: Long): DataFrame = {
+    val ivBins = iv.filter(col("e_us") > col("s_us"))
+      .withColumn("bin",
+        explode(sequence(expr(s"s_us DIV $binUs"),
+          expr(s"(e_us - 1) DIV $binUs"))))
+    val evBins = ev.withColumn("bin", expr(s"us DIV $binUs"))
+    ivBins.join(evBins,
+        ivBins("bin") === evBins("bin") &&
+        col("us") >= col("s_us") && col("us") < col("e_us"))
+      .drop("bin")
+  }
+
   private val q10Sql =
     """SELECT s_suppkey, s_name, count(*) AS cust_cnt
       |FROM supplier JOIN customer
@@ -263,6 +323,21 @@ object JoinQueries {
       |ORDER BY c_custkey""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // q149: DuckDB runs the RAW range join (its IEJoin handles it) —
+    // equality proves the binned equi-join produces the identical
+    // point-in-interval pair set
+    "q149_join_interval_binned" ->
+      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id FROM events),
+        |iv AS (SELECT event_id AS window_id, us AS s_us,
+        |         us + (event_id % 7 + 1) * 3600000000 AS e_us
+        |       FROM e WHERE event_id % 199 = 0),
+        |m AS (SELECT window_id, e.event_id AS eid, e.user_id
+        |      FROM iv JOIN e ON e.us >= iv.s_us AND e.us < iv.e_us)
+        |SELECT iv.window_id, count(m.eid) AS n_events,
+        |  count(DISTINCT m.user_id) AS n_users
+        |FROM iv LEFT JOIN m USING (window_id)
+        |GROUP BY iv.window_id ORDER BY window_id""".stripMargin,
+
     "q03_join_inner" -> q03Sql,
     "q04_join_left" -> q04Sql,
     "q05_join_right" ->

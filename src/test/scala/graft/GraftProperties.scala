@@ -177,6 +177,32 @@ object GraftProperties extends Properties("graft") {
     }
 
   // Bucketized band join must equal the theta formulation exactly,
+  // q149's machinery: random points × random half-open windows —
+  // including zero-length windows and exact bin-boundary points — must
+  // reproduce the naive range join's pair multiset exactly-once.
+  property("binned interval join equals the raw range-join pair set") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.chooseNum(0L, 40L)),
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 12L)))) {
+      (pts, wins) =>
+      val sess = spark
+      import sess.implicits._
+      val W = 5L // tiny bin width so windows straddle several bins
+      val ev = pts.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+        .toDF("event_id", "us")
+      val iv = wins.zipWithIndex.map { case ((s0, len), i) =>
+        (i.toLong, s0, s0 + len) }.toDF("window_id", "s_us", "e_us")
+      val binned = graft.operators.JoinQueries
+        .binnedIntervalHits(iv, ev, W)
+        .select("window_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val naive = iv.join(ev,
+          col("us") >= col("s_us") && col("us") < col("e_us"))
+        .select("window_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      binned == naive
+    }
+
   // including negative values and band-boundary ties.
   property("bucketized band join equals the theta formulation") =
     Prop.forAll(Gen.listOfN(25, Gen.chooseNum(-1000, 1000)),

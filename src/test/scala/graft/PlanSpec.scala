@@ -340,6 +340,15 @@ class PlanSpec extends SparkSpec {
       s"per-plane seq_dot bit columns crept back into q73's coding stage:\n$p")
   }
 
+  test("q149 interval join is a binned EQUI-join, never a nested-loop compare matrix") {
+    // a raw ts-BETWEEN join plans as BroadcastNestedLoop — O(n·m) at
+    // any scale; the bin explode turns it into a hash-joinable shape
+    // with the range predicate as a residual filter inside the match
+    val p = plan("q149_join_interval_binned")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"the interval join must key on the time bin:\n$p")
+  }
+
   test("q143 semdedup candidates come from an equi-join, never all-pairs") {
     // the scale contract: within-cluster dedup must NOT be the paper's
     // all-pairs scan (unbounded once MaxCentroids caps k and clusters
