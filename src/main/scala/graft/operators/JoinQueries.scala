@@ -166,6 +166,59 @@ object JoinQueries {
         .orderBy("window_id")
     },
 
+    // q149's attribution as a TRUE STREAM — events arrive as
+    // micro-batches and attribute themselves to the STATIC window
+    // table in-flight (the always-on campaign/maintenance attribution
+    // service): the stream side computes its bin per row (stateless
+    // narrow map, no state store, no stream-side shuffle before the
+    // join), stream-static equi-joins the pre-exploded window-bin
+    // frame through the SAME binnedIntervalHits machinery, and matched
+    // (window, event, user) rows append to a parquet sink; the
+    // read-back aggregates counts + exact distinct users across all
+    // batches (a per-batch distinct would double-count users spanning
+    // batches — attribution rows persist, the aggregate runs on the
+    // log). Oracle is q149's twin VERBATIM: streamed attribution must
+    // reproduce the one-shot batch answer bit-for-bit (the q135/q138
+    // twin-sharing discipline).
+    "q150_stream_interval_join" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      val ev = loadEvents(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"))
+      val iv = ev.filter(col("event_id") % 199 === 0)
+        .select(col("event_id").as("window_id"), col("us").as("s_us"),
+          (col("us") + (col("event_id") % 7 + 1) * lit(HourUs)).as("e_us"))
+      val base = freshBase(s, dir, "q150")
+      val outDir = s"$base/out"
+      val src = stageBatches(s, base, Seq(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1)))
+      graft.Tables.withShufflePartitions(s, 8) {
+        val stream = s.readStream
+          .schema("event_id BIGINT, us BIGINT, user_id BIGINT")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+        val hits = binnedIntervalHits(iv, stream, HourUs)
+          .select(col("window_id"), col("event_id"), col("user_id"))
+        val q = graft.streaming.StreamPipelines
+          .writeParquetStream(hits, outDir, s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      val agg = s.read
+        .schema("window_id BIGINT, event_id BIGINT, user_id BIGINT")
+        .parquet(outDir)
+        .distinct() // exactly-once on replayed files
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      iv.select("window_id")
+        .join(agg, Seq("window_id"), "left_outer")
+        .select(col("window_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+        .orderBy("window_id")
+    },
+
     // As-of join: each purchase event matched to the latest click by the
     // same user at or before it. Union + window LVCF: one shuffle on
     // user_id, no range-join blowup — the 100 TB-safe as-of pattern.
@@ -308,6 +361,21 @@ object JoinQueries {
       .drop("bin")
   }
 
+  /** DuckDB twin of the interval attribution — shared by q149 (batch
+    * binned join) and q150 (streamed), whose outputs are provably
+    * identical. */
+  private val IntervalJoinSql: String =
+    """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id FROM events),
+      |iv AS (SELECT event_id AS window_id, us AS s_us,
+      |         us + (event_id % 7 + 1) * 3600000000 AS e_us
+      |       FROM e WHERE event_id % 199 = 0),
+      |m AS (SELECT window_id, e.event_id AS eid, e.user_id
+      |      FROM iv JOIN e ON e.us >= iv.s_us AND e.us < iv.e_us)
+      |SELECT iv.window_id, count(m.eid) AS n_events,
+      |  count(DISTINCT m.user_id) AS n_users
+      |FROM iv LEFT JOIN m USING (window_id)
+      |GROUP BY iv.window_id ORDER BY window_id""".stripMargin
+
   private val q10Sql =
     """SELECT s_suppkey, s_name, count(*) AS cust_cnt
       |FROM supplier JOIN customer
@@ -326,17 +394,12 @@ object JoinQueries {
     // q149: DuckDB runs the RAW range join (its IEJoin handles it) —
     // equality proves the binned equi-join produces the identical
     // point-in-interval pair set
-    "q149_join_interval_binned" ->
-      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id FROM events),
-        |iv AS (SELECT event_id AS window_id, us AS s_us,
-        |         us + (event_id % 7 + 1) * 3600000000 AS e_us
-        |       FROM e WHERE event_id % 199 = 0),
-        |m AS (SELECT window_id, e.event_id AS eid, e.user_id
-        |      FROM iv JOIN e ON e.us >= iv.s_us AND e.us < iv.e_us)
-        |SELECT iv.window_id, count(m.eid) AS n_events,
-        |  count(DISTINCT m.user_id) AS n_users
-        |FROM iv LEFT JOIN m USING (window_id)
-        |GROUP BY iv.window_id ORDER BY window_id""".stripMargin,
+    "q149_join_interval_binned" -> IntervalJoinSql,
+
+    // q150 = q149's answer reached through streamed micro-batch
+    // attribution; same SQL, and the gate becomes the streamed ≡
+    // one-shot proof
+    "q150_stream_interval_join" -> IntervalJoinSql,
 
     "q03_join_inner" -> q03Sql,
     "q04_join_left" -> q04Sql,

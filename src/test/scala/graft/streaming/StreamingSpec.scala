@@ -66,6 +66,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q150: streamed interval attribution equals the one-shot q149 answer row-for-row") {
+    // the oracle proves it against DuckDB; this proves it engine-side,
+    // so a drift points at the streaming path alone (the q138 pattern)
+    val dir = "/root/testdata/sf0.001"
+    def rows(key: String) =
+      graft.operators.JoinQueries.queries(key)(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val streamed = rows("q150_stream_interval_join")
+    assert(streamed === rows("q149_join_interval_binned"))
+    assert(streamed.exists(_._2 > 0L),
+      "fixture windows must attribute at least one event")
+  }
+
   test("q145: the dual-sink router is a lossless DISJOINT PARTITION of the input") {
     // the oracle proves the aggregate checksums; this pins the row-level
     // law the checksums stand for: every doc_id lands in EXACTLY one sink
