@@ -457,6 +457,32 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // SYNDICATION matrix — which source pairs share near-duplicate
+    // content (mirror sites, feed republication, scraped copies): the
+    // per-(source, source) count of q44's near-dup pairs. The curation
+    // question this answers is "which sources should dedup against
+    // each other FIRST" — cross-source mass means syndication, the
+    // diagonal means within-source boilerplate. Probes the persisted
+    // pair frame (the build-once discipline — Bench prices this key
+    // probe-only) and attributes endpoints with two hash joins on
+    // doc_id against the |corpus|-row (doc_id, source) projection;
+    // output is a ≤ |sources|² matrix, least/greatest-normalized so
+    // the pair orientation can't split a cell.
+    "q151_syndication" -> { (s, dir) =>
+      val pairs = nearDupPairs(s, dir)
+        .filter(col("match_cnt") >= NearDupMinMatches)
+        .select("doc_a", "doc_b")
+      val src = tWide(s, dir, "documents").select("doc_id", "source")
+      pairs
+        .join(src.toDF("doc_a", "src_a"), "doc_a")
+        .join(src.toDF("doc_b", "src_b"), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // The pair-index GROWTH path under the gate — the lifecycle step
     // q44's persisted frame presumes but doesn't exercise: epoch A
     // builds the pair frame, epoch B appends only its new×old + new×new
@@ -624,7 +650,11 @@ object LlmQueries {
 
   /** The q44 twin — also q136's oracle verbatim (the grown pair frame
     * must equal the one-shot pair set). */
-  private val nearDupSql: String =
+  /** The q44 MinHash pair CTE chain through `est` (shingles → portable
+    * hashes → 32 permutations → 8×4 bands → candidates → match counts),
+    * exposed so q151's twin can splice source attribution after the
+    * SAME pair replay — one DuckDB source of truth for the pair set. */
+  private val pairEstCtes: String =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
       |    range(0, len(string_split(text,' ')) - 2),
@@ -653,8 +683,10 @@ object LlmQueries {
       |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS match_cnt
       |  FROM cand
       |   JOIN sig sa ON sa.doc_id = doc_a
-      |   JOIN sig sb ON sb.doc_id = doc_b)
-      |SELECT doc_a, doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard
+      |   JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+
+  private val nearDupSql: String = pairEstCtes + "\n" +
+    """SELECT doc_a, doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard
       |FROM est WHERE match_cnt >= 26
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -706,6 +738,20 @@ object LlmQueries {
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q44_dedup_near" -> nearDupSql,
+
+    // q151: the SAME pair replay (shared pairEstCtes) + source
+    // attribution — equality proves the matrix counts exactly q44's
+    // pair set, orientation-normalized
+    "q151_syndication" -> (pairEstCtes + ",\n" +
+      """p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT least(sa.source, sb.source) AS source_a,
+        |  greatest(sa.source, sb.source) AS source_b,
+        |  count(*) AS n_pairs
+        |FROM p JOIN src sa ON sa.doc_id = p.doc_a
+        |       JOIN src sb ON sb.doc_id = p.doc_b
+        |GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin),
     // the grown (A build + B delta append) pair frame holds exactly the
     // one-shot pair set over A∪B, so q44's twin IS the oracle:
     // append-then-probe must be indistinguishable from build-once

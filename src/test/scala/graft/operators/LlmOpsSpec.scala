@@ -223,6 +223,17 @@ class LlmOpsSpec extends SparkSpec {
       "frozen-centroid append must reproduce the one-shot assignment")
   }
 
+  test("q151: syndication matrix conserves the q44 pair total") {
+    // every near-dup pair lands in exactly one (source_a, source_b)
+    // cell — the q128 conservation law applied to source attribution
+    val dir = "/root/testdata/sf0.001"
+    val matrixTotal = LlmQueries.queries("q151_syndication")(spark, dir)
+      .agg(sum("n_pairs")).head.getLong(0)
+    val pairTotal = LlmQueries.queries("q44_dedup_near")(spark, dir).count()
+    assert(matrixTotal === pairTotal)
+    assert(matrixTotal > 0L, "fixture corpus must contain near-dup pairs")
+  }
+
   test("q143: semdedup drops only same-cluster lower-id duplicates, a subset of q73's band pairs") {
     val dir = "/root/testdata/sf0.001"
     val dropped = SimilarityQueries.queries("q143_semdedup")(spark, dir)
