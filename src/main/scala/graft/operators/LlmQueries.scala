@@ -457,6 +457,61 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // DEDUP FUNNEL telemetry — the per-stage survivor report every
+    // curation run publishes (raw → exact → near): how many documents
+    // each dedup stage admits and drops. Stage 1 keeps one doc per
+    // md5(text) group (q43's machinery, min-id keeper); stage 2 drops
+    // every stage-1 survivor with a LOWER-ID near-dup partner that
+    // also survived stage 1 (q143's keep-lowest-id rule on q44's
+    // gate-proven pairs — probed from the persisted frame, never
+    // rebuilt). The counts are whole-corpus aggregations; only the
+    // three scalars come back to the driver, and the 3-row report is
+    // assembled locally. At sf0.001 the fixture corpus has no exact
+    // dups (stage-1 drop = 0 — the zero path is exercised under the
+    // gate); sf0.1 has 8.
+    "q152_dedup_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tWide(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("m"))
+      val keep1 = docs.groupBy("m").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").cache()
+      val n0 = docs.count()
+      val n1 = keep1.count()
+      val d2 = nearDupPairs(s, dir)
+        .filter(col("match_cnt") >= NearDupMinMatches)
+        .select("doc_a", "doc_b")
+        .join(keep1.toDF("doc_a"), "doc_a")
+        .join(keep1.toDF("doc_b"), "doc_b")
+        .select("doc_b").distinct().count()
+      Seq(("00_raw", n0, 0L, n0),
+          ("01_exact", n0, n0 - n1, n1),
+          ("02_near", n1, d2, n1 - d2))
+        .toDF("stage", "n_in", "n_dropped", "n_out")
+        .orderBy("stage")
+    },
+
+    // BITEXT candidate mining — the parallel-text step of a
+    // multilingual pipeline (CCAligned/WikiMatrix-style, here by
+    // lexical overlap): near-dup pairs whose endpoints carry DIFFERENT
+    // language tags are translation/transliteration candidates (the
+    // fixture corpus draws all langs from one shared vocabulary, so
+    // cross-lang overlap is dense by construction — 20 of 28 pairs at
+    // sf0.001). Probes the persisted pair frame and attributes
+    // endpoints with two doc_id hash joins (the q151 shape); the
+    // within-lang complement is exactly q44 ∖ this set, so the two
+    // keys partition the gated pair set.
+    "q153_bitext_candidates" -> { (s, dir) =>
+      val langs = tWide(s, dir, "documents").select("doc_id", "lang")
+      nearDupPairs(s, dir)
+        .filter(col("match_cnt") >= NearDupMinMatches)
+        .join(langs.toDF("doc_a", "lang_a"), "doc_a")
+        .join(langs.toDF("doc_b", "lang_b"), "doc_b")
+        .filter(col("lang_a") =!= col("lang_b"))
+        .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+          col("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SYNDICATION matrix — which source pairs share near-duplicate
     // content (mirror sites, feed republication, scraped copies): the
     // per-(source, source) count of q44's near-dup pairs. The curation
@@ -738,6 +793,37 @@ object LlmQueries {
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q44_dedup_near" -> nearDupSql,
+
+    // q152: md5 exact-survivor CTE + the SAME pair replay — equality
+    // proves every stage count, including the zero exact-drop path at
+    // sf0.001
+    "q152_dedup_funnel" -> (pairEstCtes + ",\n" +
+      """keep1 AS (SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id, md5(text) AS m FROM documents) GROUP BY m),
+        |p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+        |d2 AS (SELECT DISTINCT doc_b FROM p
+        |  JOIN keep1 ka ON ka.doc_id = p.doc_a
+        |  JOIN keep1 kb ON kb.doc_id = p.doc_b),
+        |n AS (SELECT (SELECT count(*) FROM documents) AS n0,
+        |  (SELECT count(*) FROM keep1) AS n1,
+        |  (SELECT count(*) FROM d2) AS d2)
+        |SELECT stage, n_in, n_dropped, n_out FROM (
+        |  SELECT '00_raw' AS stage, n0 AS n_in, 0::BIGINT AS n_dropped, n0 AS n_out FROM n
+        |  UNION ALL SELECT '01_exact', n0, n0 - n1, n1 FROM n
+        |  UNION ALL SELECT '02_near', n1, d2, n1 - d2 FROM n)
+        |ORDER BY stage""".stripMargin),
+
+    // q153: the SAME pair replay + language attribution, cross-lang
+    // rows only — with q44 this partitions the gated pair set
+    "q153_bitext_candidates" -> (pairEstCtes + ",\n" +
+      """p AS (SELECT doc_a, doc_b, match_cnt FROM est WHERE match_cnt >= 26),
+        |lg AS (SELECT doc_id, lang FROM documents)
+        |SELECT doc_a, doc_b, la.lang AS lang_a, lb.lang AS lang_b,
+        |  match_cnt / 32.0 AS est_jaccard
+        |FROM p JOIN lg la ON la.doc_id = doc_a
+        |       JOIN lg lb ON lb.doc_id = doc_b
+        |WHERE la.lang != lb.lang
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     // q151: the SAME pair replay (shared pairEstCtes) + source
     // attribution — equality proves the matrix counts exactly q44's

@@ -223,6 +223,23 @@ class LlmOpsSpec extends SparkSpec {
       "frozen-centroid append must reproduce the one-shot assignment")
   }
 
+  test("q152/q153: funnel stages chain and bitext + within-lang partition the pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val funnel = LlmQueries.queries("q152_dedup_funnel")(spark, dir)
+      .orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    funnel.foreach { case (st, nIn, nDrop, nOut) =>
+      assert(nOut === nIn - nDrop && nDrop >= 0L, s"stage $st must balance") }
+    funnel.sliding(2).foreach { case Array((_, _, _, out), (st, in, _, _)) =>
+      assert(in === out, s"stage $st must consume the previous stage's survivors")
+    }
+    assert(funnel.last._3 > 0L, "the near stage must drop fixtures' near-dups")
+    val bitext = LlmQueries.queries("q153_bitext_candidates")(spark, dir).count()
+    val allPairs = LlmQueries.queries("q44_dedup_near")(spark, dir).count()
+    assert(bitext > 0L && bitext < allPairs,
+      "cross-lang candidates must be a proper nonempty subset of q44's pairs")
+  }
+
   test("q151: syndication matrix conserves the q44 pair total") {
     // every near-dup pair lands in exactly one (source_a, source_b)
     // cell — the q128 conservation law applied to source attribution
