@@ -206,6 +206,29 @@ object CurationQueries {
       .select(col("doc_id"), col("c.len").as("len"), col("c.h").as("h"))
   }
 
+  /** q154 core, one row per ≥-2-token doc: bigram count and mean
+    * bigram surprisal in integer micro-nats under the fitted MLE
+    * bigram LM (rationale and shape notes at the q154 key). */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    import graft.plans.GraftExpressions.word_bigrams
+    val bg = docs.select(col("doc_id"), word_bigrams(col("text")).as("bg"))
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("cnt")).cache()
+    val ctx = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("cnt").as("ctx_cnt"))
+    val lm = bgCounts
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(ctx), "w1")
+      .withColumn("x",
+        -log(col("cnt").cast("double") / col("ctx_cnt")) * 1e6)
+      .select(col("bg"),
+        floor(col("x") + lit(1e-6)).cast("long").as("lnq"))
+    bg.join(lm, "bg")
+      .groupBy("doc_id")
+      .agg(sum("lnq").as("surprisal"), count(lit(1)).as("nb"))
+      .selectExpr("doc_id", "nb", "surprisal div nb AS ppx_micro")
+  }
+
   /** Heavy-hitters pass 2, shared by q92 (batch pass 1) and q102
     * (streaming pass 1): exact recount of the token stream restricted
     * to the broadcast candidate summary, then the real threshold.
@@ -445,6 +468,27 @@ object CurationQueries {
         .agg(sum("lnq").as("surprisal"), count(lit(1)).as("nt"))
         .selectExpr("doc_id", "nt",
           "surprisal div nt AS ppx_micro") // mean surprisal, micro-nats
+        .orderBy(desc("ppx_micro"), col("doc_id"))
+        .limit(20)
+    },
+
+    // BIGRAM-LM surprisal — the coherence complement of q103's unigram
+    // rarity: a doc whose words are individually common but locally
+    // scrambled scores high here and low there; real pipelines filter
+    // on both. MLE P(w2|w1) = c(w1,w2)/c(w1), no smoothing needed —
+    // scoring the fitting corpus means every scored bigram has c ≥ 1.
+    // Shapes: bigrams come from the NATIVE WordBigrams generator
+    // (q49's — one row per bigram straight off the string); bigram
+    // counts map-side combine; CONTEXT counts derive from the bigram
+    // table by a vocab-sized agg on w1 (never a corpus re-scan) and
+    // broadcast back (vocab-bounded); the scoring join keys on the
+    // bigram — a plain hash join, NOT a broadcast: unlike q103's vocab
+    // LM the bigram table outgrows a broadcast at corpus scale.
+    // Surprisal in integer micro-nats with q103's floor(x + 1e-6)
+    // cross-engine ulp guard (rationale at q103). Docs under 2 tokens
+    // have no bigrams and drop out on both engines.
+    "q154_bigram_surprisal" -> { (s, dir) =>
+      bigramSurprisal(tWide(s, dir, "documents"))
         .orderBy(desc("ppx_micro"), col("doc_id"))
         .limit(20)
     },
@@ -770,6 +814,25 @@ object CurationQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    // q154: q49's bigram replay + MLE conditional + q103's guarded
+    // integer micro-nat fold
+    "q154_bigram_surprisal" ->
+      """WITH bgd AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(sp) - 1),
+        |    i -> array_to_string(sp[i+1:i+2], ' '))) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) t),
+        |bc AS (SELECT bg, count(*) AS cnt FROM bgd GROUP BY bg),
+        |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, sum(cnt) AS ctx_cnt
+        |        FROM bc GROUP BY string_split(bg, ' ')[1]),
+        |lm AS (SELECT bg,
+        |    CAST(floor(-ln(cnt::DOUBLE / ctx_cnt) * 1000000 + 0.000001) AS BIGINT) AS lnq
+        |  FROM bc JOIN ctx ON string_split(bc.bg, ' ')[1] = ctx.w1),
+        |sc AS (SELECT doc_id, CAST(sum(lnq) AS BIGINT) AS surprisal,
+        |    count(*) AS nb
+        |  FROM bgd JOIN lm USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, nb, surprisal // nb AS ppx_micro
+        |FROM sc ORDER BY ppx_micro DESC, doc_id LIMIT 20""".stripMargin,
+
     // q146: same synthesis, same canonicalization in DuckDB list/string
     // ops — equality proves the canonicalizer collapses every variant
     // axis and nothing else

@@ -63,6 +63,25 @@ class CurationSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q154: bigram surprisal matches hand-computed micro-nats; rare continuations score higher") {
+    val sess = spark
+    import sess.implicits._
+    // corpus bigrams from 'a': 'a b' twice, 'a c' once → P(b|a)=2/3,
+    // P(c|a)=1/3; lnq = floor(-ln(p)·1e6 + 1e-6)
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = CurationQueries.bigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lnqB = math.floor(-math.log(2.0 / 3.0) * 1e6 + 1e-6).toLong
+    val lnqC = math.floor(-math.log(1.0 / 3.0) * 1e6 + 1e-6).toLong
+    assert(out === Map(1L -> lnqB, 2L -> lnqC, 3L -> lnqB))
+    assert(out(2L) > out(1L),
+      "the rare continuation must out-surprise the common one")
+    // a single-token doc has no bigrams and must drop out, not crash
+    assert(CurationQueries.bigramSurprisal(
+      Seq((9L, "solo")).toDF("doc_id", "text")).count() === 0L)
+  }
+
   test("q146: canonicalizer collapses every variant axis and partitions the corpus") {
     val dir = "/root/testdata/sf0.001"
     val out = CurationQueries.queries("q146_url_dedup")(spark, dir)
