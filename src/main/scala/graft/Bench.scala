@@ -88,6 +88,8 @@ object Bench {
         operators.LlmQueries.grownBandIndex(spark, sfDir, rebuild = true); () }),
       "q114_index_build" -> (() => {
         operators.CurationQueries.segCountIndex(spark, sfDir, rebuild = true); () }),
+      "q155_index_build" -> (() => {
+        operators.CurationQueries.urlCanonIndex(spark, sfDir, rebuild = true); () }),
       "q139_index_build" -> (() => {
         operators.MultimodalQueries.imageHashIndex(spark, sfDir,
           rebuild = true); () }),

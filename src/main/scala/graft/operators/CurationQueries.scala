@@ -206,6 +206,66 @@ object CurationQueries {
       .select(col("doc_id"), col("c.len").as("len"), col("c.h").as("h"))
   }
 
+  /** q146/q155 shared URL synthesis (deterministic from (doc_id, lang,
+    * source); variant-axis rationale at the q146 key). */
+  private[graft] def rawUrl(d: Column, lang: Column,
+      source: Column): Column = concat(
+    lit("https://"),
+    when(d % 7 === 0, concat(lit("WWW."), upper(source),
+        lit(".Example.COM")))
+      .otherwise(concat(lit("www."), source, lit(".example.com"))),
+    // path rides %17 (params ride %5): the canonical key space
+    // (source, lang, d mod 85) sits near corpus cardinality, so q155's
+    // ingest batch mixes SEEN and NEW resources at every fixture scale
+    // (13/27 at sf0.001, 454/46 at sf0.1) — both crawl-frontier
+    // branches run under the gate
+    lit("/"), lang, lit("/p"), (d % 17).cast("string"),
+    when(d % 2 === 0,
+      concat(lit("?b="), ((d % 5) + 1).cast("string"),
+        lit("&a="), ((d % 5) * 2).cast("string")))
+      .otherwise(concat(lit("?a="), ((d % 5) * 2).cast("string"),
+        lit("&b="), ((d % 5) + 1).cast("string"))),
+    when(d % 3 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+    when(d % 5 === 0, lit("#sec")).otherwise(lit("")))
+
+  /** q146/q155 shared canonicalizer: fragment strip → query parse →
+    * utm_* filter → param sort → case-folded reassembly. */
+  private[graft] def canonicalUrl(raw: Column): Column = {
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val hostPath = substring_index(noFrag, "?", 1)
+    val query = when(instr(noFrag, "?") > 0,
+      substring_index(noFrag, "?", -1)).otherwise(lit(""))
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    concat(lower(hostPath),
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** Build — or REUSE — q155's persisted canonical-URL count index
+    * over the non-batch corpus ((doc_id DIV 20) % 10 ≠ 7), bucketed on the
+    * canonical key. The q106 lifecycle applied to the URL family:
+    * written once, grown per ingest via `Staging.appendBucketed` at
+    * 100 TB, never re-shuffled (Bench times the build separately as
+    * q155_index_build). */
+  def urlCanonIndex(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    graft.sources.Staging.vacuumStale(s, wh, "graft_url_canon_")
+    val tab = "graft_url_canon_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    if (rebuild || !s.catalog.tableExists(tab)) {
+      val canon = tWide(s, dir, "documents")
+        .filter(expr("(doc_id DIV 20) % 10 != 7"))
+        .select(canonicalUrl(rawUrl(col("doc_id"), col("lang"),
+          col("source"))).as("canonical"))
+        .groupBy("canonical").agg(count(lit(1)).as("prior_cnt"))
+      graft.sources.Staging.storeBucketed(
+        canon.repartition(8, col("canonical")), tab, Seq("canonical"), 8)
+    }
+    tab
+  }
+
   /** q154 core, one row per ≥-2-token doc: bigram count and mean
     * bigram surprisal in integer micro-nats under the fitted MLE
     * bigram LM (rationale and shape notes at the q154 key). */
@@ -260,37 +320,43 @@ object CurationQueries {
     // canonical-key groupBy: the 100 TB shape is a single shuffle on
     // the dedup key, exactly like q43.
     "q146_url_dedup" -> { (s, dir) =>
-      val d = col("doc_id")
-      val raw = concat(
-        lit("https://"),
-        when(d % 7 === 0, concat(lit("WWW."), upper(col("source")),
-            lit(".Example.COM")))
-          .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
-        lit("/"), col("lang"), lit("/p"), (d % 5).cast("string"),
-        when(d % 2 === 0,
-          concat(lit("?b="), ((d % 5) + 1).cast("string"),
-            lit("&a="), ((d % 5) * 2).cast("string")))
-          .otherwise(concat(lit("?a="), ((d % 5) * 2).cast("string"),
-            lit("&b="), ((d % 5) + 1).cast("string"))),
-        when(d % 3 === 0, lit("&utm_source=feed")).otherwise(lit("")),
-        when(d % 5 === 0, lit("#sec")).otherwise(lit("")))
-      val noFrag = regexp_replace(raw, "#.*$", "")
-      val hostPath = substring_index(noFrag, "?", 1)
-      val query = when(instr(noFrag, "?") > 0,
-        substring_index(noFrag, "?", -1)).otherwise(lit(""))
-      val params = array_sort(filter(split(query, "&"),
-        p => p =!= "" && !p.startsWith("utm_")))
-      val canon = concat(lower(hostPath),
-        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
-          .otherwise(lit("")))
+      val raw = rawUrl(col("doc_id"), col("lang"), col("source"))
       tWide(s, dir, "documents")
-        .select(col("doc_id"), raw.as("raw_url"), canon.as("canonical"))
+        .select(col("doc_id"), raw.as("raw_url"),
+          canonicalUrl(raw).as("canonical"))
         .groupBy("canonical")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("raw_url")).as("n_raw_variants"),
           min(col("doc_id")).as("first_seen"),
           sum(col("doc_id")).cast("long").as("id_sum"))
         .orderBy("canonical")
+    },
+
+    // Incremental URL dedup against the PERSISTED canonical index —
+    // the q106/q109 serving discipline applied to the crawl-frontier
+    // question "have we fetched this resource before": corpus
+    // canonical counts are built once, bucketed on the canonical key;
+    // a new ingest batch ((doc_id DIV 20) % 10 = 7 — the split rides a
+    // HIGHER digit than the fixtures' source = doc_id % 20 encoding, so
+    // every batch crosses all sources and its canonicals genuinely
+    // collide with the corpus; a %10 split would alias the source
+    // column and flag everything new) canonicalizes itself
+    // per row and left-joins the index — only the SMALL batch side
+    // shuffles, the bucketed corpus scan never does. Each batch URL
+    // reports its prior corpus count and a 0/1 novelty flag (the
+    // crawl-frontier admit decision).
+    "q155_url_dedup_incremental" -> { (s, dir) =>
+      val corpus = s.table(urlCanonIndex(s, dir))
+      val batch = tWide(s, dir, "documents")
+        .filter(expr("(doc_id DIV 20) % 10 = 7"))
+        .select(col("doc_id"), canonicalUrl(rawUrl(col("doc_id"),
+          col("lang"), col("source"))).as("canonical"))
+      batch.join(corpus, Seq("canonical"), "left_outer")
+        .select(col("doc_id"), col("canonical"),
+          coalesce(col("prior_cnt"), lit(0L)).as("prior_cnt"),
+          when(col("prior_cnt").isNull, lit(1L)).otherwise(lit(0L))
+            .as("is_new"))
+        .orderBy("doc_id")
     },
 
     // Overlapping token-window chunking: one row per (doc, window).
@@ -813,6 +879,36 @@ object CurationQueries {
        |GROUP BY source, shard""".stripMargin
   }
 
+  /** The q146 synthesis + canonicalization CTE pair (`r`, `c`), shared
+    * with q155's twin — one DuckDB source of truth for the canonical
+    * key. */
+  private val UrlCanonCtes: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN 'WWW.' || upper(source) || '.Example.COM'
+      |         ELSE 'www.' || source || '.example.com' END ||
+      |    '/' || lang || '/p' || (doc_id % 17)::VARCHAR ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN '?b=' || ((doc_id % 5) + 1)::VARCHAR || '&a=' || ((doc_id % 5) * 2)::VARCHAR
+      |         ELSE '?a=' || ((doc_id % 5) * 2)::VARCHAR || '&b=' || ((doc_id % 5) + 1)::VARCHAR END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS raw_url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, raw_url,
+      |    lower(string_split(nf, '?')[1]) ||
+      |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canonical
+      |  FROM (
+      |    SELECT doc_id, raw_url,
+      |      list_sort(list_filter(
+      |        string_split(CASE WHEN len(string_split(nf, '?')) > 1
+      |                          THEN string_split(nf, '?')[2] ELSE '' END, '&'),
+      |        p -> p != '' AND NOT starts_with(p, 'utm_'))) AS ps, nf
+      |    FROM (SELECT doc_id, raw_url,
+      |            regexp_replace(raw_url, '#.*$', '') AS nf FROM r)))""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // q154: q49's bigram replay + MLE conditional + q103's guarded
     // integer micro-nat fold
@@ -836,37 +932,25 @@ object CurationQueries {
     // q146: same synthesis, same canonicalization in DuckDB list/string
     // ops — equality proves the canonicalizer collapses every variant
     // axis and nothing else
-    "q146_url_dedup" ->
-      """WITH r AS (
-        |  SELECT doc_id,
-        |    'https://' ||
-        |    CASE WHEN doc_id % 7 = 0
-        |         THEN 'WWW.' || upper(source) || '.Example.COM'
-        |         ELSE 'www.' || source || '.example.com' END ||
-        |    '/' || lang || '/p' || (doc_id % 5)::VARCHAR ||
-        |    CASE WHEN doc_id % 2 = 0
-        |         THEN '?b=' || ((doc_id % 5) + 1)::VARCHAR || '&a=' || ((doc_id % 5) * 2)::VARCHAR
-        |         ELSE '?a=' || ((doc_id % 5) * 2)::VARCHAR || '&b=' || ((doc_id % 5) + 1)::VARCHAR END ||
-        |    CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
-        |    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS raw_url
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, raw_url,
-        |    lower(string_split(nf, '?')[1]) ||
-        |    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canonical
-        |  FROM (
-        |    SELECT doc_id, raw_url,
-        |      list_sort(list_filter(
-        |        string_split(CASE WHEN len(string_split(nf, '?')) > 1
-        |                          THEN string_split(nf, '?')[2] ELSE '' END, '&'),
-        |        p -> p != '' AND NOT starts_with(p, 'utm_'))) AS ps, nf
-        |    FROM (SELECT doc_id, raw_url,
-        |            regexp_replace(raw_url, '#.*$', '') AS nf FROM r)))
-        |SELECT canonical, count(*) AS n_docs,
+    "q146_url_dedup" -> (UrlCanonCtes + "\n" +
+      """SELECT canonical, count(*) AS n_docs,
         |  count(DISTINCT raw_url) AS n_raw_variants,
         |  min(doc_id) AS first_seen,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin),
+
+    // q155: the SAME synthesis+canonicalization CTEs, corpus counts
+    // from the non-batch side — equality proves the batch's
+    // prior-count/novelty answers against the index contents
+    "q155_url_dedup_incremental" -> (UrlCanonCtes + ",\n" +
+      """corp AS (SELECT canonical, count(*) AS prior_cnt
+        |  FROM c WHERE (doc_id // 20) % 10 != 7 GROUP BY canonical),
+        |b AS (SELECT doc_id, canonical FROM c WHERE (doc_id // 20) % 10 = 7)
+        |SELECT b.doc_id, b.canonical,
+        |  CAST(COALESCE(corp.prior_cnt, 0) AS BIGINT) AS prior_cnt,
+        |  CAST(CASE WHEN corp.prior_cnt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        |FROM b LEFT JOIN corp USING (canonical)
+        |ORDER BY doc_id""".stripMargin),
 
     "q91_chunk_docs" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -63,6 +63,22 @@ class CurationSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q155: crawl-frontier answers are consistent and BOTH branches fire") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CurationQueries
+      .queries("q155_url_dedup_incremental")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert((r.getAs[Long]("is_new") == 1L) ==
+        (r.getAs[Long]("prior_cnt") == 0L),
+        "novelty flag must mirror a zero prior count")
+    }
+    assert(out.exists(_.getAs[Long]("is_new") == 1L) &&
+      out.exists(_.getAs[Long]("is_new") == 0L),
+      "the fixture batch must mix seen and new resources — " +
+        "an all-one-way answer means the split aliases the key")
+  }
+
   test("q154: bigram surprisal matches hand-computed micro-nats; rare continuations score higher") {
     val sess = spark
     import sess.implicits._
