@@ -167,6 +167,53 @@ object AuditQueries {
       .withColumn("abs_err", round(abs(col("est") - col("exact")), 6))
   }
 
+  /** q156 core: histogram-estimated winsorization bounds — the outlier
+    * clip every numeric-feature pipeline applies before training, in
+    * the shape that survives 100 TB: p01/p99 come from q126's
+    * equi-width histogram estimate (a global min/max pass + one
+    * bounded-key (type × 64) count pass, both map-side combinable, NO
+    * sort anywhere — exact-percentile clipping would sort every group;
+    * q126 exists precisely to calibrate this estimate against exact),
+    * then one more scan counts the rows the clip would touch. The
+    * bounds ride UNROUNDED into the comparisons — both engines compute
+    * the identical double by the identical op order (the q126
+    * contract) — and round only for display. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = HistBuckets
+    val ev = loadEvents(s, dir).select(col("event_type"), col("value"))
+    val mm = ev.agg(min("value").as("mn"), max("value").as("mx"))
+    val counts = ev.crossJoin(broadcast(mm))
+      .select(col("event_type"),
+        least(lit(B - 1L),
+          floor((col("value") - col("mn")) / (col("mx") - col("mn")) * B))
+          .cast("long").as("k"))
+      .groupBy("event_type", "k").agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy("event_type")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(byType.orderBy("k")))
+      .withColumn("total", sum("cnt").over(byType))
+    val picked = cum
+      .crossJoin(broadcast(
+        mm.sparkSession.range(1).select(
+          explode(array(lit(1L), lit(99L))).as("q_pct"))))
+      .filter(col("cum") * 100 >= col("total") * col("q_pct"))
+      .groupBy("event_type", "q_pct").agg(min("k").as("ksel"))
+    val bnd = col("mn") +
+      (col("ksel") + 1).cast("double") / B * (col("mx") - col("mn"))
+    val bounds = picked.crossJoin(broadcast(mm))
+      .groupBy("event_type")
+      .agg(min(when(col("q_pct") === 1, bnd)).as("lo"),
+        min(when(col("q_pct") === 99, bnd)).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(round(min("lo"), 6).as("p01_est"),
+        round(min("hi"), 6).as("p99_est"),
+        count(lit(1)).as("n"),
+        count(when(col("value") < col("lo"), 1)).as("n_low"),
+        count(when(col("value") > col("hi"), 1)).as("n_high"))
+  }
+
   /** q144 sketch shape: 4 rows × 1024 buckets = 32 KB, fixed. */
   private val CmsDepth = 4
   private val CmsWidth = 1024
@@ -271,6 +318,12 @@ object AuditQueries {
     // The q144 sketch grown epoch-by-epoch; oracle is q144's twin
     // verbatim — the gate IS the grown ≡ one-shot equivalence proof.
     "q148_cms_grow" -> { (s, dir) => cmsGrow(s, dir) },
+
+    // Histogram-estimated winsorization — outlier clipping without a
+    // sort (rationale at [[winsorize]]).
+    "q156_winsorize" -> { (s, dir) =>
+      winsorize(s, dir).orderBy("event_type")
+    },
   )
 
   /** DuckDB twin of one profileTable call (same agg expressions, one
@@ -376,6 +429,38 @@ object AuditQueries {
          |  round(abs(est - exact), 6) AS abs_err
          |FROM est JOIN ex USING (event_type, q_pct)
          |ORDER BY event_type, q_pct""".stripMargin,
+
+    // q156: q126's histogram CTEs restricted to q ∈ {1, 99}, bounds
+    // compared UNROUNDED (identical doubles by identical op order)
+    "q156_winsorize" ->
+      s"""WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+         |c AS (
+         |  SELECT event_type,
+         |    CAST(least(${HistBuckets - 1},
+         |      floor((value - mn) / (mx - mn) * $HistBuckets)) AS BIGINT) AS k,
+         |    count(*) AS cnt
+         |  FROM events, mm GROUP BY event_type, k, mn, mx),
+         |cum AS (
+         |  SELECT event_type, k, cnt,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY k) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS total
+         |  FROM c),
+         |picked AS (
+         |  SELECT event_type, q_pct, min(k) AS ksel
+         |  FROM cum CROSS JOIN (SELECT unnest([1, 99]) AS q_pct) q
+         |  WHERE cum * 100 >= total * q_pct
+         |  GROUP BY event_type, q_pct),
+         |bounds AS (
+         |  SELECT event_type,
+         |    min(CASE WHEN q_pct = 1 THEN mn + CAST(ksel + 1 AS DOUBLE) / $HistBuckets * (mx - mn) END) AS lo,
+         |    min(CASE WHEN q_pct = 99 THEN mn + CAST(ksel + 1 AS DOUBLE) / $HistBuckets * (mx - mn) END) AS hi
+         |  FROM picked, mm GROUP BY event_type)
+         |SELECT e.event_type, round(min(lo), 6) AS p01_est,
+         |  round(min(hi), 6) AS p99_est, count(*) AS n,
+         |  count(*) FILTER (value < lo) AS n_low,
+         |  count(*) FILTER (value > hi) AS n_high
+         |FROM events e JOIN bounds b USING (event_type)
+         |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
 
     // q144: DuckDB reconstructs the ENTIRE sketch in SQL — the CMS cell
     // vector is a deterministic linear function of the exact counts

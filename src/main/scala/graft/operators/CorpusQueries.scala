@@ -43,9 +43,10 @@ object CorpusQueries {
   private val Bands = 4 // 4 bands × 4 bits
 
   /** q71's deterministic per-row shuffle key (LCG on doc_id), shared by
-    * the mixing operator: reduce mod p BEFORE the multiply so the
-    * arithmetic never overflows int64 under ANSI mode. */
-  private def shuffleKey(c: Column): Column =
+    * the mixing operator and q157's stratified split: reduce mod p
+    * BEFORE the multiply so the arithmetic never overflows int64 under
+    * ANSI mode. */
+  private[graft] def shuffleKey(c: Column): Column =
     pmod(pmod(c, lit(2147483647L)) * 1103515245L + 12345L,
       lit(2147483647L))
 
@@ -565,6 +566,35 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // STRATIFIED split — q127's quota-exact complement: q127's pure
+    // doc_id arithmetic needs no manifest but only hits 80/10/10 in
+    // expectation, and a small or skewed SOURCE can land entirely in
+    // train; stratifying ranks each source's docs by the deterministic
+    // LCG shuffle key (q71's) and cuts at EXACT integer quotas
+    // (rn·10 ≤ n·8 → train, ≤ n·9 → val, else test), so every stratum
+    // holds its proportions to ±1 doc. The trade is explicit: rank
+    // needs the stratum's n (one per-source window, the q71 shape —
+    // at 100 TB each source sorts only its own rows, and the output
+    // IS the manifest q127 avoids). Reported as the per-(source,
+    // split) quota table with id-sum content pins.
+    "q157_split_stratified" -> { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(shuffleKey(col("doc_id")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("split",
+          when(col("rn") * 10 <= col("n") * 8, "train")
+            .when(col("rn") * 10 <= col("n") * 9, "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("source", "split")
+    },
+
     // Split LEAKAGE audit: near-dup pairs (q44's gate-proven MinHash
     // pipeline) whose two members landed in different splits are
     // train/test contamination the split assignment cannot see (Lee et
@@ -820,6 +850,24 @@ object CorpusQueries {
     "q127_split_assign" ->
       s"""SELECT doc_id, source, $splitSql AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q157: the q71 LCG rank + exact integer quota cuts, replayed
+    "q157_split_stratified" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN rn * 10 <= n * 8 THEN 'train'
+        |         WHEN rn * 10 <= n * 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM r)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
 
     "q130_mix_temperature" ->
       """WITH n AS (SELECT source, count(*) AS n_docs

@@ -114,6 +114,54 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q156: winsorization bounds obey q126's one-bucket contract; high tail capped at 1%") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AuditQueries.winsorize(spark, dir).collect()
+    val ev = graft.Tables.loadEvents(spark, dir)
+    val mm = ev.agg(min("value"), max("value")).head()
+    val width = (mm.getDouble(1) - mm.getDouble(0)) / AuditQueries.HistBuckets
+    val byType = ev.select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def exactDisc(vs: Array[Double], q: Int): Double =
+      vs((math.ceil(vs.length * q / 100.0).toInt - 1).max(0))
+    out.foreach { r =>
+      val (t, lo, hi) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val (n, nLow, nHigh) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo < hi, s"$t: bounds must be ordered")
+      assert(nLow + nHigh < n, s"$t: the clip can never touch every row")
+      val vs = byType(t)
+      // each bound is its picked bucket's UPPER edge: within one bucket
+      // width ABOVE the exact disc percentile (q126's proven law)
+      assert(lo >= exactDisc(vs, 1) - 1e-6 &&
+        lo <= exactDisc(vs, 1) + width + 1e-6,
+        s"$t: p01 estimate $lo outside [exact, exact+width]")
+      assert(hi >= exactDisc(vs, 99) - 1e-6 &&
+        hi <= exactDisc(vs, 99) + width + 1e-6,
+        s"$t: p99 estimate $hi outside [exact, exact+width]")
+      // hi >= exact p99 ⇒ rows above hi ⊆ the true >p99 tail: ≤ 1% of n
+      assert(nHigh <= math.floor(n * 0.01).toLong + 1,
+        s"$t: p99 upper edge must cap the high tail at ~1%")
+    }
+  }
+
+  test("q157: stratified quotas are EXACT integer cuts in every stratum") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries
+      .queries("q157_split_stratified")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = graft.Tables.t(spark, dir, "documents").count()
+    assert(out.map(_._3).sum === n, "strata must partition the corpus")
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val by = rows.map(r => r._2 -> r._3).toMap
+      val sn = rows.map(_._3).sum
+      // rn·10 ≤ n·8 / ≤ n·9 cuts give EXACTLY floor(.8n) / floor(.9n)−floor(.8n) / rest
+      assert(by("train") === sn * 8 / 10, s"$src train quota")
+      assert(by("val") === sn * 9 / 10 - sn * 8 / 10, s"$src val quota")
+      assert(by("test") === sn - sn * 9 / 10, s"$src test quota")
+    }
+  }
+
   test("q127: split assignment is total, deterministic, and near 80/10/10") {
     val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val n = docs.count()
