@@ -219,7 +219,44 @@ object EventAnalytics {
           round(col("z"), 6).as("zscore"))
         .orderBy("event_type", "hr")
     },
+
+    // BATCH gap sessionization — the q41/q85 session-window semantics
+    // as a deterministic batch operator over the full history (the
+    // backfill twin every streaming sessionizer needs: reprocessing a
+    // day of late data runs THIS, not the state store). A session
+    // breaks when the gap to the previous event exceeds 8h (the
+    // fixture's median inter-event gap is ~7.3h, so the cut genuinely
+    // mixes multi-event and singleton sessions instead of degenerating
+    // either way). Scale: ONE user_id exchange serves the lag window,
+    // the running-sum session counter AND the (user_id, session_idx)
+    // groupBy — the scd2Dimension exchange-reuse shape; no
+    // corpus-wide sort, no self-join. Duration stays in exact integer
+    // micros until one floor-division to seconds (identical longs →
+    // identical doubles → identical floor on both engines).
+    "q158_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runs = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      loadEvents(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > SessionGapUs,
+            lit(1L)).otherwise(lit(0L)))
+        .withColumn("session_idx", sum("new_s").over(runs).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          floor((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            / lit(1000000L)).as("duration_s"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("user_id", "session_idx")
+    },
   )
+
+  /** q158 session gap: 8 hours in epoch micros. */
+  private val SessionGapUs = 28800000000L
 
   def oracle: Map[String, String] = Map(
     "q77_retention" ->
@@ -330,5 +367,33 @@ object EventAnalytics {
         |  round(mean, 6) AS mean_cnt, round(z, 6) AS zscore
         |FROM z WHERE abs(z) >= 2
         |ORDER BY event_type, hr""".stripMargin,
+
+    // q158: the lag/running-sum sessionization replayed in window SQL;
+    // 28800000000 us = the engine's SessionGapUs (8h). DuckDB's `/` on
+    // integers is float division, so the floor+CAST mirrors Spark's
+    // floor(long/long-as-double) exactly (values ≪ 2^53).
+    "q158_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |x AS (SELECT user_id, ts, event_id, event_type,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS prev_ts
+        |      FROM e),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |          OR epoch_us(ts) - epoch_us(prev_ts) > 28800000000
+        |        THEN 1 ELSE 0 END AS new_s
+        |      FROM x),
+        |z AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS session_idx
+        |      FROM y)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS session_start,
+        |  CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000)
+        |    AS BIGINT) AS duration_s,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM z GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

@@ -49,4 +49,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === flagged,
       "the declarative z-score filter must match exact driver arithmetic")
   }
+
+  test("q158: sessions partition the stream and equal an exact driver-side sessionizer") {
+    val out = EventAnalytics.queries("q158_sessionize")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // lossless partition: every event lands in exactly one session
+    assert(out.map(_._3).sum === loadEvents(spark, dir).count(),
+      "session n_events must sum to the full event count")
+    // exact recompute: split each user's sorted timeline on >8h gaps
+    val gapUs = 28800000000L
+    val byUser = loadEvents(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = byUser.flatMap { case (uid, rows) =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val splits = ts.indices.map(i =>
+        i == 0 || ts(i) - ts(i - 1) > gapUs)
+      val sids = splits.scanLeft(0L)((a, b) => if (b) a + 1 else a).tail
+      ts.zip(sids).groupBy(_._2).map { case (sid, g) =>
+        (uid, sid, g.length.toLong, (g.map(_._1).max - g.map(_._1).min) / 1000000L)
+      }
+    }.toSet
+    assert(out.toSet === expect,
+      "lag/running-sum sessionization must equal the exact split-on-gap semantics")
+  }
 }
