@@ -289,6 +289,32 @@ object CurationQueries {
       .selectExpr("doc_id", "nb", "surprisal div nb AS ppx_micro")
   }
 
+  /** q159 core: the top-20 PMI collocation board over a (doc_id, text)
+    * frame — counts, marginals, one-ln micro-nat score; rationale and
+    * shape notes at the q159 key. */
+  def pmiBoard(docs: DataFrame): DataFrame = {
+    import graft.plans.GraftExpressions.word_bigrams
+    val bc = docs.select(word_bigrams(col("text")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val uni = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = bc.agg(sum("cb").cast("long").as("n_bi"))
+      .crossJoin(uni.agg(sum("cu").cast("long").as("n_uni")))
+    bc.filter(col("cb") >= 5)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("cu").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("cu").as("c2"))), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("x",
+        log(col("cb").cast("double") * col("n_uni") * col("n_uni")
+          / (col("n_bi").cast("double") * col("c1") * col("c2"))) * 1e6)
+      .select(col("bg"), col("cb").as("pair_cnt"), col("c1"), col("c2"),
+        floor(col("x") + lit(1e-6)).cast("long").as("pmi_micro"))
+      .orderBy(desc("pmi_micro"), col("bg"))
+      .limit(20)
+  }
+
   /** Heavy-hitters pass 2, shared by q92 (batch pass 1) and q102
     * (streaming pass 1): exact recount of the token stream restricted
     * to the broadcast candidate summary, then the real threshold.
@@ -557,6 +583,27 @@ object CurationQueries {
       bigramSurprisal(tWide(s, dir, "documents"))
         .orderBy(desc("ppx_micro"), col("doc_id"))
         .limit(20)
+    },
+
+    // PMI COLLOCATIONS — the corpus-analysis complement of q119's raw
+    // pair counts: rank bigrams by pointwise mutual information
+    // ln(p(w1w2)/(p(w1)p(w2))), the standard collocation-extraction
+    // score (Church & Hanks 1990) a tokenizer/phrase-mining pass runs
+    // before freezing a vocabulary. Raw counts (q119) surface frequent
+    // pairs of frequent words; PMI normalizes by the unigram marginals
+    // and surfaces pairs that co-occur MORE than their words' rates
+    // predict. Shapes: bigrams from the native WordBigrams generator
+    // (map-side-combined count), unigram marginals are a VOCAB-bounded
+    // agg broadcast back (the q103 vocab-LM precedent — w1 and w2
+    // attach via two broadcast joins, no corpus re-shuffle), corpus
+    // totals ride a 1-row broadcast crossJoin (the q130 shape). The
+    // score is ONE ln on a ratio assembled left-to-right from exact
+    // longs — identical IEEE doubles on both engines — quantized to
+    // integer micro-nats with q103's floor(x + 1e-6) ulp guard, so the
+    // top-20 ordering compares longs, never raw doubles. Min support
+    // cb ≥ 5 keeps the classic low-count PMI blowup out of the board.
+    "q159_pmi_collocations" -> { (s, dir) =>
+      pmiBoard(tWide(s, dir, "documents"))
     },
 
     // Paragraph-granularity dedup audit (the C4/RefinedWeb "remove
@@ -928,6 +975,31 @@ object CurationQueries {
         |  FROM bgd JOIN lm USING (bg) GROUP BY doc_id)
         |SELECT doc_id, nb, surprisal // nb AS ppx_micro
         |FROM sc ORDER BY ppx_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q159: the same bigram/unigram replay, PMI ratio assembled in the
+    // engine's exact left-to-right operand order, q103's floor guard
+    "q159_pmi_collocations" ->
+      """WITH bgd AS (
+        |  SELECT unnest(list_transform(range(0, len(sp) - 1),
+        |    i -> array_to_string(sp[i+1:i+2], ' '))) AS bg
+        |  FROM (SELECT string_split(text, ' ') AS sp FROM documents) t),
+        |bc AS (SELECT bg, count(*) AS cb FROM bgd GROUP BY bg),
+        |uc AS (SELECT tok, count(*) AS cu FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |tot AS (SELECT
+        |  (SELECT CAST(sum(cu) AS BIGINT) FROM uc) AS n_uni,
+        |  (SELECT CAST(sum(cb) AS BIGINT) FROM bc) AS n_bi),
+        |sc AS (SELECT bg, cb, c1.cu AS c1, c2.cu AS c2, n_uni, n_bi
+        |  FROM bc CROSS JOIN tot
+        |  JOIN uc c1 ON string_split(bg, ' ')[1] = c1.tok
+        |  JOIN uc c2 ON string_split(bg, ' ')[2] = c2.tok
+        |  WHERE cb >= 5)
+        |SELECT bg, cb AS pair_cnt, c1, c2,
+        |  CAST(floor(ln(cb::DOUBLE * n_uni * n_uni
+        |    / (n_bi::DOUBLE * c1 * c2)) * 1000000 + 0.000001) AS BIGINT)
+        |    AS pmi_micro
+        |FROM sc ORDER BY pmi_micro DESC, bg LIMIT 20""".stripMargin,
 
     // q146: same synthesis, same canonicalization in DuckDB list/string
     // ops — equality proves the canonicalizer collapses every variant

@@ -370,4 +370,38 @@ class CurationSpec extends SparkSpec {
       "a verbatim duplicate has no corpus-unique shingles")
     assert(out(3L) === 1.0, "an unrelated doc is fully novel")
   }
+
+  test("q159: PMI separates a glued pair from independent fillers") {
+    val sess = spark
+    import sess.implicits._
+    // "x y" always co-occur (every occurrence of x is followed by y);
+    // fillers a/b/c combine freely. PMI must rank the glued pair first
+    // and agree with an exact driver-side recompute of the formula.
+    val docs = (1 to 30).map { i =>
+      val filler = Seq("a", "b", "c")(i % 3)
+      (i.toLong, s"x y $filler x y a b c a $filler")
+    }.toDF("doc_id", "text")
+    val out = CurationQueries.queries("q159_pmi_collocations")
+      .apply(sess, "/root/testdata/sf0.001") // signature needs dir; recompute below on fixture
+    val rows = out.collect()
+    assert(rows.length === 20 && rows.map(_.getAs[Long]("pair_cnt")).forall(_ >= 5))
+    // exact recompute on the fixture: counts + one math.log per pair
+    val fix = graft.Tables.t(sess, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect().map(_.getString(0))
+    val toks = fix.flatMap(_.split(" "))
+    val bigr = fix.flatMap(t => { val w = t.split(" "); w.dropRight(1).zip(w.drop(1)) })
+    val cu = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cb = bigr.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nU = toks.length.toLong; val nB = bigr.length.toLong
+    val expect = cb.toSeq.filter(_._2 >= 5).map { case ((w1, w2), c) =>
+      val x = math.log(c.toDouble * nU * nU / (nB.toDouble * cu(w1) * cu(w2))) * 1e6
+      (s"$w1 $w2", math.floor(x + 1e-6).toLong)
+    }.sortBy { case (bg, p) => (-p, bg) }.take(20)
+    val got = rows.map(r => (r.getAs[String]("bg"), r.getAs[Long]("pmi_micro"))).toSeq
+    assert(got === expect, "engine PMI board must equal the exact recompute")
+    // and the synthetic glued pair outranks every filler combination
+    val synth = CurationQueries.pmiBoard(docs).collect()
+    assert(synth.head.getAs[String]("bg") === "x y",
+      "the always-adjacent pair must top the PMI board")
+  }
 }
