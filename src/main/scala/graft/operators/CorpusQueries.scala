@@ -200,6 +200,32 @@ object CorpusQueries {
         .orderBy("lang", "rn")
     },
 
+    // WEIGHTED sample without replacement — Efraimidis–Spirakis A-ES:
+    // each row draws an exponential key e = -ln(u)/w and the GLOBAL
+    // k smallest keys are the sample; P(doc first) ∝ w exactly, and
+    // the one-pass top-k needs no corpus sort and no per-stratum
+    // window (q70 is unweighted-by-hash, q71 is per-stratum — this is
+    // the importance-sampling member: here w = n_chars, length-biased
+    // the way token-budget curation samples are). Determinism: u from
+    // a THIRD LCG (69621, vs q71's 1103515245 and q127's 48271, so
+    // sample, shuffle rank and split stay uncorrelated), (h+1)/2^31 is
+    // an EXACT power-of-two division, one ln per row, and the key is
+    // quantized to integer pico-units (floor + 1e-6 ulp guard) so the
+    // global order compares longs with doc_id as tiebreak. Scale: the
+    // plan is TakeOrderedAndProject — per-partition heaps of k, only
+    // k·partitions rows ever move; no shuffle of the corpus.
+    "q160_sample_weighted" -> { (s, dir) =>
+      val p = 2147483647L
+      val h = pmod(pmod(col("doc_id"), lit(p)) * 69621L + 7L, lit(p))
+      val u = (h + 1L).cast("double") / 2147483648.0
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          floor(-log(u) / col("n_chars") * 1e12 + lit(1e-6))
+            .cast("long").as("key_pico"))
+        .orderBy(col("key_pico"), col("doc_id"))
+        .limit(20)
+    },
+
     // Top-3 characteristic terms per sampled doc by the rarity weight
     // tf·N/df (log-free TF-IDF variant; see object scaladoc). df comes
     // from the FULL corpus; only the bounded query set (doc_id % 100 = 0)
@@ -716,6 +742,16 @@ object CorpusQueries {
         |  FROM documents) r
         |WHERE rn <= 20
         |ORDER BY lang, rn""".stripMargin,
+
+    // q160: the A-ES key replayed — exact LCG longs, exact /2^31
+    // division, one ln, the engine's operand order, floor+1e-6 guard
+    "q160_sample_weighted" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(floor(-ln((((doc_id % 2147483647) * 69621 + 7)
+        |      % 2147483647 + 1)::DOUBLE / 2147483648)
+        |    / n_chars * 1000000000000 + 0.000001) AS BIGINT) AS key_pico
+        |FROM documents
+        |ORDER BY key_pico, doc_id LIMIT 20""".stripMargin,
 
     "q72_tfidf_top" ->
       """WITH toks AS (

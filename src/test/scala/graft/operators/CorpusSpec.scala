@@ -125,4 +125,33 @@ class CorpusSpec extends SparkSpec {
     assert(byN.zip(byN.tail).forall { case (a, b) => a >= b - 1e-9 },
       s"oversample must fall as source size grows: ${byN.toSeq}")
   }
+
+  test("q160: A-ES sample equals exact recompute and plans as top-k") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val df = CorpusQueries.queries("q160_sample_weighted")(spark, dir)
+    // top-k, never a full sort: the global limit must fuse into
+    // TakeOrderedAndProject (per-partition heaps)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "A-ES sample must plan as TakeOrderedAndProject")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("key_pico"))).toSeq
+    // exact driver-side replay of the LCG draw + exponential key
+    val fix = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = fix.map { case (id, w) =>
+      val h = ((id % 2147483647L) * 69621L + 7L) % 2147483647L
+      val u = (h + 1L).toDouble / 2147483648.0
+      (id, math.floor(-math.log(u) / w * 1e12 + 1e-6).toLong)
+    }.sortBy { case (id, k) => (k, id) }.take(20).toSeq
+    assert(got === expect, "engine sample must equal the exact A-ES replay")
+    // length bias: the sampled docs skew long — their mean n_chars
+    // exceeds the corpus mean (w = n_chars is the sampling weight)
+    val sampleMean = df.collect().map(_.getAs[Long]("n_chars")).sum.toDouble / 20
+    val corpusMean = fix.map(_._2).sum.toDouble / fix.length
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean under corpus mean $corpusMean")
+  }
 }
