@@ -253,6 +253,41 @@ object EventAnalytics {
           countDistinct("event_type").as("n_types"))
         .orderBy("user_id", "session_idx")
     },
+    // INGEST TREND — per-type OLS slope of hourly event volume, the
+    // "is this source growing or dying" number a pipeline dashboard
+    // fits over its own telemetry (q133 flags hourly outliers; this
+    // fits the direction they deviate FROM). All five sufficient
+    // statistics (n, Σx, Σy, Σxx, Σxy — x = exact epoch-hour index,
+    // y = hourly count) are EXACT integer sums: the classic
+    // catastrophic cancellation in n·Σxy − Σx·Σy happens in int64
+    // arithmetic where it is exact, and both engines derive the
+    // slope double from identical longs via the textually identical
+    // formula (the q133 discipline). Scale: one bounded-key count
+    // (type × hour) then a |types|-row re-agg — map-side combinable
+    // throughout, nothing sorts, no window. The denominator guard
+    // drops single-hour types (slope undefined) on both engines.
+    "q161_trend_slope" -> { (s, dir) =>
+      val hourly = loadEvents(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+            .as("x"))
+        .agg(count(lit(1)).as("y"))
+      hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum("x").cast("long").as("sx"),
+          sum("y").cast("long").as("sy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("x") * col("y")).cast("long").as("sxy"))
+        .filter(col("n_hours") * col("sxx") - col("sx") * col("sx") > 0)
+        .withColumn("slope",
+          (col("n_hours") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_hours") * col("sxx") - col("sx") * col("sx")))
+        .select(col("event_type"), col("n_hours"), col("sy").as("n_events"),
+          round(col("slope"), 6).as("slope_per_hour"),
+          round(col("slope") * 24, 6).as("slope_per_day"))
+        .orderBy("event_type")
+    },
   )
 
   /** q158 session gap: 8 hours in epoch micros. */
@@ -395,5 +430,31 @@ object EventAnalytics {
         |  count(DISTINCT event_type) AS n_types
         |FROM z GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // q161: identical integer sufficient statistics, identical formula
+    // (never the engine's regr_slope builtin, whose accumulation order
+    // could differ); `//` = exact integer epoch-hour on positive epochs
+    "q161_trend_slope" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      // 3600000000 AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM hourly GROUP BY event_type),
+        |sl AS (
+        |  SELECT event_type, n_hours, sy,
+        |    (n_hours * sxy - sx * sy)::DOUBLE
+        |      / (n_hours * sxx - sx * sx) AS slope
+        |  FROM st WHERE n_hours * sxx - sx * sx > 0)
+        |SELECT event_type, n_hours, sy AS n_events,
+        |  round(slope, 6) AS slope_per_hour,
+        |  round(slope * 24, 6) AS slope_per_day
+        |FROM sl ORDER BY event_type""".stripMargin,
   )
 }

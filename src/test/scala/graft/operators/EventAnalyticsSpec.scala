@@ -74,4 +74,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSet === expect,
       "lag/running-sum sessionization must equal the exact split-on-gap semantics")
   }
+
+  test("q161: slope equals an exact driver-side OLS over hourly counts") {
+    val got = EventAnalytics.queries("q161_trend_slope")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("slope_per_hour")))
+      .toMap
+    val hourly = loadEvents(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("x"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = hourly.groupBy(_._1).flatMap { case (t, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val den = n * sxx - sx * sx
+      if (den <= 0) None
+      else Some(t -> (n, sy,
+        BigDecimal((n * sxy - sx * sy).toDouble / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got === expect,
+      "declarative OLS must equal exact integer-moment driver arithmetic")
+  }
 }
