@@ -226,6 +226,42 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // SNAPSHOT DIFF — the corpus-versioning primitive: what changed
+    // between crawl v1 and crawl v2 (added / removed / changed /
+    // unchanged), per source. Real incremental pipelines run this
+    // before reprocessing so only the delta re-enters dedup. Snapshots
+    // derive deterministically from the fixture (the q124/q146
+    // synthesis discipline): v1 omits doc_id%10=7, v2 omits %10=3 and
+    // rewrites the text of %5=1 docs — so every status class is
+    // populated and the classes are provably disjoint. Shape: each
+    // side projects to (doc_id, source, 32-char md5) BEFORE the join —
+    // only digests shuffle, never text (the q43 discipline); one
+    // full-outer hash join on doc_id (co-partitioned, no skew — ids
+    // are unique), status decided inline, then a bounded
+    // (source × 4-status) agg with id-sum content pins.
+    "q162_snapshot_diff" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("source").as("src1"),
+          md5(col("text")).as("dg1"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("source").as("src2"),
+          md5(when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("dg2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("src1"), col("src2")).as("source"),
+          when(col("dg1").isNull, "added")
+            .when(col("dg2").isNull, "removed")
+            .when(col("dg1") =!= col("dg2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("source", "status")
+    },
+
     // Top-3 characteristic terms per sampled doc by the rarity weight
     // tf·N/df (log-free TF-IDF variant; see object scaladoc). df comes
     // from the FULL corpus; only the bounded query set (doc_id % 100 = 0)
@@ -752,6 +788,29 @@ object CorpusQueries {
         |    / n_chars * 1000000000000 + 0.000001) AS BIGINT) AS key_pico
         |FROM documents
         |ORDER BY key_pico, doc_id LIMIT 20""".stripMargin,
+
+    // q162: the same snapshot synthesis + digest diff replayed in SQL
+    "q162_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source, md5(text) AS dg1
+        |  FROM documents WHERE doc_id % 10 != 7),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 5 = 1 THEN text || ' rev2'
+        |             ELSE text END) AS dg2
+        |  FROM documents WHERE doc_id % 10 != 3),
+        |d AS (
+        |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    COALESCE(v1.source, v2.source) AS source,
+        |    CASE WHEN dg1 IS NULL THEN 'added'
+        |         WHEN dg2 IS NULL THEN 'removed'
+        |         WHEN dg1 != dg2 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT source, status, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM d GROUP BY source, status
+        |ORDER BY source, status""".stripMargin,
 
     "q72_tfidf_top" ->
       """WITH toks AS (

@@ -154,4 +154,28 @@ class CorpusSpec extends SparkSpec {
     assert(sampleMean > corpusMean,
       s"length-weighted sample mean $sampleMean under corpus mean $corpusMean")
   }
+
+  test("q162: diff statuses partition the union and match the synthesis arithmetic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.queries("q162_snapshot_diff")(spark, dir)
+      .collect()
+      .groupBy(_.getAs[String]("status"))
+      .map { case (st, rows) => st -> rows.map(_.getAs[Long]("n_docs")).sum }
+    val ids = graft.Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    // the synthesis makes the classes pure doc_id arithmetic: %10=7 was
+    // never in v1 (added), %10=3 never in v2 (removed), %5=1 rewrote
+    // (changed — disjoint from both since %5=1 → %10 ∈ {1,6})
+    val expect = Map(
+      "added" -> ids.count(_ % 10 == 7).toLong,
+      "removed" -> ids.count(_ % 10 == 3).toLong,
+      "changed" -> ids.count(i => i % 5 == 1).toLong,
+      "unchanged" -> ids.count(i =>
+        i % 10 != 7 && i % 10 != 3 && i % 5 != 1).toLong)
+    assert(out === expect.filter(_._2 > 0),
+      "status counts must equal the snapshot synthesis arithmetic")
+    assert(out.values.sum === ids.length,
+      "the four statuses must partition the id universe")
+  }
 }
