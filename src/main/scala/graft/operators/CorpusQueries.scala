@@ -327,6 +327,56 @@ object CorpusQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // MUTUAL kNN GRAPH — the neighborhood structure ANN clustering and
+    // graph-based curation (e.g. kNN-component semantic grouping) hang
+    // off: every vector ranks its band-join candidates by exact cosine,
+    // keeps its top-5, and an edge survives only if BOTH endpoints keep
+    // it (the mutual filter that makes kNN graphs sparse and symmetric).
+    // Output is the degree histogram with id-sum pins — the graph's
+    // shape signature. Shapes: candidates come from the SAME cached
+    // codedBands self-join as q73 (never all-pairs; per-vertex
+    // candidate lists are band-bucket-bounded), ranking is one window
+    // partitioned by source vertex over the directed candidate view,
+    // the mutual check is a (lo, hi) groupBy counting directions, and
+    // degree-0 vectors re-enter via one left join against the id
+    // column. Sim doubles are identical on both engines (exact same
+    // fold), so rank cuts agree; ties break on neighbor id.
+    "q163_knn_graph" -> { (s, dir) =>
+      val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
+      val bands = codedBands(emb).cache()
+      val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a")
+      val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b")
+      val pairs = ba.join(bb,
+          col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+        .withColumn("sim", graft.functions.VectorOps.cosinePre(
+          graft.operators.LlmQueries.seqDot(col("e_a"), col("e_b")),
+          col("n_a"), col("n_b")))
+        .filter(col("sim").isNotNull)
+        .select("id_a", "id_b", "sim").distinct()
+      val directed = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"), col("sim"))
+        .unionByName(pairs
+          .select(col("id_b").as("src"), col("id_a").as("dst"), col("sim")))
+      val w = Window.partitionBy("src").orderBy(desc("sim"), col("dst"))
+      val kept = directed
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+      val mutual = kept.groupBy(
+          least(col("src"), col("dst")).as("lo"),
+          greatest(col("src"), col("dst")).as("hi"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") === 2)
+      val deg = mutual
+        .select(explode(array(col("lo"), col("hi"))).as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("d"))
+      emb.select("vec_id").join(deg, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("degree"))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("vec_id").cast("long").as("id_sum"))
+        .orderBy("degree")
+    },
+
     // Incremental embedding near-dup against a PERSISTED sign-LSH
     // index — q106's pattern in vector space, completing the serving
     // triad (q106 text probe, q108 streaming probe, q109 vector probe
@@ -756,6 +806,32 @@ object CorpusQueries {
       |FROM p WHERE sim >= 0.4
       |ORDER BY id_a, id_b""".stripMargin)
 
+  // q163: the q73 candidate replay without a sim threshold, then
+  // directed top-5 ranks, the both-directions mutual filter, and the
+  // degree histogram over ALL vectors (degree 0 via left join)
+  private val q163Sql: String = embedLshSql("",
+    """,d1 AS (
+      |  SELECT id_a AS src, id_b AS dst, sim FROM p WHERE sim IS NOT NULL
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst, sim FROM p WHERE sim IS NOT NULL),
+      |kept AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src
+      |      ORDER BY sim DESC, dst) AS rk FROM d1) r
+      |  WHERE rk <= 5),
+      |mut AS (
+      |  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi
+      |  FROM kept GROUP BY 1, 2 HAVING count(*) = 2),
+      |deg AS (
+      |  SELECT vec_id, count(*) AS d FROM (
+      |    SELECT lo AS vec_id FROM mut
+      |    UNION ALL SELECT hi AS vec_id FROM mut) u
+      |  GROUP BY vec_id)
+      |SELECT COALESCE(d, 0) AS degree, count(*) AS n_vecs,
+      |  CAST(sum(e.vec_id) AS BIGINT) AS id_sum
+      |FROM embeddings e LEFT JOIN deg USING (vec_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   private val q109Sql: String = embedLshSql(
     "\n    WHERE (x.vec_id % 10 = 7) != (y.vec_id % 10 = 7)",
     """SELECT CASE WHEN id_a % 10 = 7 THEN id_a ELSE id_b END AS batch_vec,
@@ -834,6 +910,7 @@ object CorpusQueries {
         |ORDER BY doc_id, rnk""".stripMargin,
 
     "q73_embed_lsh" -> q73Sql,
+    "q163_knn_graph" -> q163Sql,
 
     // q73's replay restricted to mixed (batch, corpus) pairs — the
     // vector analog of q106's side-filtered twin

@@ -178,4 +178,20 @@ class CorpusSpec extends SparkSpec {
     assert(out.values.sum === ids.length,
       "the four statuses must partition the id universe")
   }
+
+  test("q163: kNN-graph degree histogram obeys the mutual-k structural laws") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CorpusQueries.queries("q163_knn_graph")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("degree"), r.getAs[Long]("n_vecs")))
+    val nVecs = graft.Tables.t(spark, dir, "embeddings").count()
+    assert(out.map(_._2).sum === nVecs,
+      "histogram must cover every vector, including degree 0")
+    assert(out.forall(_._1 <= 5),
+      "mutual degree cannot exceed k = 5 (each side keeps at most 5)")
+    val edgeEndpoints = out.map { case (d, n) => d * n }.sum
+    assert(edgeEndpoints % 2 === 0,
+      "sum of degrees must be even (each mutual edge has two endpoints)")
+    assert(edgeEndpoints > 0, "the fixture corpus must produce some mutual edges")
+  }
 }
