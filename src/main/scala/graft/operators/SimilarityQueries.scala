@@ -361,6 +361,26 @@ object SimilarityQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // EXACT set-CONTAINMENT join — the ASYMMETRIC member of the dedup
+    // family: C(sub→sup) = |S_sub ∩ S_sup| / |S_sub| ≥ 0.8 catches a
+    // short doc swallowed by a longer one (quote inclusion, page
+    // wrapped in boilerplate), which symmetric Jaccard (q44/q55)
+    // structurally misses: J = inter/union shrinks as the big doc
+    // grows while C is invariant to it. Same 3-gram/62-bit-hash
+    // plumbing as q55; the prefix filter adapts to the one-sided
+    // threshold: the ordered pair (A→B) needs inter ≥ α = ⌈0.8·|A|⌉,
+    // so A's ⌊(1−t)|A|⌋+1 rarest shingles must hit B SOMEWHERE
+    // (pigeonhole — and the first common shingle in global rarity
+    // order provably sits inside A's prefix, so join keys are ONLY
+    // A-prefix = rare shingles: hot inverted lists never drive the
+    // join even though B contributes its full list), with the PPJoin
+    // positional bound 1 + min(n_a−rn_a, n_b−rn_b) ≥ α and the
+    // one-sided length filter n_b ≥ α. Verify runs the early-exit
+    // SortedIntersectMin kernel at α; the −1 filter IS the threshold.
+    "q164_containment" -> { (s, dir) =>
+      containmentPairs(tWide(s, dir, "documents"))
+    },
+
     // Blocked (per-label) embedding pair scan: the partition-then-compare
     // dedup pattern; reports per-label pair stats. The output semantics
     // cover EVERY within-label pair, so O(n²) comparisons are inherent —
@@ -657,6 +677,53 @@ object SimilarityQueries {
       .orderBy("qid")
   }
 
+  /** q164 core: exact ordered-pair 3-gram containment ≥ 0.8 over a
+    * (doc_id, text) frame — prefix-filtered candidates, early-exit
+    * kernel verify; rationale and filter proofs at the q164 key. */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val h62 = (c: Column) =>
+      poly_hash(c, 131) * 2147483648L + poly_hash(c, 137)
+    val arrs = docs.select(col("doc_id"),
+      array_sort(transform(LlmQueries.shingles(col("text"), 3),
+        sg => h62(sg))).as("arr"))
+      .filter(size(col("arr")) > 0).cache()
+    val sh = arrs.select(col("doc_id"),
+      size(col("arr")).cast("long").as("n"), explode(col("arr")).as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")
+    // cached: BOTH join sides consume it (A prefix-filtered, B full)
+    // and alias-renamed sides defeat ReuseExchange (the q55 finding)
+    val ranked = sh.join(dfreq, "h")
+      .withColumn("rn", row_number().over(wDoc).cast("long"))
+      .select("doc_id", "h", "rn", "n")
+      .cache()
+    val pa = ranked
+      .filter(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
+      .toDF("doc_a", "h", "rn_a", "n_a")
+    val pb = ranked.toDF("doc_b", "h2", "rn_b", "n_b")
+    val cand = pa.join(pb,
+        col("h") === col("h2") && col("doc_a") =!= col("doc_b") &&
+        col("n_b") >= ceil(col("n_a") * 0.8))
+      .filter(lit(1L) +
+        least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
+        ceil(col("n_a") * 0.8))
+      .select("doc_a", "doc_b")
+    cand
+      .join(arrs.toDF("doc_a", "arr_a"), "doc_a")
+      .join(arrs.toDF("doc_b", "arr_b"), "doc_b")
+      .withColumn("inter",
+        graft.plans.GraftExpressions.sorted_intersect_min(
+          col("arr_a"), col("arr_b"),
+          ceil(size(col("arr_a")) * 0.8).cast("long")))
+      .filter(col("inter") >= 0L)
+      .select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+        col("inter"), size(col("arr_a")).cast("long").as("n_sub"),
+        round(col("inter").cast("double") / size(col("arr_a")), 6)
+          .as("containment"))
+      .distinct()
+      .orderBy("doc_sub", "doc_sup")
+  }
+
   def oracle: Map[String, String] = Map(
     // all-integer replay: same quantize formula as q83's oracle, exact
     // integer dot, same (dot DESC, nid) ranking
@@ -723,6 +790,32 @@ object SimilarityQueries {
         |SELECT doc_a, doc_b, inter, uni, round(inter::DOUBLE / uni, 6) AS jaccard
         |FROM p WHERE inter::DOUBLE / uni >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q164: brute-force ordered-pair containment as ground truth — the
+    // oracle needs no prefix filter; ceil(n*0.8) mirrors the engine's
+    // α in identical double arithmetic, and each unordered intersection
+    // serves both directions
+    "q164_containment" ->
+      """WITH arrs AS MATERIALIZED (
+        |  SELECT doc_id, list_transform(list_distinct(list_transform(
+        |      range(0, len(string_split(text,' ')) - 2),
+        |      i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))),
+        |    sg -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sg,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*131 + b) % 2147483647) * 2147483648
+        |        + list_reduce(list_prepend(0::BIGINT, list_transform(string_split(sg,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*137 + b) % 2147483647)) AS arr
+        |  FROM documents),
+        |nz AS (SELECT doc_id, arr FROM arrs WHERE len(arr) > 0),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   len(list_intersect(a.arr, b.arr))::BIGINT AS inter,
+        |   len(a.arr)::BIGINT AS na, len(b.arr)::BIGINT AS nb
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id),
+        |d AS (
+        |  SELECT doc_a AS doc_sub, doc_b AS doc_sup, inter, na AS n_sub FROM p
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, inter, nb FROM p)
+        |SELECT doc_sub, doc_sup, inter, n_sub,
+        |  round(inter::DOUBLE / n_sub, 6) AS containment
+        |FROM d WHERE inter >= ceil(n_sub * 0.8)
+        |ORDER BY doc_sub, doc_sup""".stripMargin,
 
     "q56_dedup_embed" ->
       """WITH e AS MATERIALIZED (SELECT label, vec_id, embedding,

@@ -313,4 +313,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(tps.zip(tps.tail).forall { case (a, b) => a >= b },
       s"tp counts must be non-increasing: ${tps.toSeq}")
   }
+
+  test("q164: containment catches a swallowed doc that symmetric Jaccard misses") {
+    val sess = spark
+    import sess.implicits._
+    // doc 1 = 12 tokens; doc 2 = doc 1 verbatim inside 60 tokens of
+    // unrelated wrapper. Every 3-gram of doc 1 appears in doc 2, so
+    // C(1→2) = 1.0 — while J(1,2) ≈ 10/68 ≈ 0.15, far under q55's 0.5.
+    val inner = (1 to 12).map(i => s"w$i").mkString(" ")
+    val wrapper = (1 to 30).map(i => s"pre$i").mkString(" ") +
+      " " + inner + " " + (1 to 30).map(i => s"post$i").mkString(" ")
+    val docs = Seq((1L, inner), (2L, wrapper), (3L, (1 to 12).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = SimilarityQueries.containmentPairs(docs).collect()
+    val dirs = out.map(r => (r.getAs[Long]("doc_sub"), r.getAs[Long]("doc_sup"),
+      r.getAs[Double]("containment")))
+    assert(dirs.exists { case (s0, p, c) => s0 == 1L && p == 2L && c == 1.0 },
+      s"doc 1 must be fully contained in doc 2: ${dirs.toSeq}")
+    // asymmetry: the wrapper is NOT contained in the inner doc
+    assert(!dirs.exists { case (s0, p, _) => s0 == 2L && p == 1L },
+      "containment must be directional")
+    assert(!dirs.exists { case (s0, p, _) => s0 == 3L || p == 3L },
+      "the unrelated doc shares no shingles and must not pair")
+    // and q55's symmetric Jaccard indeed misses the (1,2) pair: the
+    // asymmetric operator exists precisely for this shape
+    val j = 10.0 / (10 + 68 - 10)
+    assert(j < 0.5, "sanity: the swallowed pair sits under the q55 threshold")
+  }
 }
