@@ -289,6 +289,30 @@ object CurationQueries {
       .selectExpr("doc_id", "nb", "surprisal div nb AS ppx_micro")
   }
 
+  /** q165 core: ed ≤ 1 pairs over the DISTINCT titles of a
+    * (doc_id, title) frame via symmetric-delete blocking + exact
+    * levenshtein verify; rationale and exactness proof at the q165
+    * key. */
+  def fuzzyTitlePairs(titles: DataFrame): DataFrame = {
+    val d = titles.groupBy("title").agg(count(lit(1)).as("n_docs")).cache()
+    val keys = d.select(col("title"),
+      explode(array_distinct(concat(array(col("title")),
+        transform(sequence(lit(1), length(col("title"))),
+          i => concat(col("title").substr(lit(1), i - 1),
+            col("title").substr(i + 1, length(col("title")))))))).as("k"))
+    val ka = keys.toDF("title_a", "k")
+    val kb = keys.toDF("title_b", "k2")
+    ka.join(kb, col("k") === col("k2") && col("title_a") < col("title_b"))
+      .select("title_a", "title_b").distinct()
+      .filter(levenshtein(col("title_a"), col("title_b")) <= 1)
+      .withColumn("dist",
+        levenshtein(col("title_a"), col("title_b")).cast("long"))
+      .join(d.select(col("title").as("title_a"), col("n_docs").as("n_docs_a")), "title_a")
+      .join(d.select(col("title").as("title_b"), col("n_docs").as("n_docs_b")), "title_b")
+      .select("title_a", "title_b", "dist", "n_docs_a", "n_docs_b")
+      .orderBy("title_a", "title_b")
+  }
+
   /** q159 core: the top-20 PMI collocation board over a (doc_id, text)
     * frame — counts, marginals, one-ln micro-nat score; rationale and
     * shape notes at the q159 key. */
@@ -604,6 +628,32 @@ object CurationQueries {
     // cb ≥ 5 keeps the classic low-count PMI blowup out of the board.
     "q159_pmi_collocations" -> { (s, dir) =>
       pmiBoard(tWide(s, dir, "documents"))
+    },
+
+    // FUZZY string join — edit-distance ≤ 1 matching on short keys
+    // (titles), the entity-resolution primitive behind near-duplicate
+    // title/product/name merging. Blocking is SYMMETRIC DELETE
+    // (SymSpell): each DISTINCT title emits itself plus its
+    // delete-one-char neighborhood; two strings within ed ≤ 1 provably
+    // share a key (substitution → delete the differing position from
+    // both; insertion/deletion → the shorter string IS a delete of the
+    // longer), so the equi-join on keys is an EXACT candidate set and
+    // per-row fan-out is len+1 — linear, never all-pairs. Titles
+    // synthesize deterministically from the fixture (first 3 tokens;
+    // %7=2 appends a char, %7=4 substitutes the head — the q124/q146
+    // synthesis discipline) so insertion- and substitution-shaped
+    // matches both exist. The join runs on the DISTINCT-title domain
+    // (doc multiplicity re-attaches after — a doc-level self-join
+    // would square every hot title); exact `levenshtein` verifies
+    // candidates, and both engines' implementations agree on ints.
+    "q165_fuzzy_title_join" -> { (s, dir) =>
+      val t0 = concat_ws(" ", slice(split(col("text"), " "), 1, 3))
+      fuzzyTitlePairs(t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 2, concat(t0, lit("x")))
+            .when(col("doc_id") % 7 === 4,
+              concat(lit("q"), t0.substr(lit(2), length(t0))))
+            .otherwise(t0).as("title")))
     },
 
     // Paragraph-granularity dedup audit (the C4/RefinedWeb "remove
@@ -1000,6 +1050,28 @@ object CurationQueries {
         |    / (n_bi::DOUBLE * c1 * c2)) * 1000000 + 0.000001) AS BIGINT)
         |    AS pmi_micro
         |FROM sc ORDER BY pmi_micro DESC, bg LIMIT 20""".stripMargin,
+
+    // q165: same synthesis, but the oracle is the BRUTE all-pairs join
+    // over distinct titles — the hash match therefore PROVES the
+    // engine's symmetric-delete blocking lossless at ed ≤ 1, not just
+    // replayed (the distinct-title domain keeps the brute side cheap)
+    "q165_fuzzy_title_join" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2
+        |           THEN array_to_string(string_split(text,' ')[1:3], ' ') || 'x'
+        |         WHEN doc_id % 7 = 4
+        |           THEN 'q' || substr(array_to_string(string_split(text,' ')[1:3], ' '), 2)
+        |         ELSE array_to_string(string_split(text,' ')[1:3], ' ')
+        |    END AS title
+        |  FROM documents),
+        |d AS (SELECT title, count(*) AS n_docs FROM t GROUP BY title),
+        |p AS (SELECT a.title AS title_a, b.title AS title_b,
+        |    CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist,
+        |    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+        |  FROM d a JOIN d b ON a.title < b.title
+        |  WHERE levenshtein(a.title, b.title) <= 1)
+        |SELECT title_a, title_b, dist, n_docs_a, n_docs_b
+        |FROM p ORDER BY title_a, title_b""".stripMargin,
 
     // q146: same synthesis, same canonicalization in DuckDB list/string
     // ops — equality proves the canonicalizer collapses every variant

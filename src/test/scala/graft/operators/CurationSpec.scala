@@ -371,6 +371,30 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === 1.0, "an unrelated doc is fully novel")
   }
 
+  test("q165: symmetric-delete blocking finds all ed-1 shapes, never ed-2") {
+    val sess = spark
+    import sess.implicits._
+    val titles = Seq(
+      (1L, "alpha beta"),   // base
+      (2L, "alpha betax"),  // insertion at end
+      (3L, "alpha bXta"),   // substitution mid
+      (4L, "alpha bet"),    // deletion at end
+      (5L, "lpha beta"),    // deletion at head
+      (6L, "QQpha beta"),   // ed 2 from base — must NOT pair with base
+      (7L, "unrelated")).toDF("doc_id", "title")
+    val out = CurationQueries.fuzzyTitlePairs(titles).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("dist")))
+    val paired = out.map { case (a, b, _) => Set(a, b) }
+    for (v <- Seq("alpha betax", "alpha bXta", "alpha bet", "lpha beta"))
+      assert(paired.contains(Set("alpha beta", v)),
+        s"ed-1 variant '$v' must pair with the base")
+    assert(!paired.contains(Set("alpha beta", "QQpha beta")),
+      "an ed-2 string must not match at the ed<=1 threshold")
+    assert(!out.exists { case (a, b, _) => a == "unrelated" || b == "unrelated" },
+      "an unrelated title must not pair")
+    assert(out.forall(_._3 <= 1), "every reported pair verifies at ed<=1")
+  }
+
   test("q159: PMI separates a glued pair from independent fillers") {
     val sess = spark
     import sess.implicits._
