@@ -289,6 +289,37 @@ object CurationQueries {
       .selectExpr("doc_id", "nb", "surprisal div nb AS ppx_micro")
   }
 
+  /** q166 core: top-20 source-vs-rest G² keyness board over a
+    * (source, text) frame; rationale, contingency construction and the
+    * int64 bound at the q166 key. */
+  def keynessBoard(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val cell = toks.groupBy("source", "tok")
+      .agg(count(lit(1)).as("a")).cache()
+    val st = cell.groupBy("source").agg(sum("a").cast("long").as("st"))
+    val tt = cell.groupBy("tok").agg(sum("a").cast("long").as("tt"))
+    val n = cell.agg(sum("a").cast("long").as("n"))
+    def term(o: Column, m1: Column, m2: Column): Column =
+      when(o > 0, o.cast("double")
+        * log((o * col("n")).cast("double") / (m1 * m2))).otherwise(lit(0.0))
+    cell.join(broadcast(st), "source").join(broadcast(tt), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("b", col("tt") - col("a"))
+      .withColumn("c", col("st") - col("a"))
+      .withColumn("d", col("n") - col("tt") - col("st") + col("a"))
+      .withColumn("g2",
+        (term(col("a"), col("st"), col("tt"))
+          + term(col("b"), col("n") - col("st"), col("tt"))
+          + term(col("c"), col("st"), col("n") - col("tt"))
+          + term(col("d"), col("n") - col("st"), col("n") - col("tt")))
+          * 2.0)
+      .select(col("source"), col("tok"), col("a").as("n_in_source"),
+        floor(col("g2") * 1e6 + lit(1e-6)).cast("long").as("g2_micro"))
+      .orderBy(desc("g2_micro"), col("source"), col("tok"))
+      .limit(20)
+  }
+
   /** q165 core: ed ≤ 1 pairs over the DISTINCT titles of a
     * (doc_id, title) frame via symmetric-delete blocking + exact
     * levenshtein verify; rationale and exactness proof at the q165
@@ -628,6 +659,25 @@ object CurationQueries {
     // cb ≥ 5 keeps the classic low-count PMI blowup out of the board.
     "q159_pmi_collocations" -> { (s, dir) =>
       pmiBoard(tWide(s, dir, "documents"))
+    },
+
+    // KEYNESS — Dunning's log-likelihood G² (1993), source-vs-rest:
+    // which tokens are OVER-represented in a source relative to the
+    // remaining corpus. The corpus-comparison complement of q159's PMI
+    // (PMI scores adjacency inside the text; keyness scores a token
+    // against a CONTRAST corpus — the domain-signature / contamination
+    // -screening view of the same count infrastructure). Each
+    // (source, token) cell builds its 2×2 contingency table from exact
+    // long marginals (cell counts once, source totals and vocab totals
+    // re-agg from the cells and broadcast — never a corpus re-scan),
+    // and each G² term is one ln on a ratio of exact integer products
+    // (o·N vs margin·margin — inside int64 for any corpus where both
+    // factors stay under ~3e9 tokens), summed in fixed textual order
+    // and quantized to micro-units so the top-20 orders on longs.
+    // Zero cells contribute 0 by the x·ln(x)→0 convention (CASE o>0,
+    // identical on both engines).
+    "q166_keyness" -> { (s, dir) =>
+      keynessBoard(tWide(s, dir, "documents"))
     },
 
     // FUZZY string join — edit-distance ≤ 1 matching on short keys
@@ -1050,6 +1100,35 @@ object CurationQueries {
         |    / (n_bi::DOUBLE * c1 * c2)) * 1000000 + 0.000001) AS BIGINT)
         |    AS pmi_micro
         |FROM sc ORDER BY pmi_micro DESC, bg LIMIT 20""".stripMargin,
+
+    // q166: the same 2×2 G² from the same exact marginals, terms in
+    // the same textual order, CASE o>0 for the x·ln(x)→0 convention
+    "q166_keyness" ->
+      """WITH cell AS (
+        |  SELECT source, tok, count(*) AS a FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) GROUP BY source, tok),
+        |st AS (SELECT source, CAST(sum(a) AS BIGINT) AS st
+        |       FROM cell GROUP BY source),
+        |tt AS (SELECT tok, CAST(sum(a) AS BIGINT) AS tt
+        |       FROM cell GROUP BY tok),
+        |n AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM cell),
+        |g AS (SELECT source, tok, a,
+        |    2.0 * (
+        |      (CASE WHEN a > 0 THEN a::DOUBLE
+        |         * ln((a * n)::DOUBLE / (st * tt)) ELSE 0 END)
+        |      + (CASE WHEN tt - a > 0 THEN (tt - a)::DOUBLE
+        |         * ln(((tt - a) * n)::DOUBLE / ((n - st) * tt)) ELSE 0 END)
+        |      + (CASE WHEN st - a > 0 THEN (st - a)::DOUBLE
+        |         * ln(((st - a) * n)::DOUBLE / (st * (n - tt))) ELSE 0 END)
+        |      + (CASE WHEN n - tt - st + a > 0 THEN (n - tt - st + a)::DOUBLE
+        |         * ln(((n - tt - st + a) * n)::DOUBLE
+        |              / ((n - st) * (n - tt))) ELSE 0 END)) AS g2
+        |  FROM cell JOIN st USING (source) JOIN tt USING (tok)
+        |       CROSS JOIN n)
+        |SELECT source, tok, a AS n_in_source,
+        |  CAST(floor(g2 * 1000000 + 0.000001) AS BIGINT) AS g2_micro
+        |FROM g ORDER BY g2_micro DESC, source, tok LIMIT 20""".stripMargin,
 
     // q165: same synthesis, but the oracle is the BRUTE all-pairs join
     // over distinct titles — the hash match therefore PROVES the

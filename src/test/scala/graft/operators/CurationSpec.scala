@@ -395,6 +395,29 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_._3 <= 1), "every reported pair verifies at ed<=1")
   }
 
+  test("q166: an exclusive token tops the keyness board; a uniform one scores ~0") {
+    val sess = spark
+    import sess.implicits._
+    // srcA's docs carry the marker token "exclusive"; all sources share
+    // uniform filler. G² must rank (srcA, exclusive) first; filler
+    // tokens, distributed proportionally, must score (near) zero.
+    val docs = (1 to 40).map { i =>
+      val src = if (i <= 10) "srcA" else s"src${i % 3}"
+      val marker = if (src == "srcA") " exclusive" else ""
+      (src, s"f1 f2 f3 f4$marker")
+    }.toDF("source", "text")
+    val out = CurationQueries.keynessBoard(docs).collect()
+    assert(out.head.getString(0) === "srcA" &&
+      out.head.getString(1) === "exclusive",
+      s"the source-exclusive token must top the board")
+    // the exclusive cell dominates every filler cell by orders of magnitude
+    val top = out.head.getAs[Long]("g2_micro")
+    val fillers = out.filter(_.getString(1) != "exclusive")
+      .map(_.getAs[Long]("g2_micro"))
+    assert(fillers.forall(_ < top / 2),
+      "proportionally distributed fillers must not rival the exclusive token")
+  }
+
   test("q159: PMI separates a glued pair from independent fillers") {
     val sess = spark
     import sess.implicits._
