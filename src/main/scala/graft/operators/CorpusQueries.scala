@@ -327,6 +327,66 @@ object CorpusQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // RANDOM-PROJECTION recall — the DIMENSIONALITY member of the
+    // approximation-evaluation family (q137 reduces precision, q122
+    // reduces candidates, this reduces dimensions): project 64-dim
+    // embeddings onto the SAME 16 fixed ±1 hyperplanes the sign-LSH
+    // code uses — but keep the REAL projection values, not the signs —
+    // and measure top-5 recall of projected-space dot ranking against
+    // the exact float-dot ranking on the bounded query set. This
+    // calibrates the 4× compression an RP-first reranker would ship —
+    // and on THIS corpus the honest answer is "don't": the synthetic
+    // embeddings are near-isotropic (rank-5..20 sims differ by <0.05),
+    // the hardest case for any projection, and measured recall is low
+    // (driver-side sweep: ~0.02–0.04 mean even at 48 Gaussian dims).
+    // That number is the operator's point — it is the instrument that
+    // tells a pipeline whether RP is safe for ITS corpus, exactly as
+    // q122/q126/q137 calibrate their approximations.
+    // Shapes: the 16-dot projection is ONE codegen pass per vector
+    // (16 seqDot kernels over a broadcast-free scan), cached because
+    // query and corpus sides both consume it; ranking mirrors q137
+    // verbatim (broadcast bounded Q, row_number window, left-semi
+    // hits). ±1 products are exact in every float width, so the
+    // engine's float-multiply and the oracle's double-multiply agree
+    // bit-for-bit, and projected dots fold in fixed order.
+    "q167_rp_recall" -> { (s, dir) =>
+      val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
+      val planes = (0 until Planes).map { j =>
+        typedLit(Array.tabulate(Dims)(i => planeSign(i + 1, j)))
+      }
+      val pr = emb.select(col("vec_id"),
+        array(planes.map(p =>
+          graft.operators.LlmQueries.seqDot(col("embedding"), p)): _*)
+          .as("y")).cache()
+      val wTop = Window.partitionBy("qid").orderBy(desc("m"), col("nid"))
+      val q = pr.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("qid"), col("y").as("qy"))
+      val rp = broadcast(q)
+        .crossJoin(pr.select(col("vec_id").as("nid"), col("y").as("ny")))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          aggregate(zip_with(col("qy"), col("ny"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x).as("m"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5).select("qid", "nid")
+      val qe = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = broadcast(qe)
+        .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          graft.operators.LlmQueries.seqDot(col("qv"), col("nv")).as("m"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5).select("qid", "nid")
+      val hits = exact.join(rp, Seq("qid", "nid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      qe.select("qid").join(hits, Seq("qid"), "left_outer")
+        .na.fill(0L, Seq("n_hit"))
+        .select(col("qid"), col("n_hit").cast("long").as("n_hit"),
+          round(col("n_hit") / lit(5.0), 6).as("recall"))
+        .orderBy("qid")
+    },
+
     // MUTUAL kNN GRAPH — the neighborhood structure ANN clustering and
     // graph-based curation (e.g. kNN-component semantic grouping) hang
     // off: every vector ranks its band-join candidates by exact cosine,
@@ -806,6 +866,38 @@ object CorpusQueries {
       |FROM p WHERE sim >= 0.4
       |ORDER BY id_a, id_b""".stripMargin)
 
+  // q167: the 16 planeDotSql projections as a list, projected-dot
+  // ranking vs the q137-style exact float-dot ranking, recall@5
+  private val q167Sql: String = {
+    val yList = (0 until Planes).map(planeDotSql).mkString("[", ",\n    ", "]")
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT vec_id, embedding, $yList AS y
+       |  FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, y AS qy, embedding AS qv
+       |  FROM pr WHERE vec_id % 50 = 0 AND vec_id < 5000),
+       |rp AS (
+       |  SELECT qid, pr.vec_id AS nid,
+       |    list_reduce(list_transform(range(1, ${Planes + 1}),
+       |      j -> qy[j] * pr.y[j]), (a, b) -> a + b) AS m
+       |  FROM q JOIN pr ON pr.vec_id != qid),
+       |rr AS (SELECT qid, nid FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY m DESC, nid) AS rnk FROM rp)
+       |  WHERE rnk <= 5),
+       |ep AS (
+       |  SELECT qid, pr.vec_id AS nid,
+       |    list_reduce(list_transform(range(1, ${Dims + 1}),
+       |      i -> CAST(qv[i] * pr.embedding[i] AS DOUBLE)), (a, b) -> a + b) AS m
+       |  FROM q JOIN pr ON pr.vec_id != qid),
+       |er AS (SELECT qid, nid FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY m DESC, nid) AS rnk FROM ep)
+       |  WHERE rnk <= 5),
+       |hits AS (SELECT qid, count(*) AS n_hit FROM er JOIN rr USING (qid, nid) GROUP BY qid)
+       |SELECT qs.qid, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(COALESCE(n_hit, 0) / 5.0, 6) AS recall
+       |FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits USING (qid)
+       |ORDER BY qid""".stripMargin
+  }
+
   // q163: the q73 candidate replay without a sim threshold, then
   // directed top-5 ranks, the both-directions mutual filter, and the
   // degree histogram over ALL vectors (degree 0 via left join)
@@ -911,6 +1003,7 @@ object CorpusQueries {
 
     "q73_embed_lsh" -> q73Sql,
     "q163_knn_graph" -> q163Sql,
+    "q167_rp_recall" -> q167Sql,
 
     // q73's replay restricted to mixed (batch, corpus) pairs — the
     // vector analog of q106's side-filtered twin

@@ -179,6 +179,43 @@ class CorpusSpec extends SparkSpec {
       "the four statuses must partition the id universe")
   }
 
+  test("q167: RP recall equals an exact driver-side replay of both rankings") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusQueries.queries("q167_rp_recall")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_hit")).toMap
+    val rows = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def sign(i: Int, j: Int): Float =
+      if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0f else -1.0f
+    // engine-exact arithmetic: float multiply, double accumulation
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val proj = rows.map { case (id, v) =>
+      id -> Array.tabulate(16)(j =>
+        fdot(v, Array.tabulate(64)(i => sign(i + 1, j))))
+    }.toMap
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val vecs = rows.toMap
+    val qids = rows.map(_._1).filter(id => id % 50 == 0 && id < 5000)
+    val expect = qids.map { qid =>
+      def top5(score: Long => Double): Set[Long] =
+        rows.map(_._1).filter(_ != qid)
+          .sortBy(n => (-score(n), n)).take(5).toSet
+      val ex = top5(n => fdot(vecs(qid), vecs(n)))
+      val ap = top5(n => ddot(proj(qid), proj(n)))
+      qid -> (ex & ap).size.toLong
+    }.toMap
+    assert(got === expect,
+      "engine recall must equal the exact dual-ranking replay")
+  }
+
   test("q163: kNN-graph degree histogram obeys the mutual-k structural laws") {
     val dir = "/root/testdata/sf0.001"
     val out = CorpusQueries.queries("q163_knn_graph")(spark, dir)
