@@ -228,6 +228,49 @@ object LlmQueries {
     * Two-step build ⇒ temp-dir + atomic rename publish (`_SUCCESS` at
     * the final path ⇒ both epochs landed), the ivfIndexGrown
     * discipline. */
+  /** q168 core: one-row triangle census (nodes, edges, wedges,
+    * triangles, clustering 3T/W) of an undirected edge frame with
+    * columns (doc_a, doc_b), doc_a < doc_b, distinct. Degree-ordered
+    * orientation + out-edge wedge join + semi-join closure; rationale
+    * and bounds at the q168 key. */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val e2 = edges
+      .join(deg.toDF("doc_a", "da"), "doc_a")
+      .join(deg.toDF("doc_b", "db"), "doc_b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val o = e2.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+    // carry the dst's order key so the wedge join can order its legs
+    val od = o.join(deg.toDF("dst", "dd"), "dst")
+      .select("src", "dst", "dd").cache()
+    val w = od.toDF("src", "v1", "d1")
+      .join(od.toDF("src2", "v2", "d2"),
+        col("src") === col("src2") &&
+        (col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("v1") < col("v2"))))
+      .select("v1", "v2")
+    val tri = w.join(
+      od.select(col("src").as("v1"), col("dst").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+    val nodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+      // d(d-1) is even so `div` is exact — and summing LONGS keeps
+      // the wedge total out of FP accumulation entirely
+      sum(expr("(d * (d - 1)) div 2")).cast("long").as("n_wedges"))
+    val ne = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+    val nt = tri.agg(count(lit(1)).cast("long").as("n_triangles"))
+    nodes.crossJoin(ne).crossJoin(nt)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("clustering"))
+  }
+
   def grownPairIndex(s: SparkSession, dir: String,
       rebuild: Boolean = false): String = {
     import org.apache.hadoop.fs.Path
@@ -538,6 +581,27 @@ object LlmQueries {
         .orderBy("source_a", "source_b")
     },
 
+    // TRIANGLE CENSUS of the near-dup graph — edges, wedges, triangles
+    // and the global clustering coefficient 3T/W: the one-row shape
+    // signature that says whether near-dup pairs are CLIQUES (template
+    // families, mirror rings — high clustering) or CHAINS (drifting
+    // revisions — low), which decides whether cluster-collapse dedup
+    // (q89/q117) or pairwise survivor picks fit the corpus. Probes the
+    // persisted q44 pair frame (build-once; Bench prices this key
+    // probe-only). Triangle counting is the degree-ordered orientation
+    // scheme (Suri & Vassilvitskii's MR-friendly form): each edge
+    // orients low→high by (degree, id), wedges join only at each
+    // vertex's OUT-edges (out-degree ≤ √2m, so wedge work is bounded
+    // even at hub vertices), and a wedge closes iff its (v1, v2) edge
+    // exists — each triangle counted exactly once from its
+    // lowest-order vertex. Wedge totals come from exact integer
+    // degree arithmetic, never enumeration.
+    "q168_triangles" -> { (s, dir) =>
+      triangleCensus(nearDupPairs(s, dir)
+        .filter(col("match_cnt") >= NearDupMinMatches)
+        .select("doc_a", "doc_b"))
+    },
+
     // The pair-index GROWTH path under the gate — the lifecycle step
     // q44's persisted frame presumes but doesn't exercise: epoch A
     // builds the pair frame, epoch B appends only its new×old + new×new
@@ -828,6 +892,38 @@ object LlmQueries {
     // q151: the SAME pair replay (shared pairEstCtes) + source
     // attribution — equality proves the matrix counts exactly q44's
     // pair set, orientation-normalized
+    // q168: the q44 pair replay → degree-ordered orientation → wedge
+    // join → EXISTS closure; wedge total from exact integer degrees
+    // (d(d-1)//2), one summary row
+    "q168_triangles" -> (pairEstCtes + ",\n" +
+      """p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT doc_a AS v FROM p UNION ALL SELECT doc_b FROM p)
+        |  GROUP BY v),
+        |o AS (SELECT
+        |    CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b)
+        |         THEN p.doc_a ELSE p.doc_b END AS src,
+        |    CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b)
+        |         THEN p.doc_b ELSE p.doc_a END AS dst
+        |  FROM p JOIN deg da ON da.v = p.doc_a
+        |         JOIN deg db ON db.v = p.doc_b),
+        |od AS (SELECT src, dst, d AS dd FROM o JOIN deg ON deg.v = o.dst),
+        |w AS (SELECT x.dst AS v1, y.dst AS v2
+        |  FROM od x JOIN od y ON x.src = y.src
+        |    AND (x.dd, x.dst) < (y.dd, y.dst)),
+        |tri AS (SELECT count(*) AS t FROM w
+        |  WHERE EXISTS (SELECT 1 FROM od z
+        |                WHERE z.src = w.v1 AND z.dst = w.v2))
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM p) AS n_edges,
+        |  (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  (SELECT t FROM tri) AS n_triangles,
+        |  CASE WHEN (SELECT sum((d * (d - 1)) // 2) FROM deg) > 0
+        |    THEN round(3.0 * (SELECT t FROM tri)
+        |      / (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg), 6)
+        |  END AS clustering""".stripMargin),
+
     "q151_syndication" -> (pairEstCtes + ",\n" +
       """p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
         |src AS (SELECT doc_id, source FROM documents)

@@ -314,6 +314,27 @@ class LlmOpsSpec extends SparkSpec {
       s"tp counts must be non-increasing: ${tps.toSeq}")
   }
 
+  test("q168: triangle census is exact on a clique, a path and a cycle") {
+    val sess = spark
+    import sess.implicits._
+    def census(edges: Seq[(Long, Long)]) =
+      LlmQueries.triangleCensus(edges.toDF("doc_a", "doc_b")).head()
+    // K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, clustering 1
+    val k4 = census(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+    assert((k4.getLong(0), k4.getLong(1), k4.getLong(2), k4.getLong(3),
+      k4.getAs[Double]("clustering")) === ((4L, 6L, 12L, 4L, 1.0)))
+    // P4 path: 4 nodes, 3 edges, 2 wedges, 0 triangles, clustering 0
+    val p4 = census(Seq((1L,2L),(2L,3L),(3L,4L)))
+    assert((p4.getLong(2), p4.getLong(3), p4.getAs[Double]("clustering"))
+      === ((2L, 0L, 0.0)))
+    // C5 cycle: 5 wedges, 0 triangles; C3 cycle: 3 wedges, 1 triangle
+    val c5 = census(Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(1L,5L)))
+    assert((c5.getLong(2), c5.getLong(3)) === ((5L, 0L)))
+    val c3 = census(Seq((1L,2L),(2L,3L),(1L,3L)))
+    assert((c3.getLong(2), c3.getLong(3), c3.getAs[Double]("clustering"))
+      === ((3L, 1L, 1.0)))
+  }
+
   test("q164: containment catches a swallowed doc that symmetric Jaccard misses") {
     val sess = spark
     import sess.implicits._
