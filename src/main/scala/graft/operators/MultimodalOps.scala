@@ -308,6 +308,86 @@ object MultimodalOps {
     bb.array()
   }
 
+  /** Minimal RIFF/AVI container around pre-encoded image frames — the
+    * video analog of [[wavBytes]]: a REAL container [[decodeAviMjpeg]]
+    * (and [[aviFrameDHashes]]) walks, with each frame's encoded bytes
+    * stored verbatim in a '00db' chunk so the frame content is exactly
+    * the input (the q115 replayability discipline lifted to video).
+    * Layout: RIFF('AVI ' LIST('hdrl' avih) LIST('movi' 00db…)) —
+    * the public AVIMAINHEADER offsets decodeAviMjpeg reads. */
+  def aviBytes(frames: Seq[Array[Byte]], width: Int, height: Int,
+      usPerFrame: Int = 40000): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = ByteBuffer.allocate(8 + body.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val avih = {
+      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(usPerFrame)          // dwMicroSecPerFrame at +0
+      bb.position(32)
+      bb.putInt(width).putInt(height) // dwWidth/dwHeight at +32/+36
+      bb.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      frames.flatMap(f => chunk("00db", f).toSeq).toArray)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** Per-frame dHash sequence of an AVI payload: the SAME iterative
+    * RIFF walk contract as [[decodeAviMjpeg]] (fourcc + u32-LE size,
+    * even padding, LIST descent, '##dc'/'##db' = frame data), each
+    * frame's encoded bytes handed to the REAL ImageIO decode inside
+    * [[dHash]]. None unless the RIFF/AVI magic matches; frames whose
+    * bytes don't decode are SKIPPED (the decodeAviMjpeg contract) —
+    * the q169 synth path asserts count, so a silent skip there fails
+    * loudly. */
+  def aviFrameDHashes(payload: Array[Byte]): Option[Seq[Long]] =
+    try {
+      val b = payload
+      def fourcc(off: Int): String =
+        new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      def u32(off: Int): Long =
+        (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+        (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+      if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return None
+      val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      // iterative walk with an explicit stack — the decodeAviMjpeg
+      // SOE rationale applies verbatim
+      val stack = scala.collection.mutable.ArrayDeque[(Int, Int)]()
+      var off = 12
+      var end = b.length
+      while (off + 8 <= end || stack.nonEmpty) {
+        if (off + 8 > end) {
+          val (o, e) = stack.removeLast(); off = o; end = e
+        } else {
+          val id = fourcc(off)
+          val size = math.min(u32(off + 4), (end - off - 8).toLong).toInt
+          val body = off + 8
+          val next = body + size + (size & 1)
+          if (id == "LIST" && size >= 4) {
+            stack.append((next, end))
+            off = body + 4; end = body + size
+          } else {
+            if (size > 0 && (id.endsWith("dc") || id.endsWith("db")))
+              frames += ((body, size))
+            off = next
+          }
+        }
+      }
+      if (frames.isEmpty) None
+      else Some(frames.toSeq.flatMap { case (o, len) =>
+        dHash(java.util.Arrays.copyOfRange(b, o, o + len))
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** q147's acoustic fingerprint: REAL `javax.sound.sampled` container
     * decode, then a 16-bit energy-envelope hash — bit j set iff window
     * j's summed amplitude exceeds the track mean (16·E_j > E_total,

@@ -173,6 +173,46 @@ object MultimodalQueries {
             .as("ham"))
         .orderBy("id_a", "id_b")
     },
+
+    // VIDEO near-dup — completes the multimodal dedup family (q115
+    // image, q147 audio, q139 streaming image): each document becomes
+    // a REAL 4-frame RIFF/AVI container (MultimodalOps.aviBytes; frame
+    // f's 9×8 PNG reads the byte stream at offset f·7, so consecutive
+    // frames genuinely differ), goes through the REAL container walk +
+    // per-frame ImageIO decode (aviFrameDHashes), and fingerprints as
+    // the SEQUENCE of per-frame dHashes. Candidates come from a
+    // (frame, band) 4×16-bit self-join — any frame-aligned band
+    // agreement nominates the pair, the video twin of q115's banding;
+    // verification compares WHOLE fingerprints: total hamming across
+    // all 4 frames ≤ 24 (q115's per-frame 6 × 4 frames). The hash
+    // arrays RIDE the band rows (the q44 payload trade — 4 longs, no
+    // re-join) and the total folds with zip_with/aggregate in one
+    // codegen pass. The oracle replays every frame's dHash from
+    // ascii() bytes with the same +f·7 shift — decode stays real,
+    // arithmetic stays replayable (the q115 trick, per frame).
+    "q169_video_dedup" -> { (s, dir) =>
+      val vh = videoFrameHashes(
+        tWide(s, dir, "documents").select(col("doc_id"), col("text")))
+      val bands = vh.select(col("media_id"), col("hs"),
+          posexplode(col("hs")).as(Seq("f", "h")))
+        .withColumn("b", explode(sequence(lit(0), lit(3))))
+        .withColumn("bk", expr("shiftright(h, CAST(16 * b AS INT)) & 65535"))
+      val ba = bands.select(col("media_id").as("id_a"), col("hs").as("hs_a"),
+        col("f"), col("b"), col("bk"))
+      val bb = bands.select(col("media_id").as("id_b"), col("hs").as("hs_b"),
+        col("f").as("f2"), col("b").as("b2"), col("bk").as("bk2"))
+      ba.join(bb, col("f") === col("f2") && col("b") === col("b2") &&
+          col("bk") === col("bk2") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("hs_a"), col("hs_b"))
+        .distinct()
+        .withColumn("total_ham",
+          aggregate(zip_with(col("hs_a"), col("hs_b"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, v) => acc + v))
+        .filter(col("total_ham") <= 24)
+        .select("id_a", "id_b", "total_ham")
+        .orderBy("id_a", "id_b")
+    },
   )
 
   /** q147's fingerprint stage: text bytes → real WAV container → real
@@ -193,6 +233,50 @@ object MultimodalQueries {
           (id, MultimodalOps.audioEnvelopeFp(wav).get)
         }
       }.toDF("media_id", "fp")
+  }
+
+  /** q169's fingerprint stage: text bytes → 4 shifted 9×8 PNG frames →
+    * REAL AVI container → REAL container walk + per-frame ImageIO
+    * decode → per-frame dHash sequence, as (media_id, hs). Stateless
+    * narrow per-row work (the hashRows shape for video); mapPartitions
+    * is justified as in q88 — codec calls, not an Expression. */
+  def videoFrameHashes(df: DataFrame, nFrames: Int = 4,
+      shift: Int = 7): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val frames = (0 until nFrames).map { f =>
+            val bi = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                val v = if (bytes.isEmpty) 0
+                  else bytes((y * 9 + x + f * shift) % bytes.length) & 0xff
+                bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(bi, "png", bos)
+            bos.toByteArray
+          }
+          val avi = MultimodalOps.aviBytes(frames, 9, 8)
+          // .get + length check: the AVI was just synthesized — a
+          // container or frame decode failure is a bug worth failing
+          // loudly on, never a silently short fingerprint
+          val hs = MultimodalOps.aviFrameDHashes(avi).get
+          require(hs.length == nFrames,
+            s"video $id decoded ${hs.length} of $nFrames frames")
+          (id, hs)
+        }
+      }.toDF("media_id", "hs")
   }
 
   /** Build — or REUSE — q139's persisted corpus image-hash band index:
@@ -378,6 +462,47 @@ object MultimodalQueries {
         |  CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS corpus_media,
         |  hamming
         |FROM pairs ORDER BY batch_media, corpus_media""".stripMargin,
+
+    // q169: the q115 px/h dHash replay PER FRAME (pixel stream shifted
+    // +f·7, the synth's frame offset), frame-aligned band candidates,
+    // whole-fingerprint total hamming from the ordered hash list
+    "q169_video_dedup" ->
+      """WITH fx AS (SELECT unnest(range(4)) AS f),
+        |px AS (
+        |  SELECT doc_id, f, list_transform(range(72), i ->
+        |    CASE WHEN len(text) = 0 THEN 0
+        |         ELSE ascii(text[CAST((i + f * 7) % len(text) AS INTEGER) + 1])
+        |    END) AS px
+        |  FROM documents CROSS JOIN fx),
+        |h AS (
+        |  SELECT doc_id, f, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(64), k ->
+        |      CASE WHEN px[CAST((k // 8) * 9 + (k % 8) AS INTEGER) + 1]
+        |              > px[CAST((k // 8) * 9 + (k % 8) AS INTEGER) + 2]
+        |           THEN CASE WHEN k = 63 THEN -9223372036854775807 - 1
+        |                     ELSE (1::BIGINT << CAST(k AS INTEGER)) END
+        |           ELSE 0::BIGINT
+        |      END)), (a, b) -> a + b) AS h
+        |  FROM px),
+        |hl AS (SELECT doc_id, list(h ORDER BY f) AS hs
+        |       FROM h GROUP BY doc_id),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, f, b, (h >> CAST(16 * b AS INTEGER)) & 65535 AS bk
+        |  FROM h CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y
+        |    ON x.f = y.f AND x.b = y.b AND x.bk = y.bk
+        |   AND x.doc_id < y.doc_id),
+        |p AS (
+        |  SELECT id_a, id_b,
+        |    list_reduce(list_transform(range(1, 5),
+        |      i -> bit_count(xor(a.hs[i], b.hs[i]))::BIGINT),
+        |      (x, y) -> x + y) AS total_ham
+        |  FROM cand JOIN hl a ON a.doc_id = id_a
+        |            JOIN hl b ON b.doc_id = id_b)
+        |SELECT id_a, id_b, total_ham FROM p WHERE total_ham <= 24
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q147: sample bytes replayed via ascii() (decoded 8-bit PCM ==
     // text bytes), envelope hash in integer SQL, same 4×4-bit banding.

@@ -544,4 +544,46 @@ class MultimodalSpec extends SparkSpec {
     // not an image → None, never a bogus hash
     assert(MultimodalOps.dHash(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("q169: AVI frame hashes round-trip the container and order frames") {
+    // two distinct 9×8 PNG frames with known-different content
+    def frame(seed: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = (x * seed * 29 + y * 7) % 256
+        bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos)
+      bos.toByteArray
+    }
+    val f1 = frame(1); val f2 = frame(5)
+    val avi = MultimodalOps.aviBytes(Seq(f1, f2), 9, 8)
+    // the container round-trips each frame's bytes verbatim, so the
+    // per-frame hashes equal direct dHash of the encoded frames, in order
+    val hs = MultimodalOps.aviFrameDHashes(avi).get
+    assert(hs === Seq(MultimodalOps.dHash(f1).get, MultimodalOps.dHash(f2).get))
+    assert(hs.head != hs(1), "distinct frames must hash differently")
+    // the REAL decoder also accepts the synthesized container
+    val vf = MultimodalOps.aviMjpegDecoder.decode(avi).get
+    assert(vf.frameMeanLuminance.length === 2 && vf.width === 9)
+    // garbage and frameless containers → None, never a bogus sequence
+    assert(MultimodalOps.aviFrameDHashes("nope".getBytes).isEmpty)
+  }
+
+  test("q169: identical texts collide at total hamming 0, shifted frames differ") {
+    val sess = spark
+    import sess.implicits._
+    val text = (0 until 80).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((1L, text), (2L, text), (3L, text.reverse))
+      .toDF("doc_id", "text")
+    val hs = MultimodalQueries.videoFrameHashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hs(1L) === hs(2L), "identical texts must fingerprint identically")
+    assert(hs(1L) !== hs(3L), "different content must fingerprint apart")
+    // frames within one video differ (the +f·7 shift is real)
+    assert(hs(1L).distinct.length > 1,
+      s"shifted frames must not collapse to one hash: ${hs(1L)}")
+  }
 }
