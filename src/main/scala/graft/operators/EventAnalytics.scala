@@ -288,6 +288,42 @@ object EventAnalytics {
           round(col("slope") * 24, 6).as("slope_per_day"))
         .orderBy("event_type")
     },
+    // RECENCY-DECAYED volume — exponential time-decay weighting with a
+    // 24h half-life: the score a replay-sampling or trending-topics
+    // pass uses so yesterday counts half of today. Decay weights are
+    // FP, so the discipline is the q130 sorted-fold: hourly counts
+    // (exact longs, bounded keys) collect per type, sort by age, and
+    // fold in ONE deterministic order — never a shuffle-order double
+    // sum; weight = exp(-age·ln2/24) is one exp per hour bucket on
+    // identical doubles. Age in exact integer hours from the global
+    // max hour (a 1-row broadcast crossJoin, the q130 shape). Scale:
+    // the per-type fold touches |hours| elements — calendar-bounded
+    // (10 years ≈ 90k), not corpus-bounded.
+    "q170_decay_weighted" -> { (s, dir) =>
+      val hourly = loadEvents(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+            .as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = hourly.agg(max("hr").as("mx"))
+      hourly.crossJoin(broadcast(mx))
+        .withColumn("age", (col("mx") - col("hr")).cast("long"))
+        .groupBy("event_type")
+        .agg(sum("cnt").cast("long").as("n_events"),
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("age"), col("cnt")))),
+              // the decay constant assembles IN-ENGINE (-ln(2)/24) so
+              // both engines derive the identical double, never a
+              // hand-transcribed literal
+              x => x.getField("cnt").cast("double")
+                * exp(x.getField("age").cast("double")
+                  * (-log(lit(2.0)) / 24))),
+            lit(0.0), (acc, v) => acc + v).as("w"))
+        .select(col("event_type"), col("n_events"),
+          round(col("w"), 6).as("decayed_count"))
+        .orderBy("event_type")
+    },
   )
 
   /** q158 session gap: 8 hours in epoch micros. */
@@ -456,5 +492,25 @@ object EventAnalytics {
         |  round(slope, 6) AS slope_per_hour,
         |  round(slope * 24, 6) AS slope_per_day
         |FROM sl ORDER BY event_type""".stripMargin,
+
+    // q170: the same sorted fold — list(… ORDER BY age) mirrors the
+    // engine's array_sort, the decay constant assembles in-engine
+    "q170_decay_weighted" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      // 3600000000 AS hr,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(hr) AS mx FROM hourly),
+        |a AS (SELECT event_type, CAST(mx - hr AS BIGINT) AS age, cnt
+        |      FROM hourly CROSS JOIN mx)
+        |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list(cnt::DOUBLE * exp(age::DOUBLE * (-ln(2) / 24))
+        |         ORDER BY age, cnt)),
+        |    (acc, v) -> acc + v), 6) AS decayed_count
+        |FROM a GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -75,6 +75,32 @@ class EventAnalyticsSpec extends SparkSpec {
       "lag/running-sum sessionization must equal the exact split-on-gap semantics")
   }
 
+  test("q170: decayed count equals the exact ordered fold and sits in (0, n]") {
+    val got = EventAnalytics.queries("q170_decay_weighted")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("decayed_count"))).toMap
+    val hourly = loadEvents(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mx = hourly.map(_._2).max
+    val c = -math.log(2.0) / 24
+    val expect = hourly.groupBy(_._1).map { case (t, rows) =>
+      val w = rows.map(r => ((mx - r._2), r._3)).sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (age, cnt)) =>
+          acc + cnt.toDouble * math.exp(age.toDouble * c) }
+      t -> (rows.map(_._3).sum,
+        BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === expect, "decay fold must equal the exact ordered replay")
+    got.foreach { case (t, (n, w)) =>
+      assert(w > 0 && w <= n.toDouble,
+        s"$t: decayed count $w must sit in (0, n_events=$n]")
+    }
+  }
+
   test("q161: slope equals an exact driver-side OLS over hourly counts") {
     val got = EventAnalytics.queries("q161_trend_slope")(spark, dir)
       .collect()
