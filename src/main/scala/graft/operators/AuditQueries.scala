@@ -324,6 +324,51 @@ object AuditQueries {
     "q156_winsorize" -> { (s, dir) =>
       winsorize(s, dir).orderBy("event_type")
     },
+
+    // DISTRIBUTION DRIFT — two-sample Kolmogorov–Smirnov D per source
+    // (its n_chars distribution vs the REST of the corpus): the
+    // data-quality alarm that fires when one feed starts shipping
+    // different-shaped documents (truncation, boilerplate injection)
+    // even though its volume looks normal. ALL-INTEGER: D's numerator
+    // max|c1·n2 − c2·n1| is exact int64 over cumulative counts — the
+    // supremum is attained at a step of either ECDF, so scanning every
+    // distinct n_chars value is exhaustive, not a sample. Shapes: one
+    // bounded (source × value) count, a sources × values grid
+    // (domain-bounded: |values| ≤ max doc length, never corpus-sized),
+    // per-source cumulative windows, and ONE single-partition window
+    // over the distinct-VALUE domain for the pooled ECDF — metadata-
+    // scale by the same argument as q126's histogram. The final D
+    // divides exact longs once, rounded for display.
+    "q171_ks_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      val n = d.count()
+      val pc = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val srcN = d.groupBy("source").agg(count(lit(1)).as("n1"))
+      val values = d.select("n_chars").distinct()
+      val grid = srcN.crossJoin(values)
+      val wSrc = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c1 = grid.join(pc, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("c1", sum("c").over(wSrc).cast("long"))
+      val wAll = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumTot = d.groupBy("n_chars").agg(count(lit(1)).as("ct"))
+        .withColumn("ctc", sum("ct").over(wAll).cast("long"))
+        .select("n_chars", "ctc")
+      c1.join(cumTot, "n_chars")
+        .withColumn("c2", col("ctc") - col("c1"))
+        .withColumn("n2", lit(n) - col("n1"))
+        .groupBy("source")
+        .agg(max(col("n1")).cast("long").as("n_docs"), // constant per source
+          max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .cast("long").as("d_scaled"))
+        .select(col("source"), col("n_docs"), col("d_scaled"),
+          round(col("d_scaled").cast("double")
+            / (col("n_docs") * (lit(n) - col("n_docs"))), 6).as("ks_d"))
+        .orderBy("source")
+    },
   )
 
   /** DuckDB twin of one profileTable call (same agg expressions, one
@@ -473,6 +518,35 @@ object AuditQueries {
     // the gate becomes the sketch-linearity equivalence proof (the
     // q134/q136 twin-sharing discipline)
     "q148_cms_grow" -> CmsSql,
+
+    // q171: the same exact-integer ECDF scan — every distinct value is
+    // a grid point, cumulative counts in int64, one division at the end
+    "q171_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |n AS (SELECT count(*) AS n FROM d),
+        |pc AS (SELECT source, n_chars, count(*) AS c
+        |       FROM d GROUP BY source, n_chars),
+        |srcn AS (SELECT source, count(*) AS n1 FROM d GROUP BY source),
+        |vals AS (SELECT DISTINCT n_chars FROM d),
+        |grid AS (SELECT s.source, s.n1, v.n_chars
+        |         FROM srcn s CROSS JOIN vals v),
+        |c1 AS (
+        |  SELECT g.source, g.n1, g.n_chars,
+        |    CAST(sum(COALESCE(pc.c, 0)) OVER (PARTITION BY g.source
+        |      ORDER BY g.n_chars) AS BIGINT) AS c1
+        |  FROM grid g LEFT JOIN pc
+        |    ON pc.source = g.source AND pc.n_chars = g.n_chars),
+        |ct AS (
+        |  SELECT n_chars,
+        |    CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS ctc
+        |  FROM d GROUP BY n_chars)
+        |SELECT source, CAST(max(n1) AS BIGINT) AS n_docs,
+        |  CAST(max(abs(c1 * (n - n1) - (ctc - c1) * n1)) AS BIGINT)
+        |    AS d_scaled,
+        |  round(CAST(max(abs(c1 * (n - n1) - (ctc - c1) * n1)) AS BIGINT)
+        |    ::DOUBLE / (max(n1) * (max(n) - max(n1))), 6) AS ks_d
+        |FROM c1 JOIN ct USING (n_chars) CROSS JOIN n
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** DuckDB twin of the CMS calibration — shared by q144 (one-shot

@@ -210,4 +210,30 @@ class AuditSpec extends SparkSpec {
     def q128(s: org.apache.spark.sql.SparkSession) =
       graft.SparkEntry.queries("q128_split_leakage")(s, "/root/testdata/sf0.001")
   }
+
+  test("q171: KS drift equals an exact driver-side ECDF scan") {
+    val dir = "/root/testdata/sf0.001"
+    val got = AuditQueries.queries("q171_ks_drift")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("ks_d"))).toMap
+    val rows = graft.Tables.t(spark, dir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val values = rows.map(_._2).distinct.sorted
+    val expect = rows.groupBy(_._1).map { case (src, own) =>
+      val n1 = own.length.toLong
+      val dScaled = values.map { v =>
+        val c1 = own.count(_._2 <= v).toLong
+        val cAll = rows.count(_._2 <= v).toLong
+        math.abs(c1 * (n - n1) - (cAll - c1) * n1)
+      }.max
+      src -> (n1, dScaled,
+        BigDecimal(dScaled.toDouble / (n1 * (n - n1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === expect, "KS drift must equal the exact ECDF recompute")
+    // and D is a proper statistic: bounded in [0, 1]
+    got.values.foreach { case (_, _, d) => assert(d >= 0 && d <= 1) }
+  }
 }
