@@ -289,6 +289,26 @@ object CurationQueries {
       .selectExpr("doc_id", "nb", "surprisal div nb AS ppx_micro")
   }
 
+  /** q172 core: per-source Shannon token entropy in integer micro-nats
+    * over a (source, text) frame; quantize-then-sum rationale at the
+    * q172 key. */
+  def entropyBySource(docs: DataFrame): DataFrame = {
+    val cell = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    cell.groupBy("source")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(col("c") *
+          floor(log(col("c").cast("double")) * 1e6 + lit(1e-6))
+            .cast("long")).cast("long").as("s"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (floor(log(col("n_tokens").cast("double")) * 1e6 + lit(1e-6))
+          .cast("long")
+          - expr("s div n_tokens")).as("h_micro"))
+      .orderBy("source")
+  }
+
   /** q166 core: top-20 source-vs-rest G² keyness board over a
     * (source, text) frame; rationale, contingency construction and the
     * int64 bound at the q166 key. */
@@ -659,6 +679,20 @@ object CurationQueries {
     // cb ≥ 5 keeps the classic low-count PMI blowup out of the board.
     "q159_pmi_collocations" -> { (s, dir) =>
       pmiBoard(tWide(s, dir, "documents"))
+    },
+
+    // TOKEN ENTROPY per source — Shannon H = ln(N) − Σ(c/N)·ln(c) in
+    // integer micro-nats: the DIVERSITY audit that catches a feed
+    // collapsing to boilerplate (H falls toward 0) or template spam
+    // (vocab stays flat while volume grows) before any dedup pass even
+    // runs. Determinism discipline: the per-cell FP term c·ln(c) would
+    // sum in shuffle order, so each DISTINCT count quantizes FIRST
+    // (floor(ln(c)·1e6 + 1e-6), q103's guard) and the weighted sum
+    // S = Σ c·lnq(c) is an exact LONG; H_micro = lnq(N) − S div N is
+    // pure integer arithmetic off exact longs. One vocab-bounded cell
+    // count, one bounded re-agg — map-combinable throughout.
+    "q172_entropy" -> { (s, dir) =>
+      entropyBySource(tWide(s, dir, "documents"))
     },
 
     // KEYNESS — Dunning's log-likelihood G² (1993), source-vs-rest:
@@ -1100,6 +1134,24 @@ object CurationQueries {
         |    / (n_bi::DOUBLE * c1 * c2)) * 1000000 + 0.000001) AS BIGINT)
         |    AS pmi_micro
         |FROM sc ORDER BY pmi_micro DESC, bg LIMIT 20""".stripMargin,
+
+    // q172: same quantize-then-integer-sum order — ln only ever sees a
+    // distinct count or a source total, never a running FP sum
+    "q172_entropy" ->
+      """WITH cell AS (
+        |  SELECT source, tok, count(*) AS c FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) GROUP BY source, tok),
+        |agg AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab,
+        |    CAST(sum(c * CAST(floor(ln(c::DOUBLE) * 1000000 + 0.000001)
+        |      AS BIGINT)) AS BIGINT) AS s
+        |  FROM cell GROUP BY source)
+        |SELECT source, n_tokens, vocab,
+        |  CAST(floor(ln(n_tokens::DOUBLE) * 1000000 + 0.000001) AS BIGINT)
+        |    - s // n_tokens AS h_micro
+        |FROM agg ORDER BY source""".stripMargin,
 
     // q166: the same 2×2 G² from the same exact marginals, terms in
     // the same textual order, CASE o>0 for the x·ln(x)→0 convention

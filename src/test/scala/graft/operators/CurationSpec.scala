@@ -395,6 +395,26 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_._3 <= 1), "every reported pair verifies at ed<=1")
   }
 
+  test("q172: entropy is 0 for a one-token feed and ~ln(v) for a uniform one") {
+    val sess = spark
+    import sess.implicits._
+    val docs = Seq(
+      ("mono", "x x x x x x x x"),            // collapsed feed: H = 0
+      ("uni",  "a b c d a b c d"),            // uniform over 4: H = ln 4
+      ("skew", "a a a a a a a b")).toDF("source", "text")
+    val out = CurationQueries.entropyBySource(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("mono") === ((8L, 1L, 0L)),
+      "a single-token feed must score exactly zero entropy")
+    val lnV = math.floor(math.log(4.0) * 1e6 + 1e-6).toLong
+    val (n, v, h) = out("uni")
+    assert(v === 4L && math.abs(h - lnV) <= 4,
+      s"uniform-over-4 entropy $h must sit within quantization of ln4 ($lnV)")
+    assert(out("skew")._3 > 0 && out("skew")._3 < out("uni")._3,
+      "a skewed feed scores strictly between collapsed and uniform")
+  }
+
   test("q166: an exclusive token tops the keyness board; a uniform one scores ~0") {
     val sess = spark
     import sess.implicits._
