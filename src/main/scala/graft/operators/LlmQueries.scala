@@ -581,6 +581,39 @@ object LlmQueries {
         .orderBy("source_a", "source_b")
     },
 
+    // DEDUP THRESHOLD CURVE — pair and affected-doc counts at EVERY
+    // MinHash agreement cutoff 1..32: the calibration table that turns
+    // "what threshold should near-dup use" from a guess into a read
+    // (q132 evaluates ONE bounded subcorpus against exact truth; this
+    // prices every cutoff on the FULL corpus — together they give
+    // precision AND volume per threshold). Probes the persisted
+    // UNFILTERED q44 pair frame (build-once, priced probe-only); both
+    // curves reduce to ≤ 32-key aggregations — pairs via a
+    // match_cnt histogram, affected docs via each doc's MAX agreement
+    // (so a doc counts once per cutoff it survives to) — joined
+    // against the 1..32 grid. Nothing here touches text or
+    // signatures; the whole key is arithmetic on the pair frame.
+    "q173_dedup_curve" -> { (s, dir) =>
+      val grid = s.range(1, 33).toDF("threshold")
+        .select(col("threshold").cast("long").as("threshold"))
+      val pairs = nearDupPairs(s, dir).select("doc_a", "doc_b", "match_cnt")
+      val pc = pairs.groupBy("match_cnt").agg(count(lit(1)).as("np"))
+      val dm = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"),
+          col("match_cnt"))
+        .groupBy("doc").agg(max("match_cnt").as("mm"))
+        .groupBy("mm").agg(count(lit(1)).as("nd"))
+      grid
+        .join(broadcast(pc), col("match_cnt") >= col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(coalesce(sum("np"), lit(0L)).cast("long").as("n_pairs"))
+        .join(grid.join(broadcast(dm), col("mm") >= col("threshold"), "left")
+          .groupBy("threshold")
+          .agg(coalesce(sum("nd"), lit(0L)).cast("long").as("n_docs_affected")),
+          "threshold")
+        .orderBy("threshold")
+    },
+
     // TRIANGLE CENSUS of the near-dup graph — edges, wedges, triangles
     // and the global clustering coefficient 3T/W: the one-row shape
     // signature that says whether near-dup pairs are CLIQUES (template
@@ -892,6 +925,29 @@ object LlmQueries {
     // q151: the SAME pair replay (shared pairEstCtes) + source
     // attribution — equality proves the matrix counts exactly q44's
     // pair set, orientation-normalized
+    // q173: the q44 pair replay aggregated against the 1..32 grid —
+    // the same two ≤32-key histograms, LEFT joins so empty cutoffs
+    // report zeros
+    "q173_dedup_curve" -> (pairEstCtes + ",\n" +
+      """grid AS (SELECT unnest(range(1, 33)) AS threshold),
+        |pc AS (SELECT match_cnt, count(*) AS np FROM est GROUP BY match_cnt),
+        |dm AS (SELECT mm, count(*) AS nd FROM (
+        |  SELECT doc, max(match_cnt) AS mm FROM (
+        |    SELECT doc_a AS doc, match_cnt FROM est
+        |    UNION ALL SELECT doc_b, match_cnt FROM est) u
+        |  GROUP BY doc) m GROUP BY mm),
+        |cp AS (SELECT threshold,
+        |    CAST(COALESCE(sum(np), 0) AS BIGINT) AS n_pairs
+        |  FROM grid LEFT JOIN pc ON match_cnt >= threshold
+        |  GROUP BY threshold),
+        |cd AS (SELECT threshold,
+        |    CAST(COALESCE(sum(nd), 0) AS BIGINT) AS n_docs_affected
+        |  FROM grid LEFT JOIN dm ON mm >= threshold
+        |  GROUP BY threshold)
+        |SELECT threshold, n_pairs, n_docs_affected
+        |FROM cp JOIN cd USING (threshold)
+        |ORDER BY threshold""".stripMargin),
+
     // q168: the q44 pair replay → degree-ordered orientation → wedge
     // join → EXISTS closure; wedge total from exact integer degrees
     // (d(d-1)//2), one summary row

@@ -314,6 +314,28 @@ class LlmOpsSpec extends SparkSpec {
       s"tp counts must be non-increasing: ${tps.toSeq}")
   }
 
+  test("q173: the threshold curve is monotone and anchored at the gated count") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q173_dedup_curve")(spark, dir)
+      .orderBy("threshold").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === (1L to 32L))
+    // both curves are non-increasing in the threshold
+    assert(out.zip(out.tail).forall { case (a, b) =>
+      a._2 >= b._2 && a._3 >= b._3 }, "raising the cutoff only removes")
+    // the curve at the gated threshold equals the gated pair count
+    val gated = LlmQueries.nearDupPairs(spark, dir)
+      .filter(col("match_cnt") >= LlmQueries.NearDupMinMatches).count()
+    val at = out(LlmQueries.NearDupMinMatches - 1)
+    assert(at._2 === gated,
+      s"curve at threshold ${LlmQueries.NearDupMinMatches} must equal the q44 count")
+    // threshold 1 covers every pair and every endpoint of the frame
+    val all = LlmQueries.nearDupPairs(spark, dir)
+    assert(out.head._2 === all.count())
+    assert(out.head._3 === all.select(explode(array(col("doc_a"), col("doc_b"))))
+      .distinct().count())
+  }
+
   test("q168: triangle census is exact on a clique, a path and a cycle") {
     val sess = spark
     import sess.implicits._
