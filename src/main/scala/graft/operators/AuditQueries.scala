@@ -369,6 +369,73 @@ object AuditQueries {
             / (col("n_docs") * (lit(n) - col("n_docs"))), 6).as("ks_d"))
         .orderBy("source")
     },
+
+    // q171's drift alarm as a TRUE STREAM — the ingest-time shape
+    // check an always-on pipeline runs per micro-batch: each arriving
+    // batch's n_chars ECDF tests against the STATIC corpus baseline
+    // (two-sample KS, the same exact-integer supremum), and one alarm
+    // row per batch appends to the sink. Stateless per batch — no
+    // state store; the per-batch work is windows over the bounded
+    // value DOMAIN (the q171 metadata-scale argument), with the
+    // corpus baseline computed once and reused across batches.
+    // Batches identify by CONTENT (min(doc_id % 20)), never by
+    // trigger order, so the answer is staging-order-free and the
+    // oracle replays each batch by its membership (the q108
+    // discipline).
+    "q174_stream_ks_drift" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      import org.apache.spark.sql.expressions.Window
+      val base = freshBase(s, dir, "q174")
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val cc = corpus.groupBy("n_chars").agg(count(lit(1)).as("ct")).cache()
+      val n2 = corpus.count()
+      val batchDocs = docs.filter(col("doc_id") % 10 === 7)
+      val src = stageBatches(s, base, Seq(
+        batchDocs.filter(col("doc_id") % 20 === 7),
+        batchDocs.filter(col("doc_id") % 20 === 17)))
+      val outDir = s"$base/out"
+      graft.Tables.withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema("doc_id BIGINT, n_chars BIGINT")
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.persist()
+            val n1 = batch.count()
+            if (n1 > 0) {
+              val key = batch
+                .agg(min(pmod(col("doc_id"), lit(20L)))).head().getLong(0)
+              val bc = batch.groupBy("n_chars").agg(count(lit(1)).as("bt"))
+              val grid = cc.select("n_chars")
+                .union(bc.select("n_chars")).distinct()
+              val w = Window.orderBy("n_chars")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+              grid
+                .join(bc, Seq("n_chars"), "left").na.fill(0L, Seq("bt"))
+                .join(cc, Seq("n_chars"), "left").na.fill(0L, Seq("ct"))
+                .withColumn("c1", sum("bt").over(w).cast("long"))
+                .withColumn("c2", sum("ct").over(w).cast("long"))
+                .agg(max(abs(col("c1") * n2 - col("c2") * n1))
+                  .cast("long").as("d_scaled"))
+                .select(lit(key).as("batch_key"),
+                  lit(n1).as("n_batch"), col("d_scaled"),
+                  round(col("d_scaled").cast("double") / lit(n1 * n2), 6)
+                    .as("ks_d"))
+                .write.mode(org.apache.spark.sql.SaveMode.Append)
+                .parquet(outDir)
+            }
+            batch.unpersist()
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read
+        .schema("batch_key BIGINT, n_batch BIGINT, d_scaled BIGINT, ks_d DOUBLE")
+        .parquet(outDir)
+        .orderBy("batch_key")
+    },
   )
 
   /** DuckDB twin of one profileTable call (same agg expressions, one
@@ -547,6 +614,38 @@ object AuditQueries {
         |    ::DOUBLE / (max(n1) * (max(n) - max(n1))), 6) AS ks_d
         |FROM c1 JOIN ct USING (n_chars) CROSS JOIN n
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q174: each batch replayed by its %20 membership against the
+    // static corpus — streamed ≡ one-shot per batch (q108 discipline)
+    "q174_stream_ks_drift" ->
+      """WITH corpus AS (
+        |  SELECT n_chars FROM documents WHERE doc_id % 10 != 7),
+        |parts AS (SELECT unnest([7, 17]) AS pk),
+        |batch AS (SELECT doc_id % 20 AS pk, n_chars FROM documents
+        |          WHERE doc_id % 20 IN (7, 17)),
+        |cc AS (SELECT n_chars, count(*) AS ct FROM corpus GROUP BY n_chars),
+        |bc AS (SELECT pk, n_chars, count(*) AS bt
+        |       FROM batch GROUP BY pk, n_chars),
+        |grid AS (SELECT DISTINCT pk, n_chars FROM (
+        |  SELECT pk, n_chars FROM bc
+        |  UNION ALL
+        |  SELECT p.pk, cc.n_chars FROM cc CROSS JOIN parts p) u),
+        |cum AS (SELECT g.pk, g.n_chars,
+        |    CAST(sum(COALESCE(bt, 0)) OVER (PARTITION BY g.pk
+        |      ORDER BY g.n_chars) AS BIGINT) AS c1,
+        |    CAST(sum(COALESCE(ct, 0)) OVER (PARTITION BY g.pk
+        |      ORDER BY g.n_chars) AS BIGINT) AS c2
+        |  FROM grid g
+        |    LEFT JOIN bc ON bc.pk = g.pk AND bc.n_chars = g.n_chars
+        |    LEFT JOIN cc ON cc.n_chars = g.n_chars),
+        |tot AS (SELECT pk, count(*) AS n1 FROM batch GROUP BY pk),
+        |ctot AS (SELECT count(*) AS n2 FROM corpus)
+        |SELECT pk AS batch_key, CAST(n1 AS BIGINT) AS n_batch,
+        |  CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_scaled,
+        |  round(CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT)::DOUBLE
+        |    / (n1 * n2), 6) AS ks_d
+        |FROM cum JOIN tot USING (pk) CROSS JOIN ctot
+        |GROUP BY pk, n1, n2 ORDER BY batch_key""".stripMargin,
   )
 
   /** DuckDB twin of the CMS calibration — shared by q144 (one-shot

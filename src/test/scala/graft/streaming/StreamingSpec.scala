@@ -452,4 +452,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === 2)
     assert(out.columns.toSet === StreamPipelines.eventSchema.fieldNames.toSet)
   }
+
+  test("q174: streamed per-batch KS equals an exact driver-side recompute") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.AuditQueries
+      .queries("q174_stream_ks_drift")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val corpus = rows.filter(_._1 % 10 != 7).map(_._2)
+    val n2 = corpus.length.toLong
+    val expect = Seq(7L, 17L).map { pk =>
+      val b = rows.filter(_._1 % 20 == pk).map(_._2)
+      val n1 = b.length.toLong
+      val grid = (b ++ corpus).distinct.sorted
+      val d = grid.map { v =>
+        val c1 = b.count(_ <= v).toLong
+        val c2 = corpus.count(_ <= v).toLong
+        math.abs(c1 * n2 - c2 * n1)
+      }.max
+      pk -> (n1, d)
+    }.toMap
+    assert(got === expect,
+      "each micro-batch's alarm row must equal the one-shot KS on its membership")
+  }
 }
