@@ -324,6 +324,42 @@ object EventAnalytics {
           round(col("w"), 6).as("decayed_count"))
         .orderBy("event_type")
     },
+    // CONVERSION LAG — the latency distribution between a user's first
+    // view and their first purchase AFTER it: the "how long does the
+    // funnel take" number (q78 counts who converts; this measures how
+    // fast). Exact integer end-to-end: latencies in floor-divided
+    // seconds, percentiles as EXACT rank cuts (smallest latency whose
+    // rank covers the quantile, rn·2 ≥ n / rn·10 ≥ n·9 — the q157
+    // integer-quota discipline; never an interpolating percentile
+    // builtin whose (1−g)·a+g·b arithmetic could differ). Scale note:
+    // the rank window sorts the per-USER latency frame (one row per
+    // converted user — events already collapsed), the one sort exact
+    // percentiles inherently need; q126 calibrates the histogram
+    // shortcut for when even that is too much.
+    "q175_conversion_lag" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = loadEvents(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val lat = views.join(buys, "user_id")
+        .filter(col("p_ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min("p_ts").as("p_ts"), min("v_ts").as("v_ts"))
+        .select(col("user_id"),
+          floor((unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+            / lit(1000000L)).as("lat_s"))
+      val w = Window.orderBy("lat_s", "user_id")
+      lat
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .agg(max("n").cast("long").as("n_converted"),
+          min(when(col("rn") * 2 >= col("n"), col("lat_s")))
+            .cast("long").as("p50_s"),
+          min(when(col("rn") * 10 >= col("n") * 9, col("lat_s")))
+            .cast("long").as("p90_s"),
+          max("lat_s").cast("long").as("max_s"))
+    },
   )
 
   /** q158 session gap: 8 hours in epoch micros. */
@@ -512,5 +548,30 @@ object EventAnalytics {
         |    (acc, v) -> acc + v), 6) AS decayed_count
         |FROM a GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // q175: same first-view/first-purchase-after collapse, same exact
+    // integer rank cuts — never an interpolating quantile builtin
+    "q175_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |lat AS (
+        |  SELECT e.user_id,
+        |    CAST(floor((epoch_us(min(e.ts)) - epoch_us(min(v.v_ts)))
+        |      / 1000000) AS BIGINT) AS lat_s
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+        |  GROUP BY e.user_id),
+        |r AS (SELECT lat_s,
+        |    row_number() OVER (ORDER BY lat_s, user_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lat)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |  CAST(min(CASE WHEN rn * 2 >= n THEN lat_s END) AS BIGINT) AS p50_s,
+        |  CAST(min(CASE WHEN rn * 10 >= n * 9 THEN lat_s END) AS BIGINT)
+        |    AS p90_s,
+        |  CAST(max(lat_s) AS BIGINT) AS max_s
+        |FROM r""".stripMargin,
   )
 }

@@ -101,6 +101,28 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q175: lag percentiles equal the exact sorted-rank recompute") {
+    val r = EventAnalytics.queries("q175_conversion_lag")(spark, dir).head()
+    val ev = loadEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val lats = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val vs = rows.filter(_._2 == "view").map(_._3)
+      if (vs.isEmpty) None
+      else {
+        val v = vs.min
+        val ps = rows.filter(r => r._2 == "purchase" && r._3 >= v).map(_._3)
+        if (ps.isEmpty) None else Some((ps.min - v) / 1000000L)
+      }
+    }.toSeq.sorted
+    val n = lats.length
+    assert(r.getAs[Long]("n_converted") === n.toLong)
+    assert(r.getAs[Long]("p50_s") === lats((n + 1) / 2 - 1),
+      "p50 must be the smallest latency whose rank covers half")
+    assert(r.getAs[Long]("p90_s") === lats(math.ceil(n * 9 / 10.0).toInt - 1))
+    assert(r.getAs[Long]("max_s") === lats.last)
+  }
+
   test("q161: slope equals an exact driver-side OLS over hourly counts") {
     val got = EventAnalytics.queries("q161_trend_slope")(spark, dir)
       .collect()
