@@ -695,6 +695,36 @@ object CurationQueries {
       entropyBySource(tWide(s, dir, "documents"))
     },
 
+    // VOCABULARY OVERLAP — pairwise Jaccard of source vocabularies:
+    // the lexical-level sibling of q151's content syndication (two
+    // feeds can share a vocabulary without sharing documents — same
+    // domain, different articles — and a TRANSLATED mirror shares
+    // documents but not vocabulary; reading both matrices apart is
+    // the diagnosis). Exact integers throughout: distinct (source,
+    // token) cells once, pairwise intersections from ONE token-keyed
+    // self-join (per-token fan-out ≤ |sources|, a bounded dimension),
+    // union by inclusion–exclusion from broadcast vocab sizes.
+    "q176_vocab_overlap" -> { (s, dir) =>
+      val cells = tWide(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct().cache()
+      val sizes = cells.groupBy("source").agg(count(lit(1)).as("v"))
+      val ca = cells.toDF("source_a", "tok")
+      val cb = cells.toDF("source_b", "tok2")
+      ca.join(cb, col("tok") === col("tok2") &&
+          col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.toDF("source_a", "va")), "source_a")
+        .join(broadcast(sizes.toDF("source_b", "vb")), "source_b")
+        .select(col("source_a"), col("source_b"),
+          col("inter").cast("long").as("inter"),
+          (col("va") + col("vb") - col("inter")).cast("long").as("uni"),
+          round(col("inter").cast("double")
+            / (col("va") + col("vb") - col("inter")), 6).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+
     // KEYNESS — Dunning's log-likelihood G² (1993), source-vs-rest:
     // which tokens are OVER-represented in a source relative to the
     // remaining corpus. The corpus-comparison complement of q159's PMI
@@ -1152,6 +1182,27 @@ object CurationQueries {
         |  CAST(floor(ln(n_tokens::DOUBLE) * 1000000 + 0.000001) AS BIGINT)
         |    - s // n_tokens AS h_micro
         |FROM agg ORDER BY source""".stripMargin,
+
+    // q176: the same distinct-cell self-join in SQL — exact integers,
+    // inclusion–exclusion union
+    "q176_vocab_overlap" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT source, tok FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents)),
+        |sizes AS (SELECT source, count(*) AS v FROM cells GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS inter
+        |  FROM cells a JOIN cells b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(sa.v + sb.v - inter AS BIGINT) AS uni,
+        |  round(inter::DOUBLE / (sa.v + sb.v - inter), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.source = source_a
+        |           JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // q166: the same 2×2 G² from the same exact marginals, terms in
     // the same textual order, CASE o>0 for the x·ln(x)→0 convention

@@ -415,6 +415,28 @@ class CurationSpec extends SparkSpec {
       "a skewed feed scores strictly between collapsed and uniform")
   }
 
+  test("q176: overlap matrix covers all pairs and matches set arithmetic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CurationQueries.queries("q176_vocab_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("jaccard"))).toMap
+    val vocab = graft.Tables.t(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (s0, rows) => s0 -> rows.flatMap(_._2.split(" ")).toSet }
+    val srcs = vocab.keys.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
+      uni = (vocab(a) | vocab(b)).size.toLong
+    } yield (a, b) -> (inter, uni,
+      BigDecimal(inter.toDouble / uni)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(out === expect, "matrix must equal exact set arithmetic")
+  }
+
   test("q166: an exclusive token tops the keyness board; a uniform one scores ~0") {
     val sess = spark
     import sess.implicits._
