@@ -645,4 +645,55 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"partial + final heap aggregation is the map-side-combine guarantee:\n$p")
   }
+
+  test("q158 sessionization reuses ONE user_id exchange for both windows and the agg") {
+    // lag, the running-sum session counter and the per-session groupBy
+    // all partition on user_id — the scd2 exchange-reuse shape
+    val p = plan("q158_sessionize")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1,
+      s"one user_id exchange must serve the whole chain:\n$p")
+  }
+
+  test("q160 A-ES weighted sample fuses to TakeOrderedAndProject") {
+    assert(plan("q160_sample_weighted").contains("TakeOrderedAndProject"))
+  }
+
+  test("q162 snapshot diff shuffles digests, never text") {
+    // both sides project to (doc_id, source, md5) BEFORE the full-outer
+    // join, so the exchanges carry 32-char digests
+    val p = plan("q162_snapshot_diff")
+    assert("SortMergeJoin.*FullOuter".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin.*FullOuter".r.findFirstIn(p).isDefined,
+      s"expected a shuffled full-outer join:\n$p")
+    // the md5 Project sits BELOW every exchange: text appears only in
+    // scan/filter/project lines, never in an Exchange's output
+    assert(!"Exchange[^\\n]*text#".r.findFirstIn(p).isDefined,
+      s"raw text must never reach an exchange:\n$p")
+  }
+
+  test("q164 containment join is prefix-driven — no cartesian anywhere") {
+    val p = plan("q164_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the candidate join must be an equi-join on shingle hashes:\n$p")
+    assert(p.contains("graft_sorted_intersect_min"),
+      s"verification must run the early-exit kernel in-plan:\n$p")
+  }
+
+  test("q166/q159 marginal joins broadcast — vocab-bounded sides never shuffle-join") {
+    for (q <- Seq("q166_keyness", "q159_pmi_collocations")) {
+      val p = plan(q)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"$q: unigram/source marginals must attach by broadcast:\n$p")
+    }
+  }
+
+  test("q173 threshold curve never rebuilds the pair pipeline") {
+    // probe-priced: the curve reads the persisted pair frame, so the
+    // MinHash kernel and the shingle pipeline's window must be absent
+    // (the endpoint explode IS a Generate — tiny and expected)
+    val p = plan("q173_dedup_curve")
+    assert(!p.contains("graft_minhash") && !p.contains("Window"),
+      s"the curve must probe the persisted frame, not recompute it:\n$p")
+  }
 }
