@@ -695,6 +695,56 @@ object CurationQueries {
       entropyBySource(tWide(s, dir, "documents"))
     },
 
+    // THE FULL CURATION PIPELINE, end to end — the composition proof:
+    // URL-canonical dedup (q146's rule) → exact-text dedup (q43's
+    // min-id keeper) → near-dup survivor selection (q143's
+    // lower-id-partner rule on q44's persisted pairs, restricted to
+    // docs still alive) → quality gate (q51's 6-dp score ≥ 0.5) →
+    // split assignment (q127's arithmetic); the output is the curated
+    // corpus MANIFEST (split × source counts with id-sum content
+    // pins), i.e. what a training run actually consumes. Every stage
+    // reuses the gate-proven core of its standalone key, so the hash
+    // match here certifies the COMPOSITION (stage interactions:
+    // near-dup drops consider only pairs whose BOTH endpoints
+    // survived the exact stages — the q152 discipline). Shapes are
+    // the constituents': two min-over-window dedups on canonical/md5
+    // keys, one anti-join against the pair-frame drops, a stateless
+    // quality filter, pure-arithmetic splits.
+    "q177_pipeline" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      val w1 = Window.partitionBy("canonical")
+      val s1 = docs
+        .withColumn("canonical",
+          canonicalUrl(rawUrl(col("doc_id"), col("lang"), col("source"))))
+        .withColumn("k1", min("doc_id").over(w1))
+        .filter(col("doc_id") === col("k1"))
+      val w2 = Window.partitionBy("m")
+      val s2 = s1
+        .withColumn("m", md5(col("text")))
+        .withColumn("k2", min("doc_id").over(w2))
+        .filter(col("doc_id") === col("k2"))
+        .select("doc_id", "source", "text")
+      val alive = s2.select(col("doc_id"))
+      val drops = graft.operators.LlmQueries.nearDupPairs(s, dir)
+        .filter(col("match_cnt") >=
+          graft.operators.LlmQueries.NearDupMinMatches)
+        .select("doc_a", "doc_b")
+        .join(alive.toDF("doc_a"), "doc_a")
+        .join(alive.toDF("doc_b"), "doc_b")
+        .select(col("doc_b").as("doc_id")).distinct()
+      val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
+      val s4 = s3.filter(
+        graft.functions.TextOps.qualityScore(col("text")) >= 0.5)
+      s4.select(col("source"),
+          graft.operators.CorpusQueries.splitOf(col("doc_id")).as("split"),
+          col("doc_id"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("split", "source")
+    },
+
     // VOCABULARY OVERLAP — pairwise Jaccard of source vocabularies:
     // the lexical-level sibling of q151's content syndication (two
     // feeds can share a vocabulary without sharing documents — same
@@ -1182,6 +1232,40 @@ object CurationQueries {
         |  CAST(floor(ln(n_tokens::DOUBLE) * 1000000 + 0.000001) AS BIGINT)
         |    - s // n_tokens AS h_micro
         |FROM agg ORDER BY source""".stripMargin,
+
+    // q177: the whole pipeline replayed by splicing the factored
+    // replays — UrlCanonCtes (canonical per doc), pairEstCtes (q44's
+    // pair set), q51's quality expression VERBATIM, q127's splitSql —
+    // so the hash match certifies the COMPOSITION of the gate-proven
+    // stages, with no second source of truth for any stage
+    "q177_pipeline" -> (UrlCanonCtes + ",\n" +
+      graft.operators.LlmQueries.pairEstCtes.stripPrefix("WITH ") + ",\n" +
+      s"""s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM c GROUP BY canonical) k1
+         |    ON k1.doc_id = d.doc_id),
+         |s2 AS (SELECT s1.doc_id, s1.source, s1.text FROM s1
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM
+         |        (SELECT doc_id, md5(text) AS m FROM s1) mm GROUP BY m) k2
+         |    ON k2.doc_id = s1.doc_id),
+         |pp AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+         |drops AS (SELECT DISTINCT pp.doc_b AS doc_id FROM pp
+         |  JOIN s2 sa ON sa.doc_id = pp.doc_a
+         |  JOIN s2 sb ON sb.doc_id = pp.doc_b),
+         |s3 AS (SELECT doc_id, source, text FROM s2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |qq AS (SELECT doc_id, source,
+         |    round((len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+         |      + (len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','a','it','that','for'], t)))::DOUBLE / len(toks)) * 0.3
+         |      + least(1.0, len(toks) / 50.0) * 0.3, 6) AS quality
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |        FROM s3) tt),
+         |s4 AS (SELECT doc_id, source FROM qq WHERE quality >= 0.5)
+         |SELECT split, source, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM (SELECT doc_id, source,
+         |        ${graft.operators.CorpusQueries.splitSql} AS split
+         |      FROM s4) f
+         |GROUP BY split, source ORDER BY split, source""".stripMargin),
 
     // q176: the same distinct-cell self-join in SQL — exact integers,
     // inclusion–exclusion union

@@ -806,7 +806,7 @@ object LlmQueries {
     * hashes → 32 permutations → 8×4 bands → candidates → match counts),
     * exposed so q151's twin can splice source attribution after the
     * SAME pair replay — one DuckDB source of truth for the pair set. */
-  private val pairEstCtes: String =
+  private[graft] val pairEstCtes: String =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
       |    range(0, len(string_split(text,' ')) - 2),
