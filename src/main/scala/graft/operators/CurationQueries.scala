@@ -695,6 +695,34 @@ object CurationQueries {
       entropyBySource(tWide(s, dir, "documents"))
     },
 
+    // CONJUNCTIVE RETRIEVAL — "docs containing ALL query terms", the
+    // AND-semantics search q93's BM25 ranks and q96's index serves:
+    // posting-list intersection expressed as one doc-keyed agg over
+    // the term-matched token stream. The query set self-calibrates (3
+    // globally most-frequent tokens, ties alphabetical) so the key has
+    // no magic constants and stays non-degenerate at every scale.
+    // Shapes: the |Q|-row query set BROADCASTS into a semi-filtering
+    // join on the token stream (the q92/q98 bounded-candidate shape),
+    // per-(doc, term) tf map-combines, and the all-terms test is
+    // count(distinct-by-construction) = |Q| — never a per-term
+    // self-join chain, whose plan would grow with |Q|.
+    "q180_search_and" -> { (s, dir) =>
+      val toks = tWide(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val q = toks.groupBy("tok").agg(count(lit(1)).as("tf_total"))
+        .orderBy(desc("tf_total"), col("tok")).limit(3)
+        .select("tok")
+      toks.join(broadcast(q), "tok")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          min("tf").cast("long").as("min_tf"),
+          sum("tf").cast("long").as("sum_tf"))
+        .filter(col("n_terms") === 3)
+        .select("doc_id", "min_tf", "sum_tf")
+        .orderBy("doc_id")
+    },
+
     // THE FULL CURATION PIPELINE, end to end — the composition proof:
     // URL-canonical dedup (q146's rule) → exact-text dedup (q43's
     // min-id keeper) → near-dup survivor selection (q143's
@@ -1232,6 +1260,22 @@ object CurationQueries {
         |  CAST(floor(ln(n_tokens::DOUBLE) * 1000000 + 0.000001) AS BIGINT)
         |    - s // n_tokens AS h_micro
         |FROM agg ORDER BY source""".stripMargin,
+
+    // q180: the same self-calibrating query set and intersection-as-agg
+    "q180_search_and" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |q AS (SELECT tok FROM
+        |  (SELECT tok, count(*) AS tf_total FROM toks GROUP BY tok)
+        |  ORDER BY tf_total DESC, tok LIMIT 3),
+        |m AS (SELECT doc_id, toks.tok, count(*) AS tf
+        |  FROM toks JOIN q ON toks.tok = q.tok
+        |  GROUP BY doc_id, toks.tok)
+        |SELECT doc_id, CAST(min(tf) AS BIGINT) AS min_tf,
+        |  CAST(sum(tf) AS BIGINT) AS sum_tf
+        |FROM m GROUP BY doc_id HAVING count(*) = 3
+        |ORDER BY doc_id""".stripMargin,
 
     // q177: the whole pipeline replayed by splicing the factored
     // replays — UrlCanonCtes (canonical per doc), pairEstCtes (q44's

@@ -160,6 +160,83 @@ object ScanQueries {
           sum("doc_id").cast("long").as("id_sum"))
         .orderBy("lang")
     },
+
+    // LINE-DELIMITED TEXT as the fourth SOURCE FORMAT under the gate —
+    // the classic LM-corpus shape (one record per line, TAB-separated
+    // metadata prefix): q140/q141/q142's discipline applied to
+    // `spark.read/write.text`, the format every "just give me the raw
+    // corpus" export uses. Schema-on-read is an EXPLICIT limit-5 split
+    // (the text field is the unsplit tail, so a free-text field with
+    // tabs would corrupt only itself — and the checksum gate would
+    // catch it; the fixtures' space-separated ASCII words make the
+    // delimiter contract safe, asserted BY the hash match). Everything
+    // else is the shared roundtrip recipe: write → schema'd read-back →
+    // per-lang checksum agg against the ORIGINAL parquet table.
+    "q178_text_roundtrip" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.poly_hash
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q178_")
+      val stage = s"$tmp/graft_q178_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      graft.sources.Staging.vacuum(s, stage)
+      t(s, dir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text")).as("value"))
+        .write.text(stage)
+      val p = split(col("value"), "\t", 5)
+      s.read.text(stage)
+        .select(
+          element_at(p, 1).cast("long").as("doc_id"),
+          element_at(p, 2).as("lang"),
+          element_at(p, 3).as("source"),
+          element_at(p, 4).cast("long").as("n_chars"),
+          element_at(p, 5).as("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(poly_hash(col("text"))).cast("long").as("text_checksum"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
+
+    // SCHEMA EVOLUTION under the gate — the lake-management fact every
+    // long-lived corpus hits: files written before a column existed
+    // must read alongside files written after. Epoch v1 stages
+    // (doc_id, lang, text); epoch v2 adds a `quality` column (q51's
+    // 6-dp score); the mergeSchema read unifies them with NULLs for
+    // the legacy rows, and the gated agg pins BOTH populations — the
+    // legacy count per lang and the exact integer-micro sum of the
+    // evolved column (quantize-then-sum, the q172 discipline, so no
+    // FP accumulation order can differ). A reader that dropped or
+    // misaligned either epoch's column layout hash-fails.
+    "q179_schema_evolution" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.poly_hash
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q179_")
+      val stage = s"$tmp/graft_q179_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      graft.sources.Staging.vacuum(s, stage)
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.parquet(s"$stage/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"),
+          graft.functions.TextOps.qualityScore(col("text")).as("quality"))
+        .write.parquet(s"$stage/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$stage/v1", s"$stage/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_legacy"),
+          sum(when(col("quality").isNotNull,
+            floor(col("quality") * 1e6 + 0.5).cast("long")).otherwise(0L))
+            .cast("long").as("quality_micro_sum"),
+          sum(poly_hash(col("text"))).cast("long").as("text_checksum"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -190,6 +267,32 @@ object ScanQueries {
     "q140_csv_roundtrip" -> formatRoundtripSql,
     "q141_jsonl_roundtrip" -> formatRoundtripSql,
     "q142_orc_roundtrip" -> formatRoundtripSql,
+    "q178_text_roundtrip" -> formatRoundtripSql,
+
+    // q179: membership replayed by parity; the evolved column exists
+    // only for odd ids (q51's quality expression verbatim),
+    // quantize-then-sum in exact integers
+    "q179_schema_evolution" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id, lang, text,
+        |    CASE WHEN doc_id % 2 = 1 THEN
+        |      round((len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+        |        + (len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','a','it','that','for'], t)))::DOUBLE / len(toks)) * 0.3
+        |        + least(1.0, len(toks) / 50.0) * 0.3, 6)
+        |    END AS quality
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  CAST(sum(CASE WHEN quality IS NOT NULL
+        |    THEN CAST(floor(quality * 1000000 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS quality_micro_sum,
+        |  CAST(sum(list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text,''), ch -> ascii(ch)::BIGINT)),
+        |    (a,b) -> (a*131 + b) % 2147483647)) AS BIGINT) AS text_checksum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   private val formatRoundtripSql: String =

@@ -415,6 +415,26 @@ class CurationSpec extends SparkSpec {
       "a skewed feed scores strictly between collapsed and uniform")
   }
 
+  test("q180: AND retrieval returns exactly the docs containing every query term") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CurationQueries.queries("q180_search_and")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val q = docs.flatMap(_._2).groupBy(identity).toSeq
+      .map { case (t, v) => (t, v.length) }
+      .sortBy { case (t, n) => (-n, t) }.take(3).map(_._1)
+    val expect = docs.flatMap { case (id, toks) =>
+      val tf = q.map(t => toks.count(_ == t).toLong)
+      if (tf.forall(_ > 0)) Some(id -> (tf.min, tf.sum)) else None
+    }.toMap
+    assert(got === expect,
+      "intersection-as-agg must equal the exact per-doc containment scan")
+    assert(expect.size < docs.length,
+      "the conjunction must exclude at least one doc (non-degenerate)")
+  }
+
   test("q177: pipeline manifest is consistent with its standalone stages") {
     val dir = "/root/testdata/sf0.001"
     val manifest = CurationQueries.queries("q177_pipeline")(spark, dir).collect()
