@@ -360,6 +360,60 @@ object EventAnalytics {
             .cast("long").as("p90_s"),
           max("lat_s").cast("long").as("max_s"))
     },
+    // COHORT LTV — cumulative purchase value per (cohort, week): the
+    // value dimension q77's retention counts lack ("do the users who
+    // stay also SPEND"). Value sums accumulate in DECIMAL(18,4)
+    // partials (the q97 exactness discipline — a double sum's shuffle
+    // order would leak into the cumulative chain) and cast to double
+    // only at display; the running total is a decimal window sum per
+    // cohort over the week offset. Shapes: one per-user cohort agg,
+    // one bounded (cohort × week) agg, one cohort-partitioned window
+    // — each shuffles on bounded keys.
+    "q182_cohort_ltv" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = loadEvents(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), dec(col("value")).as("v"))
+      val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val weekly = ev.filter(col("event_type") === "purchase")
+        .join(cohorts, "user_id")
+        .withColumn("week_offset",
+          floor(datediff(col("day"), col("cohort_day")) / 7).cast("long"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(count(lit(1)).as("n_purchases"), sum("v").as("wk_value"))
+      val w = Window.partitionBy("cohort_day").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly
+        .withColumn("cum", sum("wk_value").over(w))
+        .select(col("cohort_day"), col("week_offset"), col("n_purchases"),
+          col("wk_value").cast(D).cast("double").as("week_value"),
+          col("cum").cast(D).cast("double").as("ltv_cum"))
+        .orderBy("cohort_day", "week_offset")
+    },
+
+    // WINDOWED funnel — q78's view→purchase conversion restricted to a
+    // 7-DAY window after the user's first view: the product metric as
+    // actually defined (an unbounded funnel credits conversions that
+    // happen months later). Exact integer micros decide the window on
+    // both engines; the per-user collapse is one user_id-clustered
+    // pass (q78's shape) and the output is the 3-scalar funnel row.
+    "q183_funnel_windowed" -> { (s, dir) =>
+      val ev = loadEvents(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val conv = views.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts")), "user_id")
+        .filter(col("p_ts") >= col("v_ts") &&
+          unix_micros(col("p_ts")) - unix_micros(col("v_ts"))
+            <= lit(7L * 86400L * 1000000L))
+        .select("user_id").distinct()
+      views.agg(count(lit(1)).cast("long").as("n_viewers"))
+        .crossJoin(conv.agg(count(lit(1)).cast("long").as("n_converted_7d")))
+        .select(col("n_viewers"), col("n_converted_7d"),
+          round(col("n_converted_7d").cast("double") / col("n_viewers"), 6)
+            .as("cvr_7d"))
+    },
   )
 
   /** q158 session gap: 8 hours in epoch micros. */
@@ -573,5 +627,43 @@ object EventAnalytics {
         |    AS p90_s,
         |  CAST(max(lat_s) AS BIGINT) AS max_s
         |FROM r""".stripMargin,
+
+    // q182: decimal partials and the decimal running sum, cast at
+    // display (q97's exactness twin in window form)
+    "q182_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    event_type, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |cohorts AS (SELECT user_id, min(day) AS cohort_day
+        |            FROM e GROUP BY user_id),
+        |weekly AS (
+        |  SELECT cohort_day,
+        |    CAST(floor(date_diff('day', cohort_day, day) / 7) AS BIGINT)
+        |      AS week_offset,
+        |    count(*) AS n_purchases,
+        |    CAST(sum(v) AS DECIMAL(18,4)) AS wk_value
+        |  FROM e JOIN cohorts USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, week_offset, n_purchases,
+        |  CAST(wk_value AS DOUBLE) AS week_value,
+        |  CAST(CAST(sum(wk_value) OVER (PARTITION BY cohort_day
+        |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING)
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS ltv_cum
+        |FROM weekly ORDER BY cohort_day, week_offset""".stripMargin,
+
+    // q183: the same exact-micros window cut
+    "q183_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT DISTINCT e.user_id
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+        |    AND epoch_us(e.ts) - epoch_us(v.v_ts) <= 7::BIGINT * 86400 * 1000000)
+        |SELECT (SELECT count(*) FROM v) AS n_viewers,
+        |  (SELECT count(*) FROM c) AS n_converted_7d,
+        |  round((SELECT count(*) FROM c)::DOUBLE
+        |    / (SELECT count(*) FROM v), 6) AS cvr_7d""".stripMargin,
   )
 }

@@ -123,6 +123,46 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_s") === lats.last)
   }
 
+  test("q182: LTV cumulative chain reconciles with weekly values and q77 cohorts") {
+    val out = EventAnalytics.queries("q182_cohort_ltv")(spark, dir).collect()
+    // per cohort, the running total telescopes: last cum = sum of weeks
+    out.groupBy(_.getDate(0).toString).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val cums = sorted.map(_.getAs[Double]("ltv_cum"))
+      val weeks = sorted.map(_.getAs[Double]("week_value"))
+      assert(math.abs(cums.last - weeks.sum) < 1e-6,
+        "decimal running sum must telescope exactly")
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 },
+        "purchase values are nonnegative, so LTV is nondecreasing")
+    }
+    // cohorts must be a subset of q77's cohort days
+    val cohortDays = EventAnalytics.queries("q77_retention")(spark, dir)
+      .select("cohort_day").distinct().collect().map(_.getDate(0).toString).toSet
+    assert(out.map(_.getDate(0).toString).toSet.subsetOf(cohortDays))
+  }
+
+  test("q183: the windowed funnel never exceeds the unbounded conversion set") {
+    val r = EventAnalytics.queries("q183_funnel_windowed")(spark, dir).head()
+    val nViewers = r.getAs[Long]("n_viewers")
+    val n7 = r.getAs[Long]("n_converted_7d")
+    assert(n7 >= 0 && n7 <= nViewers)
+    // unbounded converters (any purchase at/after first view) bound it
+    val ev = loadEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val unbounded = ev.groupBy(_._1).count { case (_, rows) =>
+      val vs = rows.filter(_._2 == "view").map(_._3)
+      vs.nonEmpty && rows.exists(r => r._2 == "purchase" && r._3 >= vs.min)
+    }
+    val windowed = ev.groupBy(_._1).count { case (_, rows) =>
+      val vs = rows.filter(_._2 == "view").map(_._3)
+      vs.nonEmpty && rows.exists(r => r._2 == "purchase" &&
+        r._3 >= vs.min && r._3 - vs.min <= 7L * 86400L * 1000000L)
+    }
+    assert(n7 === windowed.toLong, "exact recompute of the 7d window")
+    assert(n7 <= unbounded.toLong, "the window can only shrink the set")
+  }
+
   test("q161: slope equals an exact driver-side OLS over hourly counts") {
     val got = EventAnalytics.queries("q161_trend_slope")(spark, dir)
       .collect()
