@@ -226,6 +226,30 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // Per-lang EXACT length percentiles by integer rank cuts — the
+    // disc-percentile complement of q60 (whose builtin interpolates
+    // with (1−g)·a+g·b blend arithmetic — fine under its own gate, but
+    // the blend is the one FP step this variant refuses): p50/p90 are
+    // the smallest value whose rank covers the quantile (rn·2 ≥ n,
+    // rn·10 ≥ 9n — the q157/q175 integer-quota discipline), so every
+    // output is a LONG that existed in the data. One window per lang
+    // partition; each lang sorts only its own rows.
+    "q181_group_percentiles" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .groupBy("lang")
+        .agg(max("n").cast("long").as("n_docs"),
+          min(when(col("rn") * 2 >= col("n"), col("n_chars")))
+            .cast("long").as("p50_chars"),
+          min(when(col("rn") * 10 >= col("n") * 9, col("n_chars")))
+            .cast("long").as("p90_chars"),
+          max("n_chars").cast("long").as("max_chars"))
+        .orderBy("lang")
+    },
+
     // SNAPSHOT DIFF — the corpus-versioning primitive: what changed
     // between crawl v1 and crawl v2 (added / removed / changed /
     // unchanged), per source. Real incremental pipelines run this
@@ -956,6 +980,22 @@ object CorpusQueries {
         |    / n_chars * 1000000000000 + 0.000001) AS BIGINT) AS key_pico
         |FROM documents
         |ORDER BY key_pico, doc_id LIMIT 20""".stripMargin,
+
+    // q181: identical rank-cut arithmetic, rank ties broken by doc_id
+    "q181_group_percentiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(min(CASE WHEN rn * 2 >= n THEN n_chars END) AS BIGINT)
+        |    AS p50_chars,
+        |  CAST(min(CASE WHEN rn * 10 >= n * 9 THEN n_chars END) AS BIGINT)
+        |    AS p90_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q162: the same snapshot synthesis + digest diff replayed in SQL
     "q162_snapshot_diff" ->

@@ -155,6 +155,27 @@ class CorpusSpec extends SparkSpec {
       s"length-weighted sample mean $sampleMean under corpus mean $corpusMean")
   }
 
+  test("q181: group percentiles equal the exact per-lang sorted-rank recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusQueries.queries("q181_group_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = graft.Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).map { case (lang, g) =>
+      val v = g.map(_._2).sorted
+      val n = v.length
+      lang -> (n.toLong, v((n + 1) / 2 - 1),
+        v(math.ceil(n * 9 / 10.0).toInt - 1), v.last)
+    }
+    assert(got === expect, "rank cuts must equal the exact sorted recompute")
+    got.values.foreach { case (_, p50, p90, mx) =>
+      assert(p50 <= p90 && p90 <= mx, "percentiles must be ordered")
+    }
+  }
+
   test("q162: diff statuses partition the union and match the synthesis arithmetic") {
     val dir = "/root/testdata/sf0.001"
     val out = CorpusQueries.queries("q162_snapshot_diff")(spark, dir)
