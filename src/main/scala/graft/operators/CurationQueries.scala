@@ -289,6 +289,35 @@ object CurationQueries {
       .selectExpr("doc_id", "nb", "surprisal div nb AS ppx_micro")
   }
 
+  /** q184 core: log-log Zipf slope of the token rank/frequency curve
+    * over a frame with a `text` column; quantize-then-OLS rationale at
+    * the q184 key. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val w = Window.orderBy(desc("c"), col("tok"))
+    val pts = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * 1e6 + lit(1e-6))
+          .cast("long").as("x"),
+        floor(log(col("c").cast("double")) * 1e6 + lit(1e-6))
+          .cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n").cast("long").as("vocab"),
+        round(col("slope"), 6).as("zipf_slope"),
+        round((col("sy").cast("double")
+          - col("slope") * col("sx")) / col("n") / 1e6, 6)
+          .as("ln_c_intercept"))
+  }
+
   /** q172 core: per-source Shannon token entropy in integer micro-nats
     * over a (source, text) frame; quantize-then-sum rationale at the
     * q172 key. */
@@ -771,6 +800,21 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("doc_id").cast("long").as("id_sum"))
         .orderBy("split", "source")
+    },
+
+    // ZIPF FIT — the log-log rank/frequency slope of the token
+    // distribution: natural text sits near −1, template spam and
+    // synthetic vocabularies flatten or steepen it, so the exponent is
+    // the one-number "does this corpus look like language" diagnostic
+    // (and a drift alarm when tracked per ingest). Two established
+    // disciplines compose: ln(rank) and ln(count) QUANTIZE to integer
+    // micro-nats first (q103's floor guard — one ln per vocab row,
+    // never a summed FP), then the OLS slope comes from q161's exact
+    // int64 sufficient statistics over those quantized coordinates.
+    // Rank is a global window over the VOCAB domain (vocab-bounded,
+    // the q171 metadata-scale argument), ties broken by token.
+    "q184_zipf_fit" -> { (s, dir) =>
+      zipfFit(tWide(s, dir, "documents"))
     },
 
     // VOCABULARY OVERLAP — pairwise Jaccard of source vocabularies:
@@ -1310,6 +1354,32 @@ object CurationQueries {
          |        ${graft.operators.CorpusQueries.splitSql} AS split
          |      FROM s4) f
          |GROUP BY split, source ORDER BY split, source""".stripMargin),
+
+    // q184: same quantize-then-OLS composition — one ln per vocab row,
+    // exact integer moments, the identical slope formula
+    "q184_zipf_fit" ->
+      """WITH c AS (SELECT tok, count(*) AS c FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |r AS (SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, tok) AS rank FROM c),
+        |p AS (SELECT
+        |    CAST(floor(ln(rank::DOUBLE) * 1000000 + 0.000001) AS BIGINT) AS x,
+        |    CAST(floor(ln(c::DOUBLE) * 1000000 + 0.000001) AS BIGINT) AS y
+        |  FROM r),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM p),
+        |sl AS (SELECT n, sx, sy,
+        |    (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) AS slope
+        |  FROM st WHERE n * sxx - sx * sx > 0)
+        |SELECT CAST(n AS BIGINT) AS vocab,
+        |  round(slope, 6) AS zipf_slope,
+        |  round((sy::DOUBLE - slope * sx) / n / 1000000, 6)
+        |    AS ln_c_intercept
+        |FROM sl""".stripMargin,
 
     // q176: the same distinct-cell self-join in SQL — exact integers,
     // inclusion–exclusion union

@@ -415,6 +415,24 @@ class CurationSpec extends SparkSpec {
       "a skewed feed scores strictly between collapsed and uniform")
   }
 
+  test("q184: slope reads -1 on a Zipfian corpus and ~0 on a uniform one") {
+    val sess = spark
+    import sess.implicits._
+    // Zipfian: token t_r appears round(1000/r) times, r = 1..50
+    val zipfText = (1 to 50).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"t$r")).mkString(" ")
+    val z = CurationQueries.zipfFit(Seq((1L, zipfText)).toDF("doc_id", "text"))
+      .head()
+    assert(math.abs(z.getAs[Double]("zipf_slope") - (-1.0)) < 0.02,
+      s"count = 1000/rank must fit slope ~ -1, got ${z.getAs[Double]("zipf_slope")}")
+    // uniform: every token equally frequent -> slope exactly 0
+    val uniText = (1 to 50).flatMap(r => Seq.fill(20)(s"u$r")).mkString(" ")
+    val u = CurationQueries.zipfFit(Seq((1L, uniText)).toDF("doc_id", "text"))
+      .head()
+    assert(u.getAs[Double]("zipf_slope") === 0.0,
+      "a uniform distribution has a flat rank/frequency curve")
+  }
+
   test("q180: AND retrieval returns exactly the docs containing every query term") {
     val dir = "/root/testdata/sf0.001"
     val got = CurationQueries.queries("q180_search_and")(spark, dir)
