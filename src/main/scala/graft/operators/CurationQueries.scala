@@ -289,6 +289,23 @@ object CurationQueries {
       .selectExpr("doc_id", "nb", "surprisal div nb AS ppx_micro")
   }
 
+  /** q185 core: top-20 tokens by variance-to-mean dispersion over a
+    * (doc_id, text) frame; all-integer formula at the q185 key. */
+  def burstinessBoard(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("tok")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum("c").cast("long").as("t"),
+        sum(col("c") * col("c")).cast("long").as("s2"))
+      .select(col("tok"), col("df"), col("t").as("total"),
+        round((lit(n) * col("s2") - col("t") * col("t")).cast("double")
+          / (lit(n) * col("t")), 6).as("vmr"))
+      .orderBy(desc("vmr"), col("tok"))
+      .limit(20)
+  }
+
   /** q184 core: log-log Zipf slope of the token rank/frequency curve
     * over a frame with a `text` column; quantize-then-OLS rationale at
     * the q184 key. */
@@ -800,6 +817,20 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("doc_id").cast("long").as("id_sum"))
         .orderBy("split", "source")
+    },
+
+    // BURSTINESS — per-token variance-to-mean ratio of per-doc counts
+    // (Church & Gale's dispersion): function words spread Poisson-like
+    // (VMR ≈ 1), topical words cluster in few docs (VMR ≫ 1), and
+    // boilerplate injected verbatim into a subset of docs lights up
+    // brightest — a dedup-adjacent signal no frequency count shows.
+    // All-integer until the last division: with T = total count, k
+    // nonzero docs, N corpus docs, VMR = (N·Σc² − T²) / (N·T) — the
+    // zero-count docs contribute nothing to Σc², so the per-token agg
+    // touches only the docs that contain the token; both factors stay
+    // exact int64 and both engines divide identical longs once.
+    "q185_burstiness" -> { (s, dir) =>
+      burstinessBoard(tWide(s, dir, "documents"))
     },
 
     // ZIPF FIT — the log-log rank/frequency slope of the token
@@ -1354,6 +1385,21 @@ object CurationQueries {
          |        ${graft.operators.CorpusQueries.splitSql} AS split
          |      FROM s4) f
          |GROUP BY split, source ORDER BY split, source""".stripMargin),
+
+    // q185: identical integer dispersion formula, one division
+    "q185_burstiness" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |pc AS (SELECT tok, doc_id, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents) GROUP BY tok, doc_id),
+        |agg AS (SELECT tok, count(*) AS df,
+        |    CAST(sum(c) AS BIGINT) AS t,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM pc GROUP BY tok)
+        |SELECT tok, CAST(df AS BIGINT) AS df, t AS total,
+        |  round((n * s2 - t * t)::DOUBLE / (n * t), 6) AS vmr
+        |FROM agg CROSS JOIN n
+        |ORDER BY vmr DESC, tok LIMIT 20""".stripMargin,
 
     // q184: same quantize-then-OLS composition — one ln per vocab row,
     // exact integer moments, the identical slope formula

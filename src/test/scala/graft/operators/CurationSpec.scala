@@ -433,6 +433,24 @@ class CurationSpec extends SparkSpec {
       "a uniform distribution has a flat rank/frequency curve")
   }
 
+  test("q185: a concentrated token out-bursts a spread one; Poisson-ish reads ~1") {
+    val sess = spark
+    import sess.implicits._
+    // 10 docs; "burst" appears 20 times in ONE doc, "flat" twice in
+    // every doc (same total = 20). VMR(burst) ≫ VMR(flat).
+    val docs = (1 to 10).map { i =>
+      val b = if (i == 1) Seq.fill(20)("burst") else Nil
+      (i.toLong, (b ++ Seq.fill(2)("flat") ++ Seq("pad")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = CurationQueries.burstinessBoard(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("vmr")).toMap
+    // exact: burst N=10, T=20, S2=400 -> (10*400-400)/(10*20) = 18
+    assert(out("burst") === 18.0, s"got ${out("burst")}")
+    // flat: S2 = 10*4 = 40 -> (400-400)/200 = 0 (perfectly even)
+    assert(out("flat") === 0.0)
+    assert(out("burst") > out("flat"))
+  }
+
   test("q180: AND retrieval returns exactly the docs containing every query term") {
     val dir = "/root/testdata/sf0.001"
     val got = CurationQueries.queries("q180_search_and")(spark, dir)
