@@ -414,6 +414,40 @@ object EventAnalytics {
           round(col("n_converted_7d").cast("double") / col("n_viewers"), 6)
             .as("cvr_7d"))
     },
+    // TOP JOURNEYS — the most common within-session event-type paths
+    // (first 5 steps): q105 counts single transitions, this mines the
+    // SEQUENCES product analytics actually reads ("view→click→
+    // purchase" vs "view→error→view"). Composition: q158's
+    // sessionization chain (same gap, same one-user_id-exchange
+    // shape), then each session's path assembles via the
+    // deterministic sorted-struct fold — collect, array_sort on
+    // (ts, event_id), transform, slice — never relying on
+    // collect_list's arrival order; journeys count in a bounded-key
+    // agg (paths are 5-step strings over 5 types) and the top-20
+    // orders on (count, journey). Truncation to 5 steps is explicit:
+    // full paths would make the key space session-length-unbounded.
+    "q186_top_journeys" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runs = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      loadEvents(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > SessionGapUs,
+            lit(1L)).otherwise(lit(0L)))
+        .withColumn("session_idx", sum("new_s").over(runs).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type"))).as("evs"))
+        .select(array_join(
+          slice(transform(array_sort(col("evs")),
+            e => e.getField("event_type")), 1, 5), ">").as("journey"))
+        .groupBy("journey").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("journey"))
+        .limit(20)
+    },
   )
 
   /** q158 session gap: 8 hours in epoch micros. */
@@ -665,5 +699,26 @@ object EventAnalytics {
         |  (SELECT count(*) FROM c) AS n_converted_7d,
         |  round((SELECT count(*) FROM c)::DOUBLE
         |    / (SELECT count(*) FROM v), 6) AS cvr_7d""".stripMargin,
+
+    // q186: q158's session replay + ordered list_agg truncated to 5
+    "q186_top_journeys" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev_ts FROM e),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |          OR epoch_us(ts) - epoch_us(prev_ts) > 28800000000
+        |        THEN 1 ELSE 0 END AS new_s FROM x),
+        |z AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |        AS session_idx FROM y),
+        |j AS (SELECT array_to_string(
+        |        (list(event_type ORDER BY ts, event_id))[1:5], '>')
+        |        AS journey
+        |      FROM z GROUP BY user_id, session_idx)
+        |SELECT journey, count(*) AS n_sessions
+        |FROM j GROUP BY journey
+        |ORDER BY n_sessions DESC, journey LIMIT 20""".stripMargin,
   )
 }

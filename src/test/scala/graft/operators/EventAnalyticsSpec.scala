@@ -163,6 +163,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(n7 <= unbounded.toLong, "the window can only shrink the set")
   }
 
+  test("q186: journeys are 5-capped paths whose board is consistent with q158") {
+    val out = EventAnalytics.queries("q186_top_journeys")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.forall(_._1.split(">").length <= 5),
+      "journeys must truncate to the first 5 steps")
+    assert(out.forall { case (j, _) =>
+      j.split(">").forall(Set("view", "click", "purchase", "signup", "error"))
+    }, "steps must be real event types")
+    // the board's counts cannot exceed the total session count, and the
+    // top journey must cover at least one session
+    val nSessions = EventAnalytics.queries("q158_sessionize")(spark, dir).count()
+    assert(out.map(_._2).sum <= nSessions && out.head._2 >= 1)
+    // counts are non-increasing down the board (orderBy desc)
+    assert(out.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("q161: slope equals an exact driver-side OLS over hourly counts") {
     val got = EventAnalytics.queries("q161_trend_slope")(spark, dir)
       .collect()
