@@ -271,6 +271,40 @@ object LlmQueries {
           .as("clustering"))
   }
 
+  /** q187 core: one-row degree assortativity (Pearson r of endpoint
+    * degrees over both-orientation edges) of an undirected (doc_a,
+    * doc_b) edge frame; exact-integer-moment rationale at the key. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val directed = edges
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val xy = directed
+      .join(deg.toDF("u", "du"), "u")
+      .join(deg.toDF("v", "dv"), "v")
+      .select(col("du").as("x"), col("dv").as("y"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+      sum(col("x") * col("x")).cast("long").as("sxx"),
+      sum(col("y") * col("y")).cast("long").as("syy"),
+      sum(col("x") * col("y")).cast("long").as("sxy"))
+    val nn = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+      max("d").cast("long").as("max_degree"))
+    m.crossJoin(nn)
+      .select(col("n_nodes"), (col("n") / 2).cast("long").as("n_edges"),
+        col("max_degree"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+             (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("assortativity"))
+  }
+
   def grownPairIndex(s: SparkSession, dir: String,
       rebuild: Boolean = false): String = {
     import org.apache.hadoop.fs.Path
@@ -614,6 +648,22 @@ object LlmQueries {
         .orderBy("threshold")
     },
 
+    // DEGREE ASSORTATIVITY of the near-dup graph — Pearson r of the
+    // endpoint degrees over all (both-orientation) edges: positive
+    // means hubs pair with hubs (one template family cross-linking —
+    // collapse it as a unit), negative means hub-and-spoke (one
+    // canonical doc with many variants — survivor-pick per spoke). The
+    // q168 census says HOW MANY triangles; this says WHICH dedup
+    // topology generated them. Probes the persisted q44 pair frame;
+    // all five correlation moments are exact int64 sums over integer
+    // degrees (both orientations make Σx = Σy, kept explicit anyway),
+    // and the one sqrt+division happens on identical longs at display.
+    "q187_assortativity" -> { (s, dir) =>
+      assortativity(nearDupPairs(s, dir)
+        .filter(col("match_cnt") >= NearDupMinMatches)
+        .select("doc_a", "doc_b"))
+    },
+
     // TRIANGLE CENSUS of the near-dup graph — edges, wedges, triangles
     // and the global clustering coefficient 3T/W: the one-row shape
     // signature that says whether near-dup pairs are CLIQUES (template
@@ -947,6 +997,34 @@ object LlmQueries {
         |SELECT threshold, n_pairs, n_docs_affected
         |FROM cp JOIN cd USING (threshold)
         |ORDER BY threshold""".stripMargin),
+
+    // q187: the q44 pair replay → both-orientation degree pairs →
+    // exact integer correlation moments, one sqrt at display
+    "q187_assortativity" -> (pairEstCtes + ",\n" +
+      """p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT doc_a AS v FROM p UNION ALL SELECT doc_b FROM p)
+        |  GROUP BY v),
+        |xy AS (
+        |  SELECT da.d AS x, db.d AS y FROM p
+        |    JOIN deg da ON da.v = p.doc_a JOIN deg db ON db.v = p.doc_b
+        |  UNION ALL
+        |  SELECT db.d, da.d FROM p
+        |    JOIN deg da ON da.v = p.doc_a JOIN deg db ON db.v = p.doc_b),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM xy),
+        |nn AS (SELECT count(*) AS n_nodes, CAST(max(d) AS BIGINT)
+        |         AS max_degree FROM deg)
+        |SELECT n_nodes, CAST(n // 2 AS BIGINT) AS n_edges, max_degree,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN round((n * sxy - sx * sy)::DOUBLE
+        |      / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)), 6)
+        |  END AS assortativity
+        |FROM m CROSS JOIN nn""".stripMargin),
 
     // q168: the q44 pair replay → degree-ordered orientation → wedge
     // join → EXISTS closure; wedge total from exact integer degrees

@@ -336,6 +336,25 @@ class LlmOpsSpec extends SparkSpec {
       .distinct().count())
   }
 
+  test("q187: assortativity reads -1 on a star, 1 on a clique, NULL when flat") {
+    val sess = spark
+    import sess.implicits._
+    def r(edges: Seq[(Long, Long)]) =
+      LlmQueries.assortativity(edges.toDF("doc_a", "doc_b")).head()
+    // star K1,4: hub degree 4 always pairs with leaf degree 1 → r = −1
+    val star = r(Seq((1L,2L),(1L,3L),(1L,4L),(1L,5L)))
+    assert(star.getAs[Double]("assortativity") === -1.0)
+    assert(star.getAs[Long]("max_degree") === 4L)
+    // K3 clique: every endpoint degree 2 — zero variance → NULL
+    val k3 = r(Seq((1L,2L),(2L,3L),(1L,3L)))
+    assert(k3.isNullAt(k3.fieldIndex("assortativity")),
+      "constant degrees have no defined correlation")
+    // two cliques of different sizes: within-clique degrees equal →
+    // still perfectly assortative where variance exists (K3 + K2)
+    val mixed = r(Seq((1L,2L),(2L,3L),(1L,3L),(10L,11L)))
+    assert(mixed.getAs[Double]("assortativity") === 1.0)
+  }
+
   test("q168: triangle census is exact on a clique, a path and a cycle") {
     val sess = spark
     import sess.implicits._
