@@ -42,6 +42,20 @@ object CorpusQueries {
   private val Planes = 16
   private val Bands = 4 // 4 bands × 4 bits
 
+  /** q188 core: one-row Gini coefficient of a (k, x) size frame —
+    * rank-weighted exact integer sums, one division; rationale at the
+    * q188 key. Ranks ascend by (x, k) for determinism. */
+  def giniOf(sizes: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("x"), col("k"))
+    sizes.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("x").cast("long").as("sx"),
+        sum(col("i") * col("x")).cast("long").as("six"))
+      .select(col("n"),
+        round(lit(2.0) * col("six") / (col("n") * col("sx"))
+          - (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+  }
+
   /** q71's deterministic per-row shuffle key (LCG on doc_id), shared by
     * the mixing operator and q157's stratified split: reduce mod p
     * BEFORE the multiply so the arithmetic never overflows int64 under
@@ -248,6 +262,29 @@ object CorpusQueries {
             .cast("long").as("p90_chars"),
           max("n_chars").cast("long").as("max_chars"))
         .orderBy("lang")
+    },
+
+    // GINI — corpus-balance inequality on two axes: how unevenly docs
+    // spread over sources (the mixing-weight diagnostic q107/q130 act
+    // on) and how unevenly token mass concentrates (the q184 Zipf
+    // view as a single number). G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over
+    // ascending-sorted sizes — rank-weighted integer sums, so the
+    // whole statistic is exact int64 until one final division per
+    // row; 0 = perfectly balanced, →1 = one bucket owns everything.
+    // Ranks come from windows over the bounded domains (sources;
+    // vocab) — the q171 metadata-scale argument.
+    "q188_gini" -> { (s, dir) =>
+      val docs = tWide(s, dir, "documents")
+      val bySource = giniOf(docs.groupBy("source")
+        .agg(count(lit(1)).as("x"))
+        .select(col("source").as("k"), col("x")))
+        .select(lit("source_docs").as("axis"), col("n"), col("gini"))
+      val byToken = giniOf(docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("x"))
+        .select(col("tok").as("k"), col("x")))
+        .select(lit("token_freq").as("axis"), col("n"), col("gini"))
+      bySource.unionByName(byToken).orderBy("axis")
     },
 
     // SNAPSHOT DIFF — the corpus-versioning primitive: what changed
@@ -980,6 +1017,31 @@ object CorpusQueries {
         |    / n_chars * 1000000000000 + 0.000001) AS BIGINT) AS key_pico
         |FROM documents
         |ORDER BY key_pico, doc_id LIMIT 20""".stripMargin,
+
+    // q188: identical rank-weighted integer sums, one division per axis
+    "q188_gini" ->
+      """WITH src AS (
+        |  SELECT row_number() OVER (ORDER BY x, k) AS i, x FROM
+        |    (SELECT source AS k, count(*) AS x FROM documents
+        |     GROUP BY source)),
+        |tok AS (
+        |  SELECT row_number() OVER (ORDER BY x, k) AS i, x FROM
+        |    (SELECT tok AS k, count(*) AS x FROM
+        |      (SELECT unnest(string_split(text, ' ')) AS tok
+        |       FROM documents) GROUP BY tok)),
+        |g1 AS (SELECT 'source_docs' AS axis, count(*) AS n,
+        |    round(2.0 * CAST(sum(i * x) AS BIGINT)
+        |      / (count(*) * CAST(sum(x) AS BIGINT))
+        |      - (count(*) + 1)::DOUBLE / count(*), 6) AS gini
+        |  FROM src),
+        |g2 AS (SELECT 'token_freq' AS axis, count(*) AS n,
+        |    round(2.0 * CAST(sum(i * x) AS BIGINT)
+        |      / (count(*) * CAST(sum(x) AS BIGINT))
+        |      - (count(*) + 1)::DOUBLE / count(*), 6) AS gini
+        |  FROM tok)
+        |SELECT axis, n, gini FROM g1
+        |UNION ALL SELECT axis, n, gini FROM g2
+        |ORDER BY axis""".stripMargin,
 
     // q181: identical rank-cut arithmetic, rank ties broken by doc_id
     "q181_group_percentiles" ->

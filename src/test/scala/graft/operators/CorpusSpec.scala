@@ -155,6 +155,22 @@ class CorpusSpec extends SparkSpec {
       s"length-weighted sample mean $sampleMean under corpus mean $corpusMean")
   }
 
+  test("q188: Gini reads 0 on equal buckets and (n-1)/n when one owns all") {
+    val sess = spark
+    import sess.implicits._
+    def g(sizes: Seq[(String, Long)]): Double =
+      CorpusQueries.giniOf(sizes.toDF("k", "x")).head().getAs[Double]("gini")
+    assert(g(Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))) === 0.0,
+      "perfect balance scores zero")
+    // one bucket owns everything (others ~0 represented as 0-size is
+    // degenerate; use 1-vs-rest-tiny): analytic max for n=4 is 0.75
+    val skew = g(Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 100L)))
+    assert(skew === 0.75, s"n=4 winner-takes-all must read (n-1)/n, got $skew")
+    // monotone: concentrating mass raises the coefficient
+    assert(g(Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 97L))) >
+      g(Seq(("a", 20L), ("b", 25L), ("c", 25L), ("d", 30L))))
+  }
+
   test("q181: group percentiles equal the exact per-lang sorted-rank recompute") {
     val dir = "/root/testdata/sf0.001"
     val got = CorpusQueries.queries("q181_group_percentiles")(spark, dir)
