@@ -332,7 +332,11 @@ object AuditQueries {
     // even though its volume looks normal. ALL-INTEGER: D's numerator
     // max|c1·n2 − c2·n1| is exact int64 over cumulative counts — the
     // supremum is attained at a step of either ECDF, so scanning every
-    // distinct n_chars value is exhaustive, not a sample. Shapes: one
+    // distinct n_chars value is exhaustive, not a sample. Width bound
+    // (the q166 discipline): the products stay inside int64 while
+    // n1·n2 < 2⁶³, i.e. up to ~3e9 docs per side — beyond that,
+    // switch the numerator to DECIMAL(38,0) partials; the plan shape
+    // is unchanged. Shapes: one
     // bounded (source × value) count, a sources × values grid
     // (domain-bounded: |values| ≤ max doc length, never corpus-sized),
     // per-source cumulative windows, and ONE single-partition window
@@ -373,7 +377,8 @@ object AuditQueries {
     // q171's drift alarm as a TRUE STREAM — the ingest-time shape
     // check an always-on pipeline runs per micro-batch: each arriving
     // batch's n_chars ECDF tests against the STATIC corpus baseline
-    // (two-sample KS, the same exact-integer supremum), and one alarm
+    // (two-sample KS, the same exact-integer supremum and the same
+    // ~3e9-per-side int64 width bound), and one alarm
     // row per batch appends to the sink. Stateless per batch — no
     // state store; the per-batch work is windows over the bounded
     // value DOMAIN (the q171 metadata-scale argument), with the

@@ -828,7 +828,10 @@ object CurationQueries {
     // nonzero docs, N corpus docs, VMR = (N·Σc² − T²) / (N·T) — the
     // zero-count docs contribute nothing to Σc², so the per-token agg
     // touches only the docs that contain the token; both factors stay
-    // exact int64 and both engines divide identical longs once.
+    // exact int64 (N·Σc² < 2⁶³ holds while N·T² stays under ~9e18 —
+    // per-token totals in the billions; beyond that, DECIMAL(38,0)
+    // partials, same plan) and both engines divide identical longs
+    // once.
     "q185_burstiness" -> { (s, dir) =>
       burstinessBoard(tWide(s, dir, "documents"))
     },
