@@ -306,6 +306,37 @@ object CurationQueries {
       .limit(20)
   }
 
+  /** q177/q189 shared core: the five-stage pipeline's surviving docs
+    * as (doc_id, source, text) — URL-canonical dedup → exact-text
+    * dedup → near-dup drops (both endpoints alive) → quality ≥ 0.5;
+    * stage rationale at the q177 key. */
+  def pipelineSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val w1 = Window.partitionBy("canonical")
+    val s1 = docs
+      .withColumn("canonical",
+        canonicalUrl(rawUrl(col("doc_id"), col("lang"), col("source"))))
+      .withColumn("k1", min("doc_id").over(w1))
+      .filter(col("doc_id") === col("k1"))
+    val w2 = Window.partitionBy("m")
+    val s2 = s1
+      .withColumn("m", md5(col("text")))
+      .withColumn("k2", min("doc_id").over(w2))
+      .filter(col("doc_id") === col("k2"))
+      .select("doc_id", "source", "text")
+    val alive = s2.select(col("doc_id"))
+    val drops = graft.operators.LlmQueries.nearDupPairs(s, dir)
+      .filter(col("match_cnt") >=
+        graft.operators.LlmQueries.NearDupMinMatches)
+      .select("doc_a", "doc_b")
+      .join(alive.toDF("doc_a"), "doc_a")
+      .join(alive.toDF("doc_b"), "doc_b")
+      .select(col("doc_b").as("doc_id")).distinct()
+    s2.join(drops, Seq("doc_id"), "left_anti")
+      .filter(graft.functions.TextOps.qualityScore(col("text")) >= 0.5)
+  }
+
   /** q184 core: log-log Zipf slope of the token rank/frequency curve
     * over a frame with a `text` column; quantize-then-OLS rationale at
     * the q184 key. */
@@ -785,38 +816,33 @@ object CurationQueries {
     // keys, one anti-join against the pair-frame drops, a stateless
     // quality filter, pure-arithmetic splits.
     "q177_pipeline" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-        .select("doc_id", "lang", "source", "text")
-      val w1 = Window.partitionBy("canonical")
-      val s1 = docs
-        .withColumn("canonical",
-          canonicalUrl(rawUrl(col("doc_id"), col("lang"), col("source"))))
-        .withColumn("k1", min("doc_id").over(w1))
-        .filter(col("doc_id") === col("k1"))
-      val w2 = Window.partitionBy("m")
-      val s2 = s1
-        .withColumn("m", md5(col("text")))
-        .withColumn("k2", min("doc_id").over(w2))
-        .filter(col("doc_id") === col("k2"))
-        .select("doc_id", "source", "text")
-      val alive = s2.select(col("doc_id"))
-      val drops = graft.operators.LlmQueries.nearDupPairs(s, dir)
-        .filter(col("match_cnt") >=
-          graft.operators.LlmQueries.NearDupMinMatches)
-        .select("doc_a", "doc_b")
-        .join(alive.toDF("doc_a"), "doc_a")
-        .join(alive.toDF("doc_b"), "doc_b")
-        .select(col("doc_b").as("doc_id")).distinct()
-      val s3 = s2.join(drops, Seq("doc_id"), "left_anti")
-      val s4 = s3.filter(
-        graft.functions.TextOps.qualityScore(col("text")) >= 0.5)
-      s4.select(col("source"),
+      pipelineSurvivors(s, dir)
+        .select(col("source"),
           graft.operators.CorpusQueries.splitOf(col("doc_id")).as("split"),
           col("doc_id"))
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum("doc_id").cast("long").as("id_sum"))
         .orderBy("split", "source")
+    },
+
+    // PACK THE CURATED CORPUS — the second composition key: q177's
+    // survivors flow straight into q111's sequence packing, yielding
+    // the per-source packing manifest of the corpus a training run
+    // would ACTUALLY consume (packing the raw corpus, as q111 does,
+    // over-counts every doc the pipeline drops). Same shapes as the
+    // constituents: the pipeline's dedup windows + anti-join, then the
+    // composite (source, shard) packing window — no new exchange
+    // classes; the oracle splices the pipeline CTEs into the
+    // PARAMETERIZED packing replay, one SQL source of truth for both.
+    "q189_pack_curated" -> { (s, dir) =>
+      packSequences(pipelineSurvivors(s, dir), PackShards)
+        .groupBy("source")
+        .agg(sum("n_docs").cast("long").as("n_docs"),
+          sum("total_tokens").cast("long").as("total_tokens"),
+          sum("n_seqs").cast("long").as("n_seqs"),
+          sum("split_docs").cast("long").as("split_docs"))
+        .orderBy("source")
     },
 
     // BURSTINESS — per-token variance-to-mean ratio of per-doc counts
@@ -1228,7 +1254,12 @@ object CurationQueries {
 
   /** Shared (source, shard) packing CTE body for q111/q112: same
     * composite-key window + per-shard metrics as [[packSequences]]. */
-  private def packShardsSql: String = {
+  private def packShardsSql: String = packShardsSqlFrom("documents")
+
+  /** The packing replay parameterized on its source relation — shared
+    * by q111/q112 (raw `documents`) and q189 (the pipeline survivors),
+    * so the packing arithmetic has one SQL source of truth. */
+  private def packShardsSqlFrom(src: String): String = {
     val w = PackWindow
     s"""SELECT source, shard, count(*) AS n_docs,
        |  CAST(sum(n) AS BIGINT) AS total_tokens,
@@ -1242,7 +1273,7 @@ object CurationQueries {
        |  FROM (
        |    SELECT source, doc_id, doc_id % $PackShards AS shard,
        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-       |    FROM documents))
+       |    FROM $src))
        |GROUP BY source, shard""".stripMargin
   }
 
@@ -1275,6 +1306,34 @@ object CurationQueries {
       |        p -> p != '' AND NOT starts_with(p, 'utm_'))) AS ps, nf
       |    FROM (SELECT doc_id, raw_url,
       |            regexp_replace(raw_url, '#.*$', '') AS nf FROM r)))""".stripMargin
+
+  /** q177/q189 shared DuckDB replay of [[pipelineSurvivors]]: splices
+    * UrlCanonCtes + pairEstCtes + the four stage CTEs, ending at `s4`
+    * = (doc_id, source, text) survivors. One SQL source of truth for
+    * every stage, consumed by both composition keys. */
+  private lazy val PipelineCtes: String =
+    UrlCanonCtes + ",\n" +
+    graft.operators.LlmQueries.pairEstCtes.stripPrefix("WITH ") + ",\n" +
+    """s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+      |  JOIN (SELECT min(doc_id) AS doc_id FROM c GROUP BY canonical) k1
+      |    ON k1.doc_id = d.doc_id),
+      |s2 AS (SELECT s1.doc_id, s1.source, s1.text FROM s1
+      |  JOIN (SELECT min(doc_id) AS doc_id FROM
+      |        (SELECT doc_id, md5(text) AS m FROM s1) mm GROUP BY m) k2
+      |    ON k2.doc_id = s1.doc_id),
+      |pp AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+      |drops AS (SELECT DISTINCT pp.doc_b AS doc_id FROM pp
+      |  JOIN s2 sa ON sa.doc_id = pp.doc_a
+      |  JOIN s2 sb ON sb.doc_id = pp.doc_b),
+      |s3 AS (SELECT doc_id, source, text FROM s2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      |qq AS (SELECT doc_id, source, text,
+      |    round((len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+      |      + (len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','a','it','that','for'], t)))::DOUBLE / len(toks)) * 0.3
+      |      + least(1.0, len(toks) / 50.0) * 0.3, 6) AS quality
+      |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+      |        FROM s3) tt),
+      |s4 AS (SELECT doc_id, source, text FROM qq WHERE quality >= 0.5)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // q154: q49's bigram replay + MLE conditional + q103's guarded
@@ -1360,34 +1419,24 @@ object CurationQueries {
     // pair set), q51's quality expression VERBATIM, q127's splitSql —
     // so the hash match certifies the COMPOSITION of the gate-proven
     // stages, with no second source of truth for any stage
-    "q177_pipeline" -> (UrlCanonCtes + ",\n" +
-      graft.operators.LlmQueries.pairEstCtes.stripPrefix("WITH ") + ",\n" +
-      s"""s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
-         |  JOIN (SELECT min(doc_id) AS doc_id FROM c GROUP BY canonical) k1
-         |    ON k1.doc_id = d.doc_id),
-         |s2 AS (SELECT s1.doc_id, s1.source, s1.text FROM s1
-         |  JOIN (SELECT min(doc_id) AS doc_id FROM
-         |        (SELECT doc_id, md5(text) AS m FROM s1) mm GROUP BY m) k2
-         |    ON k2.doc_id = s1.doc_id),
-         |pp AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
-         |drops AS (SELECT DISTINCT pp.doc_b AS doc_id FROM pp
-         |  JOIN s2 sa ON sa.doc_id = pp.doc_a
-         |  JOIN s2 sb ON sb.doc_id = pp.doc_b),
-         |s3 AS (SELECT doc_id, source, text FROM s2
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
-         |qq AS (SELECT doc_id, source,
-         |    round((len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
-         |      + (len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','a','it','that','for'], t)))::DOUBLE / len(toks)) * 0.3
-         |      + least(1.0, len(toks) / 50.0) * 0.3, 6) AS quality
-         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
-         |        FROM s3) tt),
-         |s4 AS (SELECT doc_id, source FROM qq WHERE quality >= 0.5)
+    "q177_pipeline" -> (PipelineCtes +
+      s"""
          |SELECT split, source, count(*) AS n_docs,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM (SELECT doc_id, source,
          |        ${graft.operators.CorpusQueries.splitSql} AS split
          |      FROM s4) f
          |GROUP BY split, source ORDER BY split, source""".stripMargin),
+
+    // q189: the SAME pipeline CTEs feeding the PARAMETERIZED packing
+    // replay — both compositions share one SQL source of truth per stage
+    "q189_pack_curated" -> (PipelineCtes + ",\n" +
+      s"""pk AS (${packShardsSqlFrom("s4")})
+         |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_seqs) AS BIGINT) AS n_seqs,
+         |  CAST(sum(split_docs) AS BIGINT) AS split_docs
+         |FROM pk GROUP BY source ORDER BY source""".stripMargin),
 
     // q185: identical integer dispersion formula, one division
     "q185_burstiness" ->

@@ -471,6 +471,30 @@ class CurationSpec extends SparkSpec {
       "the conjunction must exclude at least one doc (non-degenerate)")
   }
 
+  test("q189: curated packing reconciles with the pipeline survivors") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CurationQueries.queries("q189_pack_curated")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val surv = CurationQueries.pipelineSurvivors(spark, dir)
+      .select(col("source"), org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.split(col("text"), " "))
+        .cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = surv.groupBy(_._1).map { case (src, rows) =>
+      src -> (rows.length.toLong, rows.map(_._2).sum)
+    }
+    assert(out.view.mapValues(v => (v._1, v._2)).toMap === expect,
+      "per-source doc and token totals must equal the survivor frame")
+    // sequence count is bounded below by the unsharded ideal
+    val w = CurationQueries.PackWindow
+    out.foreach { case (src, (_, toks, seqs)) =>
+      assert(seqs >= (toks + w - 1) / w,
+        s"$src: sharded packing can only add boundary sequences")
+    }
+  }
+
   test("q177: pipeline manifest is consistent with its standalone stages") {
     val dir = "/root/testdata/sf0.001"
     val manifest = CurationQueries.queries("q177_pipeline")(spark, dir).collect()
