@@ -877,6 +877,100 @@ object CurationQueries {
       zipfFit(tWide(s, dir, "documents"))
     },
 
+    // STREAMING ADMISSION CONTROL — the pipeline's ingest-time twin:
+    // q177 curates the corpus in batch; THIS is the gate a crawler's
+    // micro-batches hit on arrival, composed entirely from the
+    // engine's probe primitives: canonical-URL seen-before (q146's
+    // canonicalizer vs the corpus canonical set), exact-dup (md5 vs
+    // corpus digests), near-dup (the q108 stateless per-row MinHash
+    // probe against the persisted corpusBandIndex — no stream-side
+    // shuffle), and the q51 quality gate; each doc gets ONE decision
+    // by fixed priority (url_dup → exact_dup → near_dup → low_quality
+    // → admit) and each batch appends its (batch_key, decision)
+    // census. Static frames (canonical set, digest set) compute once
+    // and stream-static join every batch; batches identify by CONTENT
+    // (min doc_id % 20, the q174 discipline) so the oracle replays
+    // each by membership — streamed ≡ one-shot per batch.
+    "q190_stream_admission" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      import graft.operators.LlmQueries
+      val base = freshBase(s, dir, "q190")
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val cCorp = corpus
+        .select(canonicalUrl(rawUrl(col("doc_id"), col("lang"),
+          col("source"))).as("canonical")).distinct().cache()
+      val dCorp = corpus.select(md5(col("text")).as("m")).distinct().cache()
+      val bandIdx = s.table(LlmQueries.corpusBandIndex(s, dir))
+        .toDF("corpus_doc", "sig_c", "bk")
+      val batchDocs = docs.filter(col("doc_id") % 10 === 7)
+      val src = stageBatches(s, base, Seq(
+        batchDocs.filter(col("doc_id") % 20 === 7),
+        batchDocs.filter(col("doc_id") % 20 === 17)))
+      val outDir = s"$base/out"
+      graft.Tables.withShufflePartitions(s, 8) {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.persist()
+            if (batch.count() > 0) {
+              val key = batch
+                .agg(min(pmod(col("doc_id"), lit(20L)))).head().getLong(0)
+              val sig = batch
+                .withColumn("arr", transform(
+                  LlmQueries.shingles(col("text"), 3),
+                  sg => LlmQueries.polyHash(sg)))
+                .filter(size(col("arr")) > 0)
+                .select(col("doc_id"),
+                  graft.plans.MinHashAgg.minhash_code(col("arr")).as("sig"))
+              val nd = LlmQueries.bandKeys(sig)
+                .toDF("batch_doc", "sig_b", "bk_b")
+                .join(bandIdx, col("bk") === col("bk_b"))
+                .filter(graft.plans.GraftExpressions.zip_equal(
+                  col("sig_b"), col("sig_c")) >= LlmQueries.NearDupMinMatches)
+                .select(col("batch_doc").as("doc_id")).distinct()
+                .withColumn("is_nd", lit(1))
+              batch
+                .withColumn("canonical",
+                  canonicalUrl(rawUrl(col("doc_id"), col("lang"),
+                    col("source"))))
+                .withColumn("m", md5(col("text")))
+                .join(cCorp.withColumn("is_url", lit(1)),
+                  Seq("canonical"), "left")
+                .join(dCorp.withColumn("is_ex", lit(1)), Seq("m"), "left")
+                .join(nd, Seq("doc_id"), "left")
+                .withColumn("decision",
+                  when(col("is_url").isNotNull, "url_dup")
+                    .when(col("is_ex").isNotNull, "exact_dup")
+                    .when(col("is_nd").isNotNull, "near_dup")
+                    .when(graft.functions.TextOps.qualityScore(col("text"))
+                      < 0.5, "low_quality")
+                    .otherwise("admit"))
+                .groupBy("decision")
+                .agg(count(lit(1)).as("n_docs"),
+                  sum("doc_id").cast("long").as("id_sum"))
+                .select(lit(key).as("batch_key"), col("decision"),
+                  col("n_docs"), col("id_sum"))
+                .write.mode(org.apache.spark.sql.SaveMode.Append)
+                .parquet(outDir)
+            }
+            batch.unpersist()
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read
+        .schema("batch_key BIGINT, decision STRING, n_docs BIGINT, " +
+          "id_sum BIGINT")
+        .parquet(outDir)
+        .orderBy("batch_key", "decision")
+    },
+
     // VOCABULARY OVERLAP — pairwise Jaccard of source vocabularies:
     // the lexical-level sibling of q151's content syndication (two
     // feeds can share a vocabulary without sharing documents — same
@@ -1478,6 +1572,44 @@ object CurationQueries {
         |  round((sy::DOUBLE - slope * sx) / n / 1000000, 6)
         |    AS ln_c_intercept
         |FROM sl""".stripMargin,
+
+    // q190: every admission test replayed by membership — canonical
+    // set from UrlCanonCtes's c, digests from the corpus split, mixed
+    // near-dup pairs from pairEstCtes, the q51 quality expression,
+    // the same decision priority
+    "q190_stream_admission" -> (UrlCanonCtes + ",\n" +
+      graft.operators.LlmQueries.pairEstCtes.stripPrefix("WITH ") + ",\n" +
+      """b AS (SELECT doc_id, doc_id % 20 AS batch_key, source, text
+        |      FROM documents WHERE doc_id % 10 = 7),
+        |ccorp AS (SELECT DISTINCT canonical FROM c
+        |          WHERE doc_id % 10 != 7),
+        |dcorp AS (SELECT DISTINCT md5(text) AS m FROM documents
+        |          WHERE doc_id % 10 != 7),
+        |nd AS (SELECT DISTINCT
+        |    CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS doc_id
+        |  FROM est WHERE match_cnt >= 26
+        |    AND (doc_a % 10 = 7) != (doc_b % 10 = 7)),
+        |qq AS (SELECT doc_id,
+        |    round((len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4
+        |      + (len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','a','it','that','for'], t)))::DOUBLE / len(toks)) * 0.3
+        |      + least(1.0, len(toks) / 50.0) * 0.3, 6) AS quality
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM b) t),
+        |dec AS (SELECT b.doc_id, b.batch_key,
+        |    CASE WHEN cc.canonical IS NOT NULL THEN 'url_dup'
+        |         WHEN dc.m IS NOT NULL THEN 'exact_dup'
+        |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |         WHEN qq.quality < 0.5 THEN 'low_quality'
+        |         ELSE 'admit' END AS decision
+        |  FROM b
+        |    JOIN c cb ON cb.doc_id = b.doc_id
+        |    LEFT JOIN ccorp cc ON cc.canonical = cb.canonical
+        |    LEFT JOIN dcorp dc ON dc.m = md5(b.text)
+        |    LEFT JOIN nd ON nd.doc_id = b.doc_id
+        |    JOIN qq ON qq.doc_id = b.doc_id)
+        |SELECT batch_key, decision, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM dec GROUP BY batch_key, decision
+        |ORDER BY batch_key, decision""".stripMargin),
 
     // q176: the same distinct-cell self-join in SQL — exact integers,
     // inclusion–exclusion union

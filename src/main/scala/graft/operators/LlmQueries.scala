@@ -23,7 +23,7 @@ object LlmQueries {
   /** Sequential char-fold polynomial hash, identical on both engines:
     * h = fold(chars, 0, (a, c) -> (a*131 + ascii(c)) mod 2147483647).
     * Codegen'd Catalyst expression — see [[graft.plans.PolyHash]]. */
-  private def polyHash(c: Column): Column =
+  private[graft] def polyHash(c: Column): Column =
     graft.plans.GraftExpressions.poly_hash(c)
 
   private val NumPerms = graft.plans.MinHashAgg.NumPerms

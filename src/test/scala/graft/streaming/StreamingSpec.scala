@@ -453,6 +453,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.toSet === StreamPipelines.eventSchema.fieldNames.toSet)
   }
 
+  test("q190: admission decisions partition each batch exactly once") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.CurationQueries
+      .queries("q190_stream_admission")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val valid = Set("url_dup", "exact_dup", "near_dup", "low_quality", "admit")
+    assert(out.map(_._2).toSet.subsetOf(valid))
+    // each batch's decision counts and id mass partition its membership
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 10 == 7)
+    for (pk <- Seq(7L, 17L)) {
+      val member = docs.filter(_ % 20 == pk)
+      val rows = out.filter(_._1 == pk)
+      assert(rows.map(_._3).sum === member.length.toLong,
+        s"batch $pk: decisions must cover every doc exactly once")
+      assert(rows.map(_._4).sum === member.sum,
+        s"batch $pk: id mass must be conserved across decisions")
+    }
+  }
+
   test("q174: streamed per-batch KS equals an exact driver-side recompute") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
