@@ -1284,7 +1284,7 @@ object CorpusQueries {
          |sp AS (
          |  SELECT ${splitSql.replace("doc_id", "doc_a")} AS sa,
          |         ${splitSql.replace("doc_id", "doc_b")} AS sb
-         |  FROM est WHERE match_cnt >= 26)
+         |  FROM est WHERE match_cnt >= ${graft.operators.LlmQueries.NearDupMinMatches})
          |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
          |  count(*) AS n_pairs, least(sa, sb) != greatest(sa, sb) AS leaked
          |FROM sp GROUP BY split_lo, split_hi

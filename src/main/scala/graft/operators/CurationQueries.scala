@@ -339,7 +339,22 @@ object CurationQueries {
 
   /** q184 core: log-log Zipf slope of the token rank/frequency curve
     * over a frame with a `text` column; quantize-then-OLS rationale at
-    * the q184 key. */
+    * the q184 key.
+    *
+    * Width discipline: x = ln(rank)·1e6 starts at 0 (rank 1), so the
+    * q161 min-centering buys nothing here — instead the MOMENT partials
+    * (Σxx, Σxy and the n·Σxy−Σx·Σy products) run in DECIMAL(38,0),
+    * the q171 comment's prescription: int64 sums wrap silently past
+    * ~600 vocab (n·Σxx ≤ V²·(ln V·1e6)²), while 38 digits hold to
+    * V ≈ 1e9 — any real corpus. Each per-row product x·x ≤ (21e6)²
+    * still fits long, so only the SUM widens; Σx and Σy stay int64
+    * (≤ V·ln V·1e6, safe to ~4e11 vocab) but their cross product
+    * widens to decimal before multiplying. The DuckDB twin gets the
+    * identical width for free: its integer sum() already returns
+    * HUGEINT (int128), with explicit HUGEINT casts on the products.
+    * Both engines then make ONE double from the same exact integer —
+    * int→double rounding is IEEE-identical. ZipfLargeVocabSpec pins
+    * the >600-vocab case the fixtures (31 tokens) never exercise. */
   def zipfFit(docs: DataFrame): DataFrame = {
     val w = Window.orderBy(desc("c"), col("tok"))
     val pts = docs
@@ -353,12 +368,15 @@ object CurationQueries {
           .cast("long").as("y"))
     pts.agg(count(lit(1)).as("n"),
         sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
-        sum(col("x") * col("x")).cast("long").as("sxx"),
-        sum(col("x") * col("y")).cast("long").as("sxy"))
-      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .filter(col("n") * col("sxx")
+        - col("sx").cast("decimal(38,0)") * col("sx") > 0)
       .withColumn("slope",
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")))
+        (col("n") * col("sxy")
+          - col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
+          / (col("n") * col("sxx")
+            - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"))
       .select(col("n").cast("long").as("vocab"),
         round(col("slope"), 6).as("zipf_slope"),
         round((col("sy").cast("double")
@@ -1408,14 +1426,14 @@ object CurationQueries {
   private lazy val PipelineCtes: String =
     UrlCanonCtes + ",\n" +
     graft.operators.LlmQueries.pairEstCtes.stripPrefix("WITH ") + ",\n" +
-    """s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+    s"""s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
       |  JOIN (SELECT min(doc_id) AS doc_id FROM c GROUP BY canonical) k1
       |    ON k1.doc_id = d.doc_id),
       |s2 AS (SELECT s1.doc_id, s1.source, s1.text FROM s1
       |  JOIN (SELECT min(doc_id) AS doc_id FROM
       |        (SELECT doc_id, md5(text) AS m FROM s1) mm GROUP BY m) k2
       |    ON k2.doc_id = s1.doc_id),
-      |pp AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+      |pp AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= ${graft.operators.LlmQueries.NearDupMinMatches}),
       |drops AS (SELECT DISTINCT pp.doc_b AS doc_id FROM pp
       |  JOIN s2 sa ON sa.doc_id = pp.doc_a
       |  JOIN s2 sb ON sb.doc_id = pp.doc_b),
@@ -1548,7 +1566,9 @@ object CurationQueries {
         |ORDER BY vmr DESC, tok LIMIT 20""".stripMargin,
 
     // q184: same quantize-then-OLS composition — one ln per vocab row,
-    // exact integer moments, the identical slope formula
+    // exact integer moments in int128 (DuckDB's native integer-sum
+    // width, matching the engine's DECIMAL(38,0) partials — see
+    // zipfFit's width note), the identical slope formula
     "q184_zipf_fit" ->
       """WITH c AS (SELECT tok, count(*) AS c FROM
         |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -1561,12 +1581,13 @@ object CurationQueries {
         |  FROM r),
         |st AS (SELECT count(*) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
         |  FROM p),
         |sl AS (SELECT n, sx, sy,
-        |    (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) AS slope
-        |  FROM st WHERE n * sxx - sx * sx > 0)
+        |    (n * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+        |      / (n * sxx - CAST(sx AS HUGEINT) * sx) AS slope
+        |  FROM st WHERE n * sxx - CAST(sx AS HUGEINT) * sx > 0)
         |SELECT CAST(n AS BIGINT) AS vocab,
         |  round(slope, 6) AS zipf_slope,
         |  round((sy::DOUBLE - slope * sx) / n / 1000000, 6)
@@ -1579,7 +1600,7 @@ object CurationQueries {
     // the same decision priority
     "q190_stream_admission" -> (UrlCanonCtes + ",\n" +
       graft.operators.LlmQueries.pairEstCtes.stripPrefix("WITH ") + ",\n" +
-      """b AS (SELECT doc_id, doc_id % 20 AS batch_key, source, text
+      s"""b AS (SELECT doc_id, doc_id % 20 AS batch_key, source, text
         |      FROM documents WHERE doc_id % 10 = 7),
         |ccorp AS (SELECT DISTINCT canonical FROM c
         |          WHERE doc_id % 10 != 7),
@@ -1587,7 +1608,7 @@ object CurationQueries {
         |          WHERE doc_id % 10 != 7),
         |nd AS (SELECT DISTINCT
         |    CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS doc_id
-        |  FROM est WHERE match_cnt >= 26
+        |  FROM est WHERE match_cnt >= ${graft.operators.LlmQueries.NearDupMinMatches}
         |    AND (doc_a % 10 = 7) != (doc_b % 10 = 7)),
         |qq AS (SELECT doc_id,
         |    round((len(list_distinct(toks))::DOUBLE / len(toks)) * 0.4

@@ -257,21 +257,33 @@ object EventAnalytics {
     // "is this source growing or dying" number a pipeline dashboard
     // fits over its own telemetry (q133 flags hourly outliers; this
     // fits the direction they deviate FROM). All five sufficient
-    // statistics (n, Σx, Σy, Σxx, Σxy — x = exact epoch-hour index,
-    // y = hourly count) are EXACT integer sums: the classic
-    // catastrophic cancellation in n·Σxy − Σx·Σy happens in int64
-    // arithmetic where it is exact, and both engines derive the
-    // slope double from identical longs via the textually identical
-    // formula (the q133 discipline). Scale: one bounded-key count
-    // (type × hour) then a |types|-row re-agg — map-side combinable
-    // throughout, nothing sorts, no window. The denominator guard
-    // drops single-hour types (slope undefined) on both engines.
+    // statistics (n, Σx, Σy, Σxx, Σxy — x = hour index, y = hourly
+    // count) are EXACT integer sums: the classic catastrophic
+    // cancellation in n·Σxy − Σx·Σy happens in int64 arithmetic where
+    // it is exact, and both engines derive the slope double from
+    // identical longs via the textually identical formula (the q133
+    // discipline). x is CENTERED at the per-type min hour before the
+    // moment sums — OLS slope is shift-invariant, EXACTLY so in
+    // integer arithmetic (n·Σxy−ΣxΣy and n·Σxx−(Σx)² are unchanged
+    // by x→x−c), and centering bounds the products by the SPAN, not
+    // the epoch: raw epoch-hour indices (~4.9e5) put n·Σxx within
+    // ~80× of int64 max on a 720-hour fixture (a 6–9-month table
+    // overflows); centered, n·Σxx ≤ span⁴ — safe to ~55k-hour
+    // (≈ 6-year) spans, and the y-side n·Σxy ≤ span²·N_events holds
+    // to 3e9 events on a year span. Scale: one bounded-key count
+    // (type × hour), a window-min over that metadata-scale frame,
+    // then a |types|-row re-agg — map-side combinable throughout.
+    // The denominator guard drops single-hour types (slope
+    // undefined) on both engines.
     "q161_trend_slope" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val hourly = loadEvents(s, dir)
         .groupBy(col("event_type"),
           expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
-            .as("x"))
+            .as("xr"))
         .agg(count(lit(1)).as("y"))
+        .withColumn("x",
+          col("xr") - min("xr").over(Window.partitionBy("event_type")))
       hourly.groupBy("event_type")
         .agg(count(lit(1)).as("n_hours"),
           sum("x").cast("long").as("sx"),
@@ -593,14 +605,20 @@ object EventAnalytics {
 
     // q161: identical integer sufficient statistics, identical formula
     // (never the engine's regr_slope builtin, whose accumulation order
-    // could differ); `//` = exact integer epoch-hour on positive epochs
+    // could differ); `//` = exact integer epoch-hour on positive
+    // epochs; x centered at the per-type min hour exactly as the
+    // engine does (shift-invariance is exact in integers)
     "q161_trend_slope" ->
-      """WITH hourly AS (
+      """WITH hourly0 AS (
         |  SELECT event_type,
         |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
-        |      // 3600000000 AS x,
+        |      // 3600000000 AS xr,
         |    count(*) AS y
         |  FROM events GROUP BY 1, 2),
+        |hourly AS (
+        |  SELECT event_type,
+        |    xr - min(xr) OVER (PARTITION BY event_type) AS x, y
+        |  FROM hourly0),
         |st AS (
         |  SELECT event_type, count(*) AS n_hours,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,

@@ -300,7 +300,7 @@ object GraphQueries {
        |      len(list_filter(list_zip(x.sig, y.sig), z -> z[1] = z[2])) AS mc
        |    FROM bands x JOIN bands y
        |      ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-       |  WHERE mc >= 26),
+       |  WHERE mc >= ${graft.operators.LlmQueries.NearDupMinMatches}),
        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),

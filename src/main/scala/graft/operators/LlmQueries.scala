@@ -888,14 +888,14 @@ object LlmQueries {
       |   JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
 
   private val nearDupSql: String = pairEstCtes + "\n" +
-    """SELECT doc_a, doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard
-      |FROM est WHERE match_cnt >= 26
+    s"""SELECT doc_a, doc_b, match_cnt, match_cnt / 32.0 AS est_jaccard
+      |FROM est WHERE match_cnt >= $NearDupMinMatches
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Shared twin for q106/q108: the one-shot q44 replay restricted to
     * mixed (batch, corpus) pairs and relabeled. */
   private val incrementalDedupSql: String =
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
       |    range(0, len(string_split(text,' ')) - 2),
       |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
@@ -928,7 +928,7 @@ object LlmQueries {
       |SELECT CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS batch_doc,
       |  CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS corpus_doc,
       |  match_cnt, match_cnt / 32.0 AS est_jaccard
-      |FROM est WHERE match_cnt >= 26
+      |FROM est WHERE match_cnt >= $NearDupMinMatches
       |ORDER BY batch_doc, corpus_doc""".stripMargin
 
   def oracle: Map[String, String] = Map(
@@ -945,9 +945,9 @@ object LlmQueries {
     // proves every stage count, including the zero exact-drop path at
     // sf0.001
     "q152_dedup_funnel" -> (pairEstCtes + ",\n" +
-      """keep1 AS (SELECT min(doc_id) AS doc_id
+      s"""keep1 AS (SELECT min(doc_id) AS doc_id
         |  FROM (SELECT doc_id, md5(text) AS m FROM documents) GROUP BY m),
-        |p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+        |p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= $NearDupMinMatches),
         |d2 AS (SELECT DISTINCT doc_b FROM p
         |  JOIN keep1 ka ON ka.doc_id = p.doc_a
         |  JOIN keep1 kb ON kb.doc_id = p.doc_b),
@@ -963,7 +963,7 @@ object LlmQueries {
     // q153: the SAME pair replay + language attribution, cross-lang
     // rows only — with q44 this partitions the gated pair set
     "q153_bitext_candidates" -> (pairEstCtes + ",\n" +
-      """p AS (SELECT doc_a, doc_b, match_cnt FROM est WHERE match_cnt >= 26),
+      s"""p AS (SELECT doc_a, doc_b, match_cnt FROM est WHERE match_cnt >= $NearDupMinMatches),
         |lg AS (SELECT doc_id, lang FROM documents)
         |SELECT doc_a, doc_b, la.lang AS lang_a, lb.lang AS lang_b,
         |  match_cnt / 32.0 AS est_jaccard
@@ -1001,7 +1001,7 @@ object LlmQueries {
     // q187: the q44 pair replay → both-orientation degree pairs →
     // exact integer correlation moments, one sqrt at display
     "q187_assortativity" -> (pairEstCtes + ",\n" +
-      """p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+      s"""p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= $NearDupMinMatches),
         |deg AS (SELECT v, count(*) AS d FROM
         |  (SELECT doc_a AS v FROM p UNION ALL SELECT doc_b FROM p)
         |  GROUP BY v),
@@ -1030,7 +1030,7 @@ object LlmQueries {
     // join → EXISTS closure; wedge total from exact integer degrees
     // (d(d-1)//2), one summary row
     "q168_triangles" -> (pairEstCtes + ",\n" +
-      """p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+      s"""p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= $NearDupMinMatches),
         |deg AS (SELECT v, count(*) AS d FROM
         |  (SELECT doc_a AS v FROM p UNION ALL SELECT doc_b FROM p)
         |  GROUP BY v),
@@ -1059,7 +1059,7 @@ object LlmQueries {
         |  END AS clustering""".stripMargin),
 
     "q151_syndication" -> (pairEstCtes + ",\n" +
-      """p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= 26),
+      s"""p AS (SELECT doc_a, doc_b FROM est WHERE match_cnt >= $NearDupMinMatches),
         |src AS (SELECT doc_id, source FROM documents)
         |SELECT least(sa.source, sb.source) AS source_a,
         |  greatest(sa.source, sb.source) AS source_b,
@@ -1077,7 +1077,7 @@ object LlmQueries {
     // distinct-shingle 62-bit arrays (list_intersect = the engine's
     // sorted two-pointer merge)
     "q123_sketch_error" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
         |    range(0, len(string_split(text,' ')) - 2),
         |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
@@ -1120,7 +1120,7 @@ object LlmQueries {
         |  FROM pairs p
         |   JOIN arrs a ON a.doc_id = p.doc_a
         |   JOIN arrs b ON b.doc_id = p.doc_b
-        |  WHERE match_cnt >= 26)
+        |  WHERE match_cnt >= $NearDupMinMatches)
         |SELECT doc_a, doc_b, match_cnt, est_jaccard,
         |  round(inter::DOUBLE / uni, 6) AS exact_jaccard,
         |  round(abs(est_jaccard - round(inter::DOUBLE / uni, 6)), 6) AS abs_err

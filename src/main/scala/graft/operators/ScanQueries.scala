@@ -169,7 +169,13 @@ object ScanQueries {
     // (the text field is the unsplit tail, so a free-text field with
     // tabs would corrupt only itself — and the checksum gate would
     // catch it; the fixtures' space-separated ASCII words make the
-    // delimiter contract safe, asserted BY the hash match). Everything
+    // delimiter contract safe, asserted BY the hash match). NULLs get
+    // an explicit "\N" sentinel on both sides: concat_ws SKIPS null
+    // arguments, so an unsentineled null lang/source/n_chars would
+    // silently shift every later field left (misaligning doc_id..text)
+    // instead of round-tripping — the sentinel makes the serialization
+    // contract TOTAL (fixtures are null-free, so the gated output is
+    // unchanged; this pins the contract, not the fixture). Everything
     // else is the shared roundtrip recipe: write → schema'd read-back →
     // per-lang checksum agg against the ORIGINAL parquet table.
     "q178_text_roundtrip" -> { (s, dir) =>
@@ -179,18 +185,24 @@ object ScanQueries {
       val stage = s"$tmp/graft_q178_" +
         graft.sources.Staging.sessionSuffix(s, dir)
       graft.sources.Staging.vacuum(s, stage)
+      val NullMark = "\\N" // the classic TSV null marker
+      def nn(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit(NullMark))
       t(s, dir, "documents")
-        .select(concat_ws("\t", col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), col("text")).as("value"))
+        .select(concat_ws("\t", nn(col("doc_id")), nn(col("lang")),
+          nn(col("source")), nn(col("n_chars")), nn(col("text")))
+          .as("value"))
         .write.text(stage)
       val p = split(col("value"), "\t", 5)
+      def un(c: org.apache.spark.sql.Column) =
+        when(c === NullMark, lit(null)).otherwise(c)
       s.read.text(stage)
         .select(
-          element_at(p, 1).cast("long").as("doc_id"),
-          element_at(p, 2).as("lang"),
-          element_at(p, 3).as("source"),
-          element_at(p, 4).cast("long").as("n_chars"),
-          element_at(p, 5).as("text"))
+          un(element_at(p, 1)).cast("long").as("doc_id"),
+          un(element_at(p, 2)).as("lang"),
+          un(element_at(p, 3)).as("source"),
+          un(element_at(p, 4)).cast("long").as("n_chars"),
+          un(element_at(p, 5)).as("text"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("sum_chars"),

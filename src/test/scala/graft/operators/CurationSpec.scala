@@ -433,6 +433,45 @@ class CurationSpec extends SparkSpec {
       "a uniform distribution has a flat rank/frequency curve")
   }
 
+  test("q184 width: a 5,000-vocab corpus matches an exact BigInt recompute " +
+      "(int64 moment sums would wrap)") {
+    val sess = spark
+    import sess.implicits._
+    // The fixtures carry 31 distinct tokens, far under the ~600-vocab
+    // point where int64 n·Σxx wraps — this pins the regime they never
+    // reach. 5,000 tokens with small per-token counts (1 + r mod 7)
+    // keeps the corpus at ~20k tokens while ln(rank) spans the full
+    // ln(1)..ln(5000) range, putting n·Σxx ≈ 1.4e21 — 150× past int64.
+    val V = 5000
+    val counts = (1 to V).map(r => (f"t$r%05d", 1 + r % 7))
+    val docs = counts.zipWithIndex.map { case ((tok, c), i) =>
+      (i.toLong, Seq.fill(c)(tok).mkString(" ")) }.toDF("doc_id", "text")
+    val got = CurationQueries.zipfFit(docs).head()
+    // exact recompute in BigInt: same quantization, same tie-break
+    // (count DESC, token), same one-double-division formula
+    val pts = counts.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((_, c), i) =>
+        (BigInt(math.floor(math.log((i + 1).toDouble) * 1e6 + 1e-6).toLong),
+         BigInt(math.floor(math.log(c.toDouble) * 1e6 + 1e-6).toLong)) }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val den = n * sxx - sx * sx
+    assert(den > BigInt(Long.MaxValue),
+      s"denominator $den must genuinely exceed int64 or this test pins nothing")
+    val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("vocab") === V.toLong)
+    assert(got.getAs[Double]("zipf_slope") === r6(slope),
+      "DECIMAL(38,0) partials must reproduce the exact-integer slope")
+    assert(got.getAs[Double]("ln_c_intercept") ===
+      r6((sy.toDouble - slope * sx.toDouble) / n.toDouble / 1e6),
+      "intercept must come off the same exact integers")
+  }
+
   test("q185: a concentrated token out-bursts a spread one; Poisson-ish reads ~1") {
     val sess = spark
     import sess.implicits._
