@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Deterministic sf1 fixture generator: a 10x replica scale-up of the
+driver's sf0.1 tables, for the SURVEY §6 scaling study (VERDICT r11 #4).
+
+Dev-side tooling like selfcheck.py — NOT part of the shipped library.
+The driver's generator is not available, so sf1 is derived from sf0.1 by
+key-shifted replication (replica k shifts every entity key by k*STRIDE),
+which preserves every distributional property the operators see:
+
+- STRIDE = 10,000,000 is a multiple of every split modulus the engine
+  derives partitions from (2,5,8,10,16,20,50,100,10000 and the DIV
+  20/100/1000 groupings), so corpus/batch splits, URL groups and epoch
+  splits keep their exact per-replica ratios; non-dividing moduli
+  (7,17,97,199) keep their ratios statistically (uniform residues).
+- documents TEXT is deterministically token-SHUFFLED per replica
+  (seeded by (doc_id, k)), so replicas keep the exact token bag (vocab,
+  entropy, Zipf, quality scores all scale cleanly) while destroying
+  shingle overlap -- replicas are NOT near-duplicates of their
+  originals, so MinHash/LSH work scales by corpus size, not by a
+  replication artifact that would quadratically inflate band buckets.
+- embeddings ROTATE by k positions (norm-preserving, decorrelating);
+  region/nation stay fixed (dimensions, TPC-H style); all foreign keys
+  shift together so referential integrity holds within each replica.
+- Row-level values (prices, dates, timestamps, types) are untouched:
+  per-hour volumes, seasonality and value distributions scale 10x with
+  identical shapes.
+
+Output: /root/repo/testdata_sf1/<table>.parquet (gitignored).
+"""
+import os
+import random
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "testdata_sf1")
+STRIDE = 10_000_000
+REPLICAS = 10
+
+# key columns to shift per table (everything else copies verbatim)
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["region", "nation"]  # dimensions: copy once, never replicated
+
+
+def shuffled_texts(doc_ids, texts, k):
+    out = []
+    for d, t in zip(doc_ids, texts):
+        toks = t.split(" ")
+        random.Random(d * 16 + k).shuffle(toks)
+        out.append(" ".join(toks))
+    return out
+
+
+def replicate(name, tab):
+    cols = {c: tab.column(c) for c in tab.column_names}
+    chunks = []
+    for k in range(REPLICAS):
+        rep = {}
+        for c in tab.column_names:
+            if c in KEYS[name]:
+                rep[c] = pc.add(cols[c], pa.scalar(k * STRIDE, pa.int64()))
+            elif name == "documents" and c == "text" and k > 0:
+                rep[c] = pa.array(
+                    shuffled_texts(cols["doc_id"].to_pylist(),
+                                   cols["text"].to_pylist(), k),
+                    pa.string())
+            elif name == "embeddings" and c == "embedding" and k > 0:
+                vecs = [np.roll(np.asarray(v, dtype=np.float32), k).tolist()
+                        for v in cols[c].to_pylist()]
+                rep[c] = pa.array(vecs, tab.schema.field(c).type)
+            else:
+                rep[c] = cols[c]
+            # preserve the source field type exactly (int64 keys stay int64)
+            if rep[c].type != tab.schema.field(c).type:
+                rep[c] = pc.cast(rep[c], tab.schema.field(c).type)
+        chunks.append(pa.table(rep, schema=tab.schema))
+    return pa.concat_tables(chunks)
+
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+    for name in FIXED:
+        tab = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(tab, f"{DST}/{name}.parquet")
+        print(f"{name}: {tab.num_rows} rows (copied)")
+    for name in KEYS:
+        tab = pq.read_table(f"{SRC}/{name}.parquet")
+        out = replicate(name, tab)
+        pq.write_table(out, f"{DST}/{name}.parquet")
+        print(f"{name}: {tab.num_rows} -> {out.num_rows} rows")
+    print(f"done -> {DST}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

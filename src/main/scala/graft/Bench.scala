@@ -90,6 +90,12 @@ object Bench {
         operators.CurationQueries.segCountIndex(spark, sfDir, rebuild = true); () }),
       "q155_index_build" -> (() => {
         operators.CurationQueries.urlCanonIndex(spark, sfDir, rebuild = true); () }),
+      // q190's two admission membership sets (canonical URLs + md5
+      // digests) — built once, probed by every admission micro-batch
+      "q190_index_build" -> (() => {
+        operators.CurationQueries.admissionUrlIndex(spark, sfDir, rebuild = true)
+        operators.CurationQueries.admissionMd5Index(spark, sfDir, rebuild = true)
+        () }),
       "q139_index_build" -> (() => {
         operators.MultimodalQueries.imageHashIndex(spark, sfDir,
           rebuild = true); () }),

@@ -416,19 +416,22 @@ object AuditQueries {
                 .union(bc.select("n_chars")).distinct()
               val w = Window.orderBy("n_chars")
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-              grid
-                .join(bc, Seq("n_chars"), "left").na.fill(0L, Seq("bt"))
-                .join(cc, Seq("n_chars"), "left").na.fill(0L, Seq("ct"))
-                .withColumn("c1", sum("bt").over(w).cast("long"))
-                .withColumn("c2", sum("ct").over(w).cast("long"))
-                .agg(max(abs(col("c1") * n2 - col("c2") * n1))
-                  .cast("long").as("d_scaled"))
-                .select(lit(key).as("batch_key"),
-                  lit(n1).as("n_batch"), col("d_scaled"),
-                  round(col("d_scaled").cast("double") / lit(n1 * n2), 6)
-                    .as("ks_d"))
-                .write.mode(org.apache.spark.sql.SaveMode.Append)
-                .parquet(outDir)
+              // idempotent sink: the content-derived key is stable
+              // across replays, so a retried batch overwrites its own
+              // alarm row instead of double-appending it
+              graft.sources.Staging.storeBatch(
+                grid
+                  .join(bc, Seq("n_chars"), "left").na.fill(0L, Seq("bt"))
+                  .join(cc, Seq("n_chars"), "left").na.fill(0L, Seq("ct"))
+                  .withColumn("c1", sum("bt").over(w).cast("long"))
+                  .withColumn("c2", sum("ct").over(w).cast("long"))
+                  .agg(max(abs(col("c1") * n2 - col("c2") * n1))
+                    .cast("long").as("d_scaled"))
+                  .select(lit(key).as("batch_key"),
+                    lit(n1).as("n_batch"), col("d_scaled"),
+                    round(col("d_scaled").cast("double") / lit(n1 * n2), 6)
+                      .as("ks_d")),
+                outDir, key)
             }
             batch.unpersist()
             ()
@@ -436,9 +439,8 @@ object AuditQueries {
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      s.read
-        .schema("batch_key BIGINT, n_batch BIGINT, d_scaled BIGINT, ks_d DOUBLE")
-        .parquet(outDir)
+      graft.sources.Staging.readBatchSink(s, outDir,
+          "batch_key BIGINT, n_batch BIGINT, d_scaled BIGINT, ks_d DOUBLE")
         .orderBy("batch_key")
     },
   )

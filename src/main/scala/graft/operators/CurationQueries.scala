@@ -266,6 +266,53 @@ object CurationQueries {
     tab
   }
 
+  /** Build — or REUSE — q190's persisted admission membership indexes:
+    * the canonical-URL set and the md5 digest set of the serving corpus
+    * (doc_id % 10 ≠ 7 — q190's split, distinct from q155's DIV-20
+    * corpus, which is why these are separate tables), each bucketed on
+    * its probe key. The q106 build-once/probe-many lifecycle: through
+    * r11 the q190 stream rebuilt both sets inline per run
+    * (`distinct().cache()`) — at 100 TB that is corpus-sized
+    * driver-session state recomputed on every restart, while the band
+    * index it probes alongside was already persisted. Now all three
+    * membership structures share the discipline: written once, probed
+    * bucket-aligned by every micro-batch, grown per ingest via
+    * `Staging.appendBucketed` (Bench prices the build separately as
+    * q190_index_build). */
+  def admissionUrlIndex(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    graft.sources.Staging.vacuumStale(s, wh, "graft_adm_url_")
+    val tab = "graft_adm_url_" + graft.sources.Staging.sessionSuffix(s, dir)
+    if (rebuild || !s.catalog.tableExists(tab)) {
+      val canon = tWide(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 7)
+        .select(canonicalUrl(rawUrl(col("doc_id"), col("lang"),
+          col("source"))).as("canonical"))
+        .distinct()
+      graft.sources.Staging.storeBucketed(
+        canon.repartition(8, col("canonical")), tab, Seq("canonical"), 8)
+    }
+    tab
+  }
+
+  /** The md5-digest half of [[admissionUrlIndex]]'s pair — see there. */
+  def admissionMd5Index(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    graft.sources.Staging.vacuumStale(s, wh, "graft_adm_md5_")
+    val tab = "graft_adm_md5_" + graft.sources.Staging.sessionSuffix(s, dir)
+    if (rebuild || !s.catalog.tableExists(tab)) {
+      val dig = tWide(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 7)
+        .select(md5(col("text")).as("m"))
+        .distinct()
+      graft.sources.Staging.storeBucketed(
+        dig.repartition(8, col("m")), tab, Seq("m"), 8)
+    }
+    tab
+  }
+
   /** q154 core, one row per ≥-2-token doc: bigram count and mean
     * bigram surprisal in integer micro-nats under the fitted MLE
     * bigram LM (rationale and shape notes at the q154 key). */
@@ -904,22 +951,26 @@ object CurationQueries {
     // probe against the persisted corpusBandIndex — no stream-side
     // shuffle), and the q51 quality gate; each doc gets ONE decision
     // by fixed priority (url_dup → exact_dup → near_dup → low_quality
-    // → admit) and each batch appends its (batch_key, decision)
-    // census. Static frames (canonical set, digest set) compute once
-    // and stream-static join every batch; batches identify by CONTENT
-    // (min doc_id % 20, the q174 discipline) so the oracle replays
-    // each by membership — streamed ≡ one-shot per batch.
+    // → admit) and each batch writes its (batch_key, decision) census
+    // idempotently (Staging.storeBatch). All three membership
+    // structures — canonical set, digest set, band index — are
+    // PERSISTED bucketed tables (admissionUrlIndex/admissionMd5Index/
+    // corpusBandIndex) stream-static joined every batch: nothing
+    // corpus-sized is rebuilt per run or held as session state.
+    // Batches identify by CONTENT (min doc_id % 20, the q174
+    // discipline) so the oracle replays each by membership — streamed
+    // ≡ one-shot per batch.
     "q190_stream_admission" -> { (s, dir) =>
       import graft.streaming.EventQueries.{freshBase, stageBatches}
       import graft.operators.LlmQueries
       val base = freshBase(s, dir, "q190")
       val docs = t(s, dir, "documents")
         .select("doc_id", "lang", "source", "text")
-      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
-      val cCorp = corpus
-        .select(canonicalUrl(rawUrl(col("doc_id"), col("lang"),
-          col("source"))).as("canonical")).distinct().cache()
-      val dCorp = corpus.select(md5(col("text")).as("m")).distinct().cache()
+      // ALL THREE membership structures come from persisted bucketed
+      // indexes (build-once/probe-many — see admissionUrlIndex): the
+      // batch path never recomputes or re-shuffles corpus-sized state
+      val cCorp = s.table(admissionUrlIndex(s, dir))
+      val dCorp = s.table(admissionMd5Index(s, dir))
       val bandIdx = s.table(LlmQueries.corpusBandIndex(s, dir))
         .toDF("corpus_doc", "sig_c", "bk")
       val batchDocs = docs.filter(col("doc_id") % 10 === 7)
@@ -952,29 +1003,32 @@ object CurationQueries {
                   col("sig_b"), col("sig_c")) >= LlmQueries.NearDupMinMatches)
                 .select(col("batch_doc").as("doc_id")).distinct()
                 .withColumn("is_nd", lit(1))
-              batch
-                .withColumn("canonical",
-                  canonicalUrl(rawUrl(col("doc_id"), col("lang"),
-                    col("source"))))
-                .withColumn("m", md5(col("text")))
-                .join(cCorp.withColumn("is_url", lit(1)),
-                  Seq("canonical"), "left")
-                .join(dCorp.withColumn("is_ex", lit(1)), Seq("m"), "left")
-                .join(nd, Seq("doc_id"), "left")
-                .withColumn("decision",
-                  when(col("is_url").isNotNull, "url_dup")
-                    .when(col("is_ex").isNotNull, "exact_dup")
-                    .when(col("is_nd").isNotNull, "near_dup")
-                    .when(graft.functions.TextOps.qualityScore(col("text"))
-                      < 0.5, "low_quality")
-                    .otherwise("admit"))
-                .groupBy("decision")
-                .agg(count(lit(1)).as("n_docs"),
-                  sum("doc_id").cast("long").as("id_sum"))
-                .select(lit(key).as("batch_key"), col("decision"),
-                  col("n_docs"), col("id_sum"))
-                .write.mode(org.apache.spark.sql.SaveMode.Append)
-                .parquet(outDir)
+              // idempotent sink: the content-derived key is stable
+              // across replays, so a retried batch overwrites its own
+              // census rows instead of double-appending them
+              graft.sources.Staging.storeBatch(
+                batch
+                  .withColumn("canonical",
+                    canonicalUrl(rawUrl(col("doc_id"), col("lang"),
+                      col("source"))))
+                  .withColumn("m", md5(col("text")))
+                  .join(cCorp.withColumn("is_url", lit(1)),
+                    Seq("canonical"), "left")
+                  .join(dCorp.withColumn("is_ex", lit(1)), Seq("m"), "left")
+                  .join(nd, Seq("doc_id"), "left")
+                  .withColumn("decision",
+                    when(col("is_url").isNotNull, "url_dup")
+                      .when(col("is_ex").isNotNull, "exact_dup")
+                      .when(col("is_nd").isNotNull, "near_dup")
+                      .when(graft.functions.TextOps.qualityScore(col("text"))
+                        < 0.5, "low_quality")
+                      .otherwise("admit"))
+                  .groupBy("decision")
+                  .agg(count(lit(1)).as("n_docs"),
+                    sum("doc_id").cast("long").as("id_sum"))
+                  .select(lit(key).as("batch_key"), col("decision"),
+                    col("n_docs"), col("id_sum")),
+                outDir, key)
             }
             batch.unpersist()
             ()
@@ -982,10 +1036,8 @@ object CurationQueries {
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      s.read
-        .schema("batch_key BIGINT, decision STRING, n_docs BIGINT, " +
-          "id_sum BIGINT")
-        .parquet(outDir)
+      graft.sources.Staging.readBatchSink(s, outDir,
+          "batch_key BIGINT, decision STRING, n_docs BIGINT, id_sum BIGINT")
         .orderBy("batch_key", "decision")
     },
 

@@ -534,7 +534,16 @@ object SimilarityQueries {
           .parquet(src)
         val q = stream.writeStream
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch0: DataFrame, _: Long) =>
+            val batch = batch0.persist()
+            // content-derived batch key (the q174 discipline; the two
+            // staged batches split on vec_id % 100 ∈ {0, 50}) → the
+            // idempotent overwrite-own-subdirectory sink, so a
+            // replayed batch can't double-append its top-3 rows
+            val key =
+              if (batch.isEmpty) -1L
+              else batch.agg(min(pmod(col("vec_id"), lit(100L))))
+                .head().getLong(0)
             val wAsgn = Window.partitionBy("qid")
               .orderBy(desc("csim"), col("ccid"))
             val wTop = Window.partitionBy("qid")
@@ -563,7 +572,7 @@ object SimilarityQueries {
               .filter(col("cid").isin(qcids.toIndexedSeq: _*))
               .select(col("vec_id").as("nid"), col("embedding").as("ne"),
                 col("nrm").as("nn"), col("cid").cast("long").as("ncid"))
-            broadcast(asg)
+            val top3 = broadcast(asg)
               .join(members, col("qcid") === col("ncid") &&
                 col("nid") =!= col("qid"))
               .select(col("qid"), col("nid"),
@@ -574,14 +583,17 @@ object SimilarityQueries {
               .filter(col("rnk") <= 3)
               .select(col("qid"), col("rnk"), col("nid"),
                 round(col("sim_raw"), 6).as("sim"))
-              .write.mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(outDir)
+            if (key >= 0)
+              graft.sources.Staging.storeBatch(top3, outDir, key)
+            batch.unpersist()
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      s.read.parquet(outDir).orderBy("qid", "rnk")
+      graft.sources.Staging.readBatchSink(s, outDir,
+          "qid BIGINT, rnk BIGINT, nid BIGINT, sim DOUBLE")
+        .orderBy("qid", "rnk")
     },
 
     // Quantization-quality evaluation — recall@5 of the int8 retrieval

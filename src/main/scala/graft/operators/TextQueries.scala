@@ -124,12 +124,18 @@ object TextQueries {
             // both sinks consume the scored batch — cache so the score
             // pass (and the source file read) runs once per batch
             batch.persist()
-            batch.filter(col("quality") >= 0.5)
-              .write.mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(passDir)
-            batch.filter(col("quality") < 0.5)
-              .write.mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(quarDir)
+            if (batch.count() > 0) {
+              // content-derived batch key (the q174 discipline): stable
+              // across replays, so each batch owns — and a retry
+              // OVERWRITES — its own sink subdirectory instead of
+              // double-appending (Staging.storeBatch)
+              val key = batch
+                .agg(min(pmod(col("doc_id"), lit(2L)))).head().getLong(0)
+              graft.sources.Staging.storeBatch(
+                batch.filter(col("quality") >= 0.5), passDir, key)
+              graft.sources.Staging.storeBatch(
+                batch.filter(col("quality") < 0.5), quarDir, key)
+            }
             batch.unpersist()
             ()
           }
@@ -139,10 +145,9 @@ object TextQueries {
       // explicit schema on read-back: a sink a batch never fed still
       // reads as EMPTY rather than failing schema inference
       def sinkAgg(path: String, tag: String): DataFrame =
-        s.read
-          .schema("doc_id BIGINT, lang STRING, source STRING, " +
+        graft.sources.Staging.readBatchSink(s, path,
+          "doc_id BIGINT, lang STRING, source STRING, " +
             "n_chars BIGINT, text STRING, quality DOUBLE")
-          .parquet(path)
           .groupBy(lit(tag).as("sink"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum("n_chars").cast("long").as("sum_chars"),

@@ -168,6 +168,38 @@ object Staging {
     spark.read.parquet(path).inputFiles.length
   }
 
+  /** IDEMPOTENT micro-batch parquet sink — the exactly-once discipline
+    * for `foreachBatch` writers (q138/q145/q174/q190). Structured
+    * Streaming replays a micro-batch whose sink write failed mid-flight
+    * (at-least-once), so a plain `SaveMode.Append` to a shared directory
+    * DOUBLE-appends that batch's rows and every aggregate over the
+    * read-back double-counts. The standard recipe: each batch OWNS the
+    * subdirectory named by its key and overwrites it whole, so a replay
+    * replaces its own previous (possibly partial) output instead of
+    * adding to it — append-across-batches, overwrite-within-batch. The
+    * key must be stable across replays: derived from batch CONTENT
+    * (these keys' min-doc_id discipline) or the framework `batchId`,
+    * never from wall-clock or row order. Parquet's `_SUCCESS`/temp-file
+    * commit protocol makes the per-directory overwrite itself atomic
+    * enough for the read-after-stream pattern these keys run (the
+    * serving-table pointer flip in `StreamPipelines.upsertLoadStream`
+    * is the stronger discipline for concurrent readers). Read the sink
+    * back with [[readBatchSink]]. StreamingSpec replays a batch through
+    * this and proves the read-back unchanged. */
+  def storeBatch(df: DataFrame, dir: String, key: Long): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch-$key")
+
+  /** Read everything ever written by [[storeBatch]] under `dir`: one
+    * subdirectory per batch, unioned by a recursive listing. The
+    * explicit schema plus the mkdirs keep a sink NO batch ever fed
+    * reading as EMPTY (schema inference over zero files would fail). */
+  def readBatchSink(spark: SparkSession, dir: String,
+      schema: String): DataFrame = {
+    fs(spark, dir).mkdirs(new Path(dir))
+    spark.read.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(dir)
+  }
+
   /** Persist a catalog table bucketed + sorted on `keys`. Two tables
     * bucketed the same way join with NO shuffle and NO sort — the
     * co-located fact-fact join that makes orderkey-grain joins viable at

@@ -696,4 +696,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("graft_minhash") && !p.contains("Window"),
       s"the curve must probe the persisted frame, not recompute it:\n$p")
   }
+
+  test("q190 admission probes scan persisted bucketed membership indexes, " +
+      "no corpus re-shuffle in the batch path") {
+    // the serving-path discipline: the per-micro-batch membership joins
+    // (canonical URL seen-before + md5 exact-dup) must read the
+    // PERSISTED bucketed index tables — through r11 these sets were
+    // rebuilt inline per run (distinct().cache() over the corpus),
+    // which at 100 TB is corpus-sized session state paid on every
+    // restart. This replays one micro-batch's join shape in batch mode.
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.operators.CurationQueries
+    val cTab = CurationQueries.admissionUrlIndex(spark, dir)
+    val mTab = CurationQueries.admissionMd5Index(spark, dir)
+    val batch = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 20 === 7)
+      .select(col("doc_id"),
+        CurationQueries.canonicalUrl(CurationQueries.rawUrl(
+          col("doc_id"), col("lang"), col("source"))).as("canonical"),
+        md5(col("text")).as("m"))
+    // at-scale shape (batch too big to broadcast, the q106 SMJ
+    // discipline): each membership probe sort-merges against the
+    // bucketed index scan, exchanging ONLY the batch side — the
+    // index contributes no Exchange and no InMemoryTableScan
+    for ((tab, key) <- Seq((cTab, "canonical"), (mTab, "m"))) {
+      val smj = spark.table(tab).join(batch.hint("merge"), Seq(key))
+      val sp = smj.queryExecution.executedPlan.toString
+      assert(sp.contains("SortMergeJoin"), s"expected sort-merge:\n$sp")
+      assert(sp.contains("Bucketed: true"),
+        s"$tab must scan its bucketed layout:\n$sp")
+      assert("Exchange hashpartitioning".r.findAllIn(sp).size === 1,
+        s"only the batch side may shuffle into $tab's buckets:\n$sp")
+      assert(!sp.toLowerCase.contains("inmemorytablescan"),
+        s"no cached corpus-sized frames in the probe path:\n$sp")
+    }
+  }
 }

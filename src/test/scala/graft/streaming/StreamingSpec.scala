@@ -92,7 +92,7 @@ class StreamingSpec extends SparkSpec {
     val sch = "doc_id BIGINT, lang STRING, source STRING, " +
       "n_chars BIGINT, text STRING, quality DOUBLE"
     def ids(sink: String): Seq[Long] =
-      spark.read.schema(sch).parquet(s"$base/$sink")
+      graft.sources.Staging.readBatchSink(spark, s"$base/$sink", sch)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     val pass = ids("pass")
     val quar = ids("quarantine")
@@ -499,5 +499,34 @@ class StreamingSpec extends SparkSpec {
     }.toMap
     assert(got === expect,
       "each micro-batch's alarm row must equal the one-shot KS on its membership")
+  }
+
+  test("storeBatch sink is idempotent: a replayed micro-batch leaves " +
+      "the read-back unchanged") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft_batch_sink").toString
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b2 = Seq((3L, "c")).toDF("id", "v")
+    val schema = "id BIGINT, v STRING"
+    graft.sources.Staging.storeBatch(b1, dir, 0L)
+    graft.sources.Staging.storeBatch(b2, dir, 1L)
+    def readBack() = graft.sources.Staging.readBatchSink(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val once = readBack()
+    assert(once === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the at-least-once case Structured Streaming actually produces: a
+    // batch whose sink write may have partially landed runs AGAIN. With
+    // SaveMode.Append the q138/q145/q174/q190 read-backs would now
+    // double-count batch 0's rows; the overwrite-own-subdirectory
+    // recipe must leave the read-back byte-identical instead.
+    graft.sources.Staging.storeBatch(b1, dir, 0L)
+    assert(readBack() === once,
+      "a replayed batch must overwrite its own output, not append to it")
+    // a sink no batch ever fed reads as EMPTY, not as a read error
+    val never = Files.createTempDirectory("graft_batch_sink_e").toString +
+      "/never_fed"
+    assert(graft.sources.Staging.readBatchSink(spark, never, schema)
+      .count() === 0L)
   }
 }
