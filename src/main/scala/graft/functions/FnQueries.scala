@@ -58,7 +58,12 @@ object FnQueries {
           signum(col("l_discount") - 0.05).cast("int").as("sign_disc"),
           greatest(col("l_quantity"), col("l_discount") * 100).as("biggest"),
           least(col("l_quantity"), col("l_discount") * 100).as("smallest"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // TOTAL order over every output column — (l_orderkey,
+        // l_linenumber) alone is not unique in lineitem (see q01);
+        // remaining ties are fully-identical rows
+        .orderBy("l_orderkey", "l_linenumber", "abs_qty", "ceil_price",
+          "floor_price", "disc_amt", "mod7", "sign_disc", "biggest",
+          "smallest")
     },
 
     "q34_fn_cond_cast" -> { (s, dir) =>
@@ -165,7 +170,9 @@ object FnQueries {
         | CAST(sign(l_discount - 0.05) AS INTEGER) AS sign_disc,
         | greatest(l_quantity, l_discount * 100) AS biggest,
         | least(l_quantity, l_discount * 100) AS smallest
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, abs_qty, ceil_price,
+        |  floor_price, disc_amt, mod7, sign_disc, biggest, smallest""".stripMargin,
 
     "q34_fn_cond_cast" ->
       """SELECT o_orderkey,

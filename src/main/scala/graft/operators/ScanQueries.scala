@@ -18,7 +18,13 @@ object ScanQueries {
           col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast(D)
             .cast("double").as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // TOTAL order: (l_orderkey, l_linenumber) is NOT unique in the
+        // fixtures (118k duplicate pairs at sf0.1) — engines agreed on
+        // the tie order by luck until the sf1 scale point flipped it.
+        // Ordering by every output column leaves only fully-identical
+        // rows tied, which no row-by-row compare can distinguish.
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity", "l_discount")
     },
 
     "q02_filter" -> { (s, dir) =>
@@ -249,13 +255,47 @@ object ScanQueries {
           sum("doc_id").cast("long").as("id_sum"))
         .orderBy("lang")
     },
+
+    // AVRO as the sixth SOURCE FORMAT under the gate, completing the
+    // mainstream family (parquet native, CSV q140, JSONL q141, ORC
+    // q142, text q178). The `spark-avro` DATASOURCE is absent from
+    // this offline classpath, but Avro CORE ships in Spark's own jars,
+    // so the round-trip drives the real container codec
+    // (`DataFileWriter`/`DataFileReader`) through [[graft.sources
+    // .AvroStage]] — one container file per partition on write, one
+    // streamed task per container on read, nullable fields as Avro
+    // UNIONs (the q178 total-contract lesson at the schema level).
+    // Same discipline as q140: write → read-back → checksum agg, with
+    // the DuckDB twin on the ORIGINAL parquet table proving the
+    // conversion lossless.
+    "q191_avro_roundtrip" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.poly_hash
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q191_")
+      val stage = s"$tmp/graft_q191_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      graft.sources.Staging.vacuum(s, stage)
+      graft.sources.AvroStage.write(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text")), stage)
+      graft.sources.AvroStage.read(s, stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(poly_hash(col("text"))).cast("long").as("text_checksum"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
   )
 
   def oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
         | CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+        |  l_discount""".stripMargin,
 
     "q02_filter" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
@@ -280,6 +320,7 @@ object ScanQueries {
     "q141_jsonl_roundtrip" -> formatRoundtripSql,
     "q142_orc_roundtrip" -> formatRoundtripSql,
     "q178_text_roundtrip" -> formatRoundtripSql,
+    "q191_avro_roundtrip" -> formatRoundtripSql,
 
     // q179: membership replayed by parity; the evolved column exists
     // only for odd ids (q51's quality expression verbatim),
