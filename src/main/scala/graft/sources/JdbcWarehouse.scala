@@ -43,6 +43,11 @@ object JdbcWarehouse {
       columnTypes: Option[String] = None): Unit = {
     val p = props
     columnTypes.foreach(p.setProperty("createTableColumnTypes", _))
+    // 10× the writer's default 1000-row JDBC batch: fewer executeBatch
+    // round-trips per connection, the standard bulk-load knob every
+    // warehouse sink exposes (Redshift/Snowflake go further with
+    // COPY-from-stage; batchsize is the JDBC-generic form)
+    p.setProperty("batchsize", "10000")
     df.write.mode(mode).jdbc(url, table, p)
   }
 
@@ -118,26 +123,50 @@ object JdbcWarehouse {
     // unquoted references here would be case-folded by the warehouse
     // (Derby/Oracle uppercase them) and miss. Quote everything.
     def q(c: String) = "\"" + c + "\""
-    // null-safe key match: a bare `t.k = s.k` never matches NULL keys,
-    // so a NULL-key row would be re-INSERTed every batch instead of
-    // updated — diverging from the lake-side Staging.upsert twin (whose
-    // window partitioning groups NULLs). The OR form is standard SQL.
-    val on = keys.map(k =>
-      s"(t.${q(k)} = s.${q(k)} OR (t.${q(k)} IS NULL AND s.${q(k)} IS NULL))")
-      .mkString(" AND ")
-    val merge =
-      s"MERGE INTO $table t USING $stg s ON $on" +
+    // Null-safe key match, SPLIT into two merges. A single merge with
+    // `(t.k = s.k OR (t.k IS NULL AND s.k IS NULL))` is correct but the
+    // OR in the ON clause defeats index selection — Derby nested-loops
+    // target × staging, which is invisible at 1.5k×1.5k fixture scale
+    // and 62 s/batch at 15k×15k (measured at the sf1 scale point; the
+    // same cliff exists in most optimizers). So: staging rows whose
+    // keys are ALL non-null merge through the plain-equality ON (index
+    // nested-loop over the key index — the shape the CREATE INDEX
+    // above exists for), and the any-key-null remainder — normally
+    // EMPTY — runs the null-safe OR form against a source that
+    // contributes no rows. Same semantics as the lake-side
+    // Staging.upsert twin (whose window partitioning groups NULLs),
+    // linear cost.
+    // (Derby requires the MERGE source to be a BASE TABLE, so the
+    // null-key remainder moves into a side table rather than a
+    // subquery — two set-based statements, zero rows in the common
+    // case.)
+    def mergeSql(src: String, on: String) =
+      s"MERGE INTO $table t USING $src s ON $on" +
         (if (nonKeys.nonEmpty)
           s" WHEN MATCHED THEN UPDATE SET " +
             nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
         else "") +
         s" WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})" +
         s" VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+    val onEq = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val onNullSafe = keys.map(k =>
+      s"(t.${q(k)} = s.${q(k)} OR (t.${q(k)} IS NULL AND s.${q(k)} IS NULL))")
+      .mkString(" AND ")
+    val allNotNull = keys.map(k => s"${q(k)} IS NOT NULL").mkString(" AND ")
+    val anyNull = keys.map(k => s"${q(k)} IS NULL").mkString(" OR ")
+    val stgN = s"${stg}_n"
     val c = DriverManager.getConnection(url)
     try {
       val st = c.createStatement()
       try {
-        st.executeUpdate(merge)
+        st.executeUpdate(
+          s"CREATE TABLE $stgN AS SELECT * FROM $stg WITH NO DATA")
+        st.executeUpdate(
+          s"INSERT INTO $stgN SELECT * FROM $stg WHERE $anyNull")
+        st.executeUpdate(s"DELETE FROM $stg WHERE $anyNull")
+        st.executeUpdate(mergeSql(stg, onEq))
+        st.executeUpdate(mergeSql(stgN, onNullSafe))
+        st.executeUpdate(s"DROP TABLE $stgN")
         st.executeUpdate(s"DROP TABLE $stg")
       } finally st.close()
     } finally c.close()
