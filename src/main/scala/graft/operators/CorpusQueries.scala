@@ -39,8 +39,43 @@ object CorpusQueries {
     if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0f else -1.0f
 
   private val Dims = 64
-  private val Planes = 16
-  private val Bands = 4 // 4 bands × 4 bits
+  private val Planes = 16 // q167's fixed RP projection width (not the LSH band scheme)
+  private val Bands = 4
+
+  /** ADAPTIVE band resolution — the sign-LSH twin of the IVF
+    * `centroidStride` cap (SimilarityQueries.scala:47): bits per band
+    * grow with corpus size so expected bucket occupancy stays bounded
+    * (n / 2^bits ∈ (64, 128] until the cap) instead of buckets growing
+    * linearly and the band self-join going quadratic — the sf1 scale
+    * point measured exactly that (q163 candidate pairs ~100× on 10×
+    * data under the old fixed 4-bit scheme). Integer ladder, no
+    * float log: smallest b in [4, 12] with 128·2^b ≥ n. n ≤ 2048 ⇒ 4,
+    * so every fixture scale (22 / 200 / 2000 vectors) keeps the exact
+    * historical scheme and byte-identical outputs; sf1's 20k ⇒ 8. The
+    * 12-bit cap (n = 262 144; 48 planes = 4×12 ≤ SignLshCode's 63) is
+    * the MaxCentroids-style re-tune point: past it a real deployment
+    * re-bands (or adds bands) rather than letting keys float — and as
+    * bits grow the effective LSH threshold s* ≈ cos(π·(1−(1/4)^(1/bits)))
+    * drifts up (0.60 at 4 bits, 0.88 at 8), the standard
+    * candidates-vs-recall trade that q122/q132's evaluation keys are
+    * the instrument for. At 100 TB the chosen bits FREEZES with a
+    * persisted index (append ≡ rebuild only under the index's own
+    * scheme); here it derives deterministically from the fixture table
+    * so both engines agree — the oracle computes the same ladder in
+    * SQL (one source of truth: [[lshBandCtes]] generates the
+    * thresholds from this function's 128·2^b expression). */
+  private[graft] def bandBits(n: Long): Int = {
+    var b = 4
+    while (b < 12 && (128L << b) < n) b += 1
+    b
+  }
+
+  /** The band width every sign-LSH consumer (one-shot, index build,
+    * probe, stream) must share for a given dir: the ladder over the
+    * FULL embeddings-table count — including q109/q135's held-out
+    * batch rows, so index and probe sides agree by construction. */
+  private[graft] def embBandBits(s: SparkSession, dir: String): Int =
+    bandBits(tWide(s, dir, "embeddings").count())
 
   /** q188 core: one-row Gini coefficient of a (k, x) size frame —
     * rank-weighted exact integer sums, one division; rationale at the
@@ -142,25 +177,30 @@ object CorpusQueries {
       .select(docs.columns.toIndexedSeq.map(col(_)): _*)
   }
 
-  /** Sign-LSH coding + band-key explode shared by q109's index build
-    * and its per-batch probe side: 16-plane sign code in one kernel
-    * pass, 4×4-bit band keys, embedding + norm riding each band row.
-    * `carry` names extra input columns to ride along unchanged (q143
-    * carries the cluster id so its candidate join needs no join-back). */
-  private[graft] def codedBands(e: DataFrame,
+  /** Sign-LSH coding + band-key explode shared by every embedding
+    * near-dup consumer (q73/q143 one-shot, q109's index build and
+    * per-batch probe, q135's stream side): one kernel pass codes
+    * 4·bits planes, 4 band keys of `bits` bits each ([[bandBits]] —
+    * callers MUST pass the same width on both sides of a join; for the
+    * gated keys that is [[embBandBits]] of the dir, frozen with the
+    * persisted index), embedding + norm riding each band row. `carry`
+    * names extra input columns to ride along unchanged (q143 carries
+    * the cluster id so its candidate join needs no join-back). */
+  private[graft] def codedBands(e: DataFrame, bits: Int,
       carry: Seq[String] = Nil): DataFrame = {
     import graft.plans.GraftExpressions.sign_lsh_code
-    val signs = Array.tabulate(Planes * Dims) { idx =>
+    val nPlanes = Bands * bits
+    val signs = Array.tabulate(nPlanes * Dims) { idx =>
       planeSign(idx % Dims + 1, idx / Dims).toDouble
     }
     val coded = e.select(Seq(col("vec_id"), col("embedding"),
       graft.functions.VectorOps.l2Norm(col("embedding")).as("nrm"),
-      sign_lsh_code(col("embedding"), signs, Planes, Dims).as("code")) ++
+      sign_lsh_code(col("embedding"), signs, nPlanes, Dims).as("code")) ++
       carry.map(col): _*)
     val bks = (0 until Bands).map { b =>
       concat_ws(":", lit(b),
-        shiftright(col("code"), (Bands - 1 - b) * 4)
-          .bitwiseAND(lit(15)))
+        shiftright(col("code"), (Bands - 1 - b) * bits)
+          .bitwiseAND(lit((1L << bits) - 1)))
     }
     coded.select(Seq(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(bks: _*)).as("bk")) ++ carry.map(col): _*)
@@ -180,7 +220,7 @@ object CorpusQueries {
     if (rebuild || !s.catalog.tableExists(tab)) {
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
       graft.sources.Staging.storeBucketed(
-        codedBands(emb.filter(col("vec_id") % 10 =!= 7))
+        codedBands(emb.filter(col("vec_id") % 10 =!= 7), embBandBits(s, dir))
           .repartition(8, col("bk")),
         tab, Seq("bk"), 8)
     }
@@ -352,19 +392,19 @@ object CorpusQueries {
         .orderBy("doc_id", "rnk")
     },
 
-    // Embedding near-dup via multi-band sign-LSH: 16 fixed ±1
-    // hyperplanes → 16 sign bits → 4×4-bit band keys → candidate pairs
-    // from same-band buckets (hash-partitionable join, no all-pairs) →
-    // exact cosine verify at 0.4. The embedding-space twin of q44's
-    // MinHash banding. Band width scales with corpus size (buckets per
-    // band = 2^bits must exceed n/desired-bucket-size): 4 bits suits the
-    // fixture corpora; a 100 TB corpus raises Planes/band bits (e.g.
-    // 64 planes, 8×8-bit bands) — the plan shape is unchanged.
+    // Embedding near-dup via multi-band sign-LSH: 4·bits fixed ±1
+    // hyperplanes → sign bits → 4 band keys of bandBits(n) bits →
+    // candidate pairs from same-band buckets (hash-partitionable join,
+    // no all-pairs) → exact cosine verify at 0.4. The embedding-space
+    // twin of q44's MinHash banding. Band width scales with corpus
+    // size via the bandBits ladder (buckets per band = 2^bits bounds
+    // occupancy at ~128): 4 bits at fixture scale, 8 at sf1, capped at
+    // 12 — the plan shape is unchanged at every width.
     "q73_embed_lsh" -> { (s, dir) =>
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
       // the q44 payload trade, via the SAME codedBands helper that
-      // builds q109's index: all 16 plane dots in ONE codegen pass per
-      // vector (SignLshCode), 4×4-bit band keys, and embedding + norm
+      // builds q109's index: all plane dots in ONE codegen pass per
+      // vector (SignLshCode), adaptive-width band keys, and embedding + norm
       // RIDING each band row — candidate verification needs no
       // embedding re-joins (the r7 rewrite; the old shape re-joined the
       // vector table twice post-candidates, 4 corpus scans total).
@@ -374,7 +414,7 @@ object CorpusQueries {
       // occurrence, then the tiny post-threshold set dedups — the
       // measured q44/q55 trade: a pre-verify distinct would shuffle the
       // same rows and pay embedding re-joins on top.
-      val bands = codedBands(emb).cache()
+      val bands = codedBands(emb, embBandBits(s, dir)).cache()
       val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a")
       val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b")
       ba.join(bb,
@@ -464,7 +504,7 @@ object CorpusQueries {
     // fold), so rank cuts agree; ties break on neighbor id.
     "q163_knn_graph" -> { (s, dir) =>
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
-      val bands = codedBands(emb).cache()
+      val bands = codedBands(emb, embBandBits(s, dir)).cache()
       val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a")
       val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b")
       val pairs = ba.join(bb,
@@ -502,7 +542,7 @@ object CorpusQueries {
     // index — q106's pattern in vector space, completing the serving
     // triad (q106 text probe, q108 streaming probe, q109 vector probe
     // — all "new data vs persisted index", never corpus × corpus).
-    // Corpus vectors are coded ONCE (16-plane sign-LSH → 4 band keys,
+    // Corpus vectors are coded ONCE (sign-LSH → 4 bandBits-width keys,
     // embedding + norm riding each band row — the q44 payload trade)
     // and stored BUCKETED by band key; a new ingest batch
     // (vec_id % 10 = 7) codes itself, broadcasts against the
@@ -515,7 +555,8 @@ object CorpusQueries {
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
       val tab = embedBandIndex(s, dir)
       val corpus = s.table(tab).toDF("corpus_vec", "e_c", "n_c", "bk")
-      val batch = codedBands(emb.filter(col("vec_id") % 10 === 7))
+      val batch = codedBands(emb.filter(col("vec_id") % 10 === 7),
+          embBandBits(s, dir))
         .toDF("batch_vec", "e_b", "n_b", "bk_b")
       corpus.join(broadcast(batch), col("bk") === col("bk_b"))
         .select(col("batch_vec"), col("corpus_vec"),
@@ -563,7 +604,8 @@ object CorpusQueries {
           .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1)
           .parquet(src)
-        val batch = codedBands(stream).toDF("batch_vec", "e_b", "n_b", "bk_b")
+        val batch = codedBands(stream, embBandBits(s, dir))
+          .toDF("batch_vec", "e_b", "n_b", "bk_b")
         val pairs = batch.join(corpus, col("bk") === col("bk_b"))
           .select(col("batch_vec"), col("corpus_vec"),
             graft.functions.VectorOps.cosinePre(
@@ -883,23 +925,34 @@ object CorpusQueries {
     * optional extra candidate predicate) → exact cosine. The final
     * SELECT is caller-supplied (q73 keeps (id_a, id_b); q109 relabels
     * to (batch_vec, corpus_vec)). */
-  /** The plane-bit → band-key CTE pair (`c`, `bands`) of [[embedLshSql]],
-    * exposed (without the WITH) so q143's oracle can splice the SAME
-    * sign-LSH replay after its IVF-assignment CTEs — one source of truth
-    * for the plane constants on the DuckDB side too. */
+  /** The band-width → plane-bit → band-key CTE triple (`lshpar`, `c`,
+    * `bands`) of [[embedLshSql]], exposed (without the WITH) so q143's
+    * oracle can splice the SAME sign-LSH replay after its IVF-assignment
+    * CTEs — one source of truth for the plane constants AND the
+    * [[bandBits]] ladder on the DuckDB side too: `lshpar.nbits` is the
+    * same integer ladder (thresholds generated from 128·2^b here, never
+    * hand-written), `c` carries all 4×12 = 48 plane bits as a list, and
+    * the band key slices the first nbits planes of each band with a
+    * variable-width fold — so DuckDB reproduces whatever width the
+    * engine chose for the table's row count, at every scale. */
   private[graft] def lshBandCtes: String = {
-    val bitCols = (0 until Planes).map(j =>
-      s"CASE WHEN ${planeDotSql(j)} > 0 THEN 1 ELSE 0 END AS bit$j")
-      .mkString(",\n    ")
-    val bandKey = (0 until Bands).map(b =>
-      s"WHEN $b THEN bit${4 * b}*8 + bit${4 * b + 1}*4 + " +
-        s"bit${4 * b + 2}*2 + bit${4 * b + 3}").mkString(" ")
-    s"""c AS (
-       |  SELECT vec_id, $bitCols
+    val maxPlanes = Bands * 12
+    val bitList = (0 until maxPlanes).map(j =>
+      s"CASE WHEN ${planeDotSql(j)} > 0 THEN 1 ELSE 0 END")
+      .mkString("[", ",\n    ", "]")
+    val ladder = (4 until 12).map(b =>
+      s"WHEN cnt <= ${128L << b} THEN $b").mkString(" ")
+    s"""lshpar AS (SELECT CASE $ladder ELSE 12 END AS nbits
+       |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id, $bitList AS bits
        |  FROM embeddings),
-       |bands AS (
-       |  SELECT vec_id, b, CASE b $bandKey END AS key
-       |  FROM c CROSS JOIN (SELECT unnest(range($Bands)) AS b) bb)""".stripMargin
+       |bands AS MATERIALIZED (
+       |  SELECT vec_id, b,
+       |    list_reduce(list_transform(range(nbits),
+       |      t -> bits[b*nbits + t + 1] * (1 << (nbits-1-t))), (a,x)->a+x) AS key
+       |  FROM c CROSS JOIN lshpar
+       |       CROSS JOIN (SELECT unnest(range($Bands)) AS b) bb)""".stripMargin
   }
 
   private def embedLshSql(candExtra: String, finalSelect: String): String = {

@@ -480,7 +480,9 @@ object SimilarityQueries {
       // both sides of the band self-join consume the coded frame and
       // alias-renamed self-join sides defeat ReuseExchange — cache (the
       // q73 discipline)
-      val bands = codedBands(idx, carry = Seq("cid")).cache()
+      val bands = codedBands(idx,
+        graft.operators.CorpusQueries.embBandBits(s, dir),
+        carry = Seq("cid")).cache()
       val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a", "cid_a")
       val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b", "cid_b")
       ba.join(bb,

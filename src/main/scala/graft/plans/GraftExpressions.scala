@@ -512,8 +512,10 @@ case class SeqDotLong(left: Expression, right: Expression)
   * hyperplanes (rows of `signs`, row-major `planes × dims`, entries ±1),
   * compute the sequential dot product (double accumulation, left-to-right
   * — the oracle's list_reduce op order; ±1 products are exact in every
-  * float width) and pack bit j = (dot_j > 0) at position planes−1−j of an
-  * INT code (plane 0 is the MSB). One straight-line pass per row replaces
+  * float width) and pack bit j = (dot_j > 0) at position planes−1−j of a
+  * BIGINT code (plane 0 is the MSB; ≤ 63 planes keeps it non-negative, so
+  * arithmetic shift-right + mask band extraction agrees across engines).
+  * One straight-line pass per row replaces
   * q73's 16 separate `when(seq_dot(emb, array(64 literals)) > 0, 1)`
   * columns — 16 CreateArray(64-lit) expression trees per projection,
   * duplicated again by the band self-join — whose sheer tree size
@@ -524,9 +526,10 @@ case class SignLshCode(child: Expression, signs: Array[Double],
     planes: Int, dims: Int) extends UnaryExpression {
   require(signs.length == planes * dims,
     s"signs must be planes×dims = ${planes * dims}, got ${signs.length}")
-  require(planes <= 31, s"code packs into an INT: planes ≤ 31, got $planes")
+  require(planes <= 63,
+    s"code packs into a non-negative BIGINT: planes ≤ 63, got $planes")
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = LongType
   override def prettyName: String = "graft_sign_lsh"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -546,13 +549,13 @@ case class SignLshCode(child: Expression, signs: Array[Double],
       throw new IllegalArgumentException(
         s"graft_sign_lsh: expected $dims elements, got $n")
     }
-    var code = 0
+    var code = 0L
     var j = 0
     while (j < planes) {
       var acc = 0.0
       var i = 0
       while (i < n) { acc += a.getFloat(i).toDouble * signs(j * dims + i); i += 1 }
-      code = (code << 1) | (if (acc > 0) 1 else 0)
+      code = (code << 1) | (if (acc > 0) 1L else 0L)
       j += 1
     }
     code
@@ -570,13 +573,13 @@ case class SignLshCode(child: Expression, signs: Array[Double],
          |  throw new IllegalArgumentException(
          |    "graft_sign_lsh: expected $dims elements, got " + $n);
          |}
-         |int $code = 0;
+         |long $code = 0L;
          |for (int $j = 0; $j < $planes; $j++) {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += ((double) $a.getFloat($i)) * $signsRef[$j * $dims + $i];
          |  }
-         |  $code = ($code << 1) | ($acc > 0 ? 1 : 0);
+         |  $code = ($code << 1) | ($acc > 0 ? 1L : 0L);
          |}
          |${ev.value} = $code;
        """.stripMargin

@@ -268,4 +268,56 @@ class CorpusSpec extends SparkSpec {
       "sum of degrees must be even (each mutual edge has two endpoints)")
     assert(edgeEndpoints > 0, "the fixture corpus must produce some mutual edges")
   }
+
+  test("bandBits ladder: fixture-invariant floor, boundary steps, 12-bit cap") {
+    // the sign-LSH twin of centroidStride: any change to these pins
+    // changes the gated outputs of q73/q109/q135/q143/q163 AND must be
+    // mirrored in lshBandCtes' SQL ladder (generated from 128·2^b — this
+    // test is the boundary-value witness both share)
+    val bb = CorpusQueries.bandBits _
+    // every fixture scale (22 / 200 / 2000 embeddings) stays at the
+    // historical 4-bit scheme — sweeps at sf0.001/0.01/0.1 are invariant
+    assert(Seq(0L, 22L, 200L, 2000L, 2048L).map(bb) === Seq(4, 4, 4, 4, 4))
+    assert(bb(2049L) === 5, "first step past the 4-bit occupancy bound")
+    assert(bb(4096L) === 5)
+    assert(bb(20000L) === 8, "the sf1 scale point's width")
+    assert(bb(262144L) === 11)
+    assert(bb(262145L) === 12)
+    assert(bb(1000000000L) === 12, "capped, the re-tune point")
+    // monotone non-decreasing (a growing corpus never widens buckets)
+    val samples = (0 to 60).map(i => 1L << (i.min(40)))
+    assert(samples.map(bb) === samples.map(bb).sorted)
+  }
+
+  test("codedBands at a non-fixture width: band keys equal a driver-side " +
+      "recompute from planeSign, 4 bands, keys < 2^bits") {
+    val sess = spark
+    import sess.implicits._
+    val dims = 64; val bits = 6; val bands = 4
+    def sign(i: Int, j: Int): Float =
+      if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0f else -1.0f
+    val rnd = new scala.util.Random(40177)
+    val vecs = (0L until 25L).map(id =>
+      (id, Array.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = CorpusQueries.codedBands(df, bits)
+      .select("vec_id", "bk").as[(Long, String)].collect().toSet
+    val want = vecs.flatMap { case (id, v) =>
+      val bitsOf = (0 until bands * bits).map { j =>
+        var acc = 0.0
+        for (i <- 0 until dims) acc += v(i).toDouble * sign(i + 1, j)
+        if (acc > 0) 1 else 0
+      }
+      (0 until bands).map { b =>
+        val key = (0 until bits).foldLeft(0L)((a, t) =>
+          (a << 1) | bitsOf(b * bits + t))
+        (id, s"$b:$key")
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.forall { case (_, bk) =>
+      bk.split(":")(1).toLong < (1L << bits) })
+    assert(got.size === vecs.size * bands)
+  }
 }

@@ -138,11 +138,45 @@ class GraftFunctionsSpec extends SparkSpec {
       GraftExpressions.sign_lsh_code($"v", signs, planes, dims).as("code")
         +: bitCols: _*)
     withCode.collect().foreach { r =>
-      val code = r.getInt(0)
+      val code = r.getLong(0)
       for (j <- 0 until planes) {
         val expected = r.getInt(1 + j)
-        val actual = (code >> (planes - 1 - j)) & 1
+        val actual = ((code >> (planes - 1 - j)) & 1L).toInt
         assert(actual === expected, s"plane $j of code $code")
+      }
+    }
+  }
+
+  test("sign_lsh_code packs 48 planes into a non-negative BIGINT " +
+      "(the adaptive 12-bit × 4-band ceiling)") {
+    // the adaptive band scheme (CorpusQueries.bandBits) needs up to
+    // 4 × 12 = 48 planes; the code must stay non-negative so that
+    // arithmetic shiftright + mask band extraction agrees with DuckDB
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    val planes = 48; val dims = 8
+    def sign(i: Int, j: Int): Double =
+      if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0 else -1.0
+    val signs = Array.tabulate(planes * dims)(idx =>
+      sign(idx % dims + 1, idx / dims))
+    val rnd = new scala.util.Random(12901)
+    val vecs = Seq.fill(30)(Seq.fill(dims)(rnd.nextFloat() * 2f - 1f))
+    val df = vecs.toDF("v").select($"v".cast("array<float>").as("v"))
+    val rows = df.select($"v",
+      GraftExpressions.sign_lsh_code($"v", signs, planes, dims).as("code"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val code = r.getLong(1)
+      assert(code >= 0L, s"negative code $code")
+      for (j <- 0 until planes) {
+        var acc = 0.0
+        for (i <- 0 until dims) acc += v(i).toDouble * sign(i + 1, j)
+        val expected = if (acc > 0) 1L else 0L
+        assert(((code >> (planes - 1 - j)) & 1L) === expected,
+          s"plane $j of code $code")
       }
     }
   }

@@ -123,7 +123,8 @@ class StreamingSpec extends SparkSpec {
     val corpus = spark.table(tab).toDF("corpus_vec", "e_c", "n_c", "bk")
     val input = MemoryStream[(Long, Array[Float])]
     val stream = input.toDF().toDF("vec_id", "embedding")
-    val batch = graft.operators.CorpusQueries.codedBands(stream)
+    val batch = graft.operators.CorpusQueries.codedBands(stream,
+        graft.operators.CorpusQueries.embBandBits(spark, dir))
       .toDF("batch_vec", "e_b", "n_b", "bk_b")
     val pairs = batch.join(corpus, expr("bk = bk_b"))
       .select(col("batch_vec"), col("corpus_vec"),
