@@ -538,6 +538,59 @@ object CorpusQueries {
         .orderBy("degree")
     },
 
+    // LSH-WIDTH candidate recall — the band-scheme member of the
+    // approximation-evaluation family (q122 reduces candidates by IVF
+    // bucket, q132 measures MinHash candidate P/R, q137 reduces
+    // precision, q167 reduces dimensions; this measures what the
+    // adaptive bandBits width costs): for each bounded-set query
+    // vector (the q45/q122 convention, |Q| ≤ 100), the TRUE set is
+    // every exact-cosine ≥ 0.4 neighbor (one broadcast-Q linear scan,
+    // never all-pairs) and the CANDIDATE set is every vector sharing
+    // ≥ 1 band at the corpus's own bandBits width — per-query n_true /
+    // n_hit / recall. This is the instrument that tells a pipeline
+    // whether the width the ladder picked for ITS corpus still
+    // captures the threshold it cares about (recall drifts down as
+    // bits grow — s* ≈ 0.60 at 4 bits, 0.88 at 8 — the documented
+    // trade); recall is a REPORTED metric here, candidate correctness
+    // itself is exact on both engines. NULL recall where a query has
+    // no true neighbor (the honest denominator, not a fill).
+    "q192_lsh_recall" -> { (s, dir) =>
+      val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
+      val bands = codedBands(emb, embBandBits(s, dir)).cache()
+      val isQ = (c: Column) => c % 50 === 0 && c < 5000
+      val cand = bands.filter(isQ(col("vec_id")))
+        .select(col("vec_id").as("qid"), col("bk").as("bkq"))
+        .join(bands.select(col("vec_id").as("nid"), col("bk")),
+          col("bkq") === col("bk") && col("nid") =!= col("qid"))
+        .select("qid", "nid").distinct()
+      val en = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.l2Norm(col("embedding")).as("nrm"))
+      val qe = en.filter(isQ(col("vec_id")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val exact = broadcast(qe)
+        .join(en.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("nrm").as("nn")), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          graft.functions.VectorOps.cosinePre(
+            graft.operators.LlmQueries.seqDot(col("qe"), col("ne")),
+            col("qn"), col("nn")).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .select("qid", "nid")
+      val nTrue = exact.groupBy("qid").agg(count(lit(1)).as("n_true"))
+      val nHit = exact.join(cand, Seq("qid", "nid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      qe.select("qid")
+        .join(nTrue, Seq("qid"), "left").join(nHit, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_true", "n_hit"))
+        .select(col("qid"),
+          col("n_true").cast("long").as("n_true"),
+          col("n_hit").cast("long").as("n_hit"),
+          when(col("n_true") > 0,
+            round(col("n_hit") / col("n_true"), 6)).as("recall"))
+        .orderBy("qid")
+    },
+
     // Incremental embedding near-dup against a PERSISTED sign-LSH
     // index — q106's pattern in vector space, completing the serving
     // triad (q106 text probe, q108 streaming probe, q109 vector probe
@@ -1038,6 +1091,38 @@ object CorpusQueries {
       |FROM embeddings e LEFT JOIN deg USING (vec_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  // q192: the band CTEs at the ladder's own width supply candidates;
+  // the exact side replays the broadcast-Q linear scan; per-query
+  // n_true / n_hit / recall with a NULL recall on empty denominators
+  private val q192Sql: String =
+    s"""WITH $lshBandCtes,
+       |en AS MATERIALIZED (SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (x,y)->x+y)) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+       |  FROM en WHERE vec_id % 50 = 0 AND vec_id < 5000),
+       |exact AS MATERIALIZED (
+       |  SELECT qid, e.vec_id AS nid
+       |  FROM q JOIN en e ON e.vec_id != qid
+       |  WHERE CASE WHEN qn = 0 OR e.nrm = 0 THEN NULL ELSE
+       |    list_reduce(list_transform(range(1,65), i -> CAST(qe[i]*e.embedding[i] AS DOUBLE)), (x,y)->x+y)
+       |    / (qn*e.nrm) END >= 0.4),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.key = y.key AND y.vec_id != x.vec_id
+       |  WHERE x.vec_id % 50 = 0 AND x.vec_id < 5000),
+       |tr AS (SELECT qid, count(*) AS n_true FROM exact GROUP BY qid),
+       |ht AS (SELECT qid, count(*) AS n_hit
+       |  FROM exact JOIN cand USING (qid, nid) GROUP BY qid)
+       |SELECT q.qid,
+       |  CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+       |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       |  CASE WHEN COALESCE(n_true, 0) > 0
+       |       THEN round(COALESCE(n_hit, 0) / n_true, 6) END AS recall
+       |FROM q LEFT JOIN tr USING (qid) LEFT JOIN ht USING (qid)
+       |ORDER BY qid""".stripMargin
+
   private val q109Sql: String = embedLshSql(
     "\n    WHERE (x.vec_id % 10 = 7) != (y.vec_id % 10 = 7)",
     """SELECT CASE WHEN id_a % 10 = 7 THEN id_a ELSE id_b END AS batch_vec,
@@ -1158,6 +1243,7 @@ object CorpusQueries {
 
     "q73_embed_lsh" -> q73Sql,
     "q163_knn_graph" -> q163Sql,
+    "q192_lsh_recall" -> q192Sql,
     "q167_rp_recall" -> q167Sql,
 
     // q73's replay restricted to mixed (batch, corpus) pairs — the

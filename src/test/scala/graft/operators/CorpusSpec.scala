@@ -269,6 +269,54 @@ class CorpusSpec extends SparkSpec {
     assert(edgeEndpoints > 0, "the fixture corpus must produce some mutual edges")
   }
 
+  test("q192: LSH-width recall equals an exact driver-side replay " +
+      "(true set, band candidates, NULL-denominator convention)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusQueries.queries("q192_lsh_recall")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val rows = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // engine-exact arithmetic: float multiply, double accumulation
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def sign(i: Int, j: Int): Float =
+      if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0f else -1.0f
+    val bits = CorpusQueries.bandBits(rows.length.toLong)
+    assert(bits === 4, "fixture corpus must sit on the ladder floor")
+    val vecs = rows.toMap
+    def bandsOf(v: Array[Float]): Set[(Int, Long)] = {
+      val b = (0 until 4 * bits).map { j =>
+        if (fdot(v, Array.tabulate(64)(i => sign(i + 1, j))) > 0) 1L else 0L
+      }
+      (0 until 4).map(k => k ->
+        (0 until bits).foldLeft(0L)((a, t) => (a << 1) | b(k * bits + t))).toSet
+    }
+    val bnd = rows.map { case (id, v) => id -> bandsOf(v) }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+      val na = math.sqrt(fdot(a, a)); val nb = math.sqrt(fdot(b, b))
+      if (na == 0 || nb == 0) None else Some(fdot(a, b) / (na * nb))
+    }
+    val qids = rows.map(_._1).filter(id => id % 50 == 0 && id < 5000)
+    assert(qids.nonEmpty)
+    val expect = qids.map { qid =>
+      val others = rows.map(_._1).filter(_ != qid)
+      val tru = others.filter(n => cos(vecs(qid), vecs(n)).exists(_ >= 0.4))
+      val hit = tru.filter(n => (bnd(qid) & bnd(n)).nonEmpty)
+      val recall = if (tru.isEmpty) None
+        else Some(BigDecimal(hit.size.toDouble / tru.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      qid -> ((tru.size.toLong, hit.size.toLong, recall))
+    }.toMap
+    assert(got === expect,
+      "engine recall must equal the exact set-membership replay")
+  }
+
   test("bandBits ladder: fixture-invariant floor, boundary steps, 12-bit cap") {
     // the sign-LSH twin of centroidStride: any change to these pins
     // changes the gated outputs of q73/q109/q135/q143/q163 AND must be
