@@ -340,6 +340,31 @@ class PlanSpec extends SparkSpec {
       s"per-plane seq_dot bit columns crept back into q73's coding stage:\n$p")
   }
 
+  test("q192 exact side broadcasts the bounded Q; candidates are an equi-join " +
+      "over the cached coded frame") {
+    // the evaluation key must itself obey the disciplines it measures:
+    // the exact-cosine side is a broadcast of the bounded query set
+    // against one linear scan (never an unbounded cross), and band
+    // candidates come from the same cached codedBands self-probe as
+    // q73 (hash-joinable, no compare matrix)
+    val p = plan("q192_lsh_recall")
+    assert(p.contains("graft_sign_lsh"),
+      s"expected the SignLshCode kernel in the plan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the bounded query set must broadcast:\n$p")
+    // the exact side's broadcast-bounded != join IS a BNLJ by design
+    // (the q45 rule: bounded |Q| x one linear scan); what must never
+    // appear is an unbounded cross, and the CANDIDATE side must be a
+    // hash-partitionable equi-join on the band key
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded compare matrix:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin"),
+      s"band candidates must come from an equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"both candidate sides must reuse the cached coded frame:\n$p")
+  }
+
   test("q149 interval join is a binned EQUI-join, never a nested-loop compare matrix") {
     // a raw ts-BETWEEN join plans as BroadcastNestedLoop — O(n·m) at
     // any scale; the bin explode turns it into a hash-joinable shape
