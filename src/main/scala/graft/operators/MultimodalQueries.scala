@@ -145,10 +145,18 @@ object MultimodalQueries {
     // (MultimodalOps.wavBytes), go through the real
     // `javax.sound.sampled` decode, and hash to the 16-bit
     // energy-envelope fingerprint (all-integer: window amplitude sums
-    // vs track mean). Candidates come from a 4×4-bit band self-join on
+    // vs track mean). Candidates come from a 2×8-bit band self-join on
     // the fingerprint — hash-partitionable, never all-pairs; hamming
-    // ≤ 1 keeps a pair (a single flipped envelope bit leaves ≥ 3
-    // bands intact, so banding loses nothing at this radius). The
+    // ≤ 1 keeps a pair (pigeonhole: radius 1 needs only TWO bands — a
+    // single flipped envelope bit leaves ≥ 1 band intact, so banding
+    // loses nothing at this radius). 8-bit keys give 256 buckets per
+    // band vs the 16 the r12 sf1 scale point caught going quadratic
+    // (50k docs × 16 buckets ⇒ ~312M candidate rows; 2×8 cuts
+    // candidates ~32× with the IDENTICAL verified output — the band
+    // scheme is invisible post-filter). A 16-bit fingerprint caps out
+    // regardless once n approaches 2^16 (only that many distinct
+    // codes exist); the at-scale lever beyond this is a LONGER
+    // envelope (more windows), the q169 shape. The
     // oracle replays sample bytes via ascii() (ASCII fixtures — the
     // q88/q115 trick aimed at the envelope hash): decode stays real,
     // arithmetic stays replayable. Same narrow per-row synth+decode
@@ -156,9 +164,13 @@ object MultimodalQueries {
     "q147_audio_dedup" -> { (s, dir) =>
       val fps = audioFpRows(
         tWide(s, dir, "documents").select(col("doc_id"), col("text")))
+      // cached: the WAV synth + javax.sound decode upstream would
+      // otherwise run once PER SELF-JOIN SIDE (the q73 discipline;
+      // ~2× the whole decode cost at sf1)
       val bands = fps.select(col("media_id"), col("fp"),
-          explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("bk", expr("shiftright(fp, CAST(4 * b AS INT)) & 15"))
+          explode(sequence(lit(0), lit(1))).as("b"))
+        .withColumn("bk", expr("shiftright(fp, CAST(8 * b AS INT)) & 255"))
+        .cache()
       val ba = bands.select(col("media_id").as("id_a"), col("fp").as("f_a"),
         col("b"), col("bk"))
       val bb = bands.select(col("media_id").as("id_b"), col("fp").as("f_b"),
@@ -193,10 +205,13 @@ object MultimodalQueries {
     "q169_video_dedup" -> { (s, dir) =>
       val vh = videoFrameHashes(
         tWide(s, dir, "documents").select(col("doc_id"), col("text")))
+      // cached: the AVI walk + 4 per-frame ImageIO decodes upstream
+      // would otherwise run once per self-join side (q73 discipline)
       val bands = vh.select(col("media_id"), col("hs"),
           posexplode(col("hs")).as(Seq("f", "h")))
         .withColumn("b", explode(sequence(lit(0), lit(3))))
         .withColumn("bk", expr("shiftright(h, CAST(16 * b AS INT)) & 65535"))
+        .cache()
       val ba = bands.select(col("media_id").as("id_a"), col("hs").as("hs_a"),
         col("f"), col("b"), col("bk"))
       val bb = bands.select(col("media_id").as("id_b"), col("hs").as("hs_b"),
@@ -346,9 +361,13 @@ object MultimodalQueries {
     * all-pairs (PlanSpec pins no cartesian/nested-loop) — and keep
     * pairs within hamming ≤ 6. Returns (id_a, id_b), id_a < id_b. */
   def dHashPairs(hashes: DataFrame): DataFrame = {
+    // cached: both self-join sides consume the banded frame, and
+    // alias-renamed sides defeat ReuseExchange (the q73 discipline) —
+    // uncached, the REAL ImageIO decode upstream runs twice
     val bands = hashes.select(col("media_id"), col("h"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bk", expr("shiftright(h, CAST(16 * b AS INT)) & 65535"))
+      .cache()
     val ba = bands.select(col("media_id").as("id_a"), col("h").as("h_a"),
       col("b"), col("bk"))
     val bb = bands.select(col("media_id").as("id_b"), col("h").as("h_b"),
@@ -505,7 +524,7 @@ object MultimodalQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // q147: sample bytes replayed via ascii() (decoded 8-bit PCM ==
-    // text bytes), envelope hash in integer SQL, same 4×4-bit banding.
+    // text bytes), envelope hash in integer SQL, same 2×8-bit banding.
     // NB a zero-length text would fingerprint engine-side as 0 but drop
     // out of the sample CTE here — the fixtures carry none (pinned by
     // FixturesSpec) and a length-0 doc can't pair anyway.
@@ -523,8 +542,8 @@ object MultimodalQueries {
         |    THEN 1::BIGINT << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS fp
         |  FROM w JOIN t USING (doc_id) GROUP BY w.doc_id),
         |bands AS (
-        |  SELECT doc_id, fp, b, (fp >> CAST(4 * b AS INTEGER)) & 15 AS bk
-        |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+        |  SELECT doc_id, fp, b, (fp >> CAST(8 * b AS INTEGER)) & 255 AS bk
+        |  FROM fp CROSS JOIN (SELECT unnest(range(2)) AS b) bb),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
         |    x.fp AS fa, y.fp AS fb

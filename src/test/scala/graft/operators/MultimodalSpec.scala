@@ -87,6 +87,27 @@ class MultimodalSpec extends SparkSpec {
     assert(audioEnvelopeFp("not audio at all".getBytes("UTF-8")) === None)
   }
 
+  test("q147: 2x8-bit banding is LOSSLESS at hamming <= 1 " +
+      "(output equals the brute-force all-pairs recompute)") {
+    // the r12 band re-cut (4x4 -> 2x8, 16x more buckets per band) must
+    // not change the verified output: radius 1 flips at most one 8-bit
+    // band, so every true pair still shares the other band exactly
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q147_audio_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = graft.operators.MultimodalQueries.audioFpRows(
+        graft.Tables.tWide(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 1
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
+    assert(brute.nonEmpty, "fixtures must produce some audio near-dups")
+    assert(got === brute, "banding must be lossless at radius 1")
+  }
+
   test("decodeFeatures: deterministic histogram features + checksum") {
     val payload = Array.tabulate(64)(i => i.toByte) // bytes 0..63
     val rows = mediaDS(Seq(
