@@ -102,6 +102,11 @@ object Bench {
       // q134's build+append cycle IS its cost (the q113 convention)
       "q134_index_build" -> (() => {
         operators.SimilarityQueries.ivfIndexGrown(spark, sfDir, rebuild = true); () }),
+      // q164's shingle/df/rank frame — 4.2 s of the old 4.3 s warm key
+      // was this build, recomputed every run until r13 persisted it
+      "q164_index_build" -> (() => {
+        operators.SimilarityQueries.containmentIndex(spark, sfDir,
+          rebuild = true); () }),
       // The micro-batch machinery FLOOR under q108: the same staged
       // two-batch replay and parquet sink, but a pass-through pipeline
       // (no signatures, no band join) — so q108 minus this pseudo-key

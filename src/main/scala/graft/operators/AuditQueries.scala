@@ -405,7 +405,7 @@ object AuditQueries {
           .option("maxFilesPerTrigger", 1).parquet(src)
         val q = stream.writeStream
           .option("checkpointLocation", s"$base/ckpt")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
             batch.persist()
             val n1 = batch.count()
             if (n1 > 0) {
@@ -431,7 +431,7 @@ object AuditQueries {
                     lit(n1).as("n_batch"), col("d_scaled"),
                     round(col("d_scaled").cast("double") / lit(n1 * n2), 6)
                       .as("ks_d")),
-                outDir, key)
+                outDir, key, bid)
             }
             batch.unpersist()
             ()

@@ -31,16 +31,28 @@ object CorpusQueries {
   private def hashSampled(docs: DataFrame, pct: Int): DataFrame =
     docs.filter(pmod(pmod(col("doc_id"), lit(100)) * 61L, lit(100)) < pct)
 
-  /** 16 fixed ±1 hyperplanes for sign-LSH over 64-dim embeddings;
-    * component i (1-based), plane j: +1 iff ((i·73 + j·179) mod 7) is
-    * even. The SAME array literals are embedded in the DuckDB oracle SQL
-    * (generated below from this function — one source of truth). */
+  /** Fixed ±1 hyperplanes for sign-LSH / RP over 64-dim embeddings;
+    * component i (1-based), plane j (0-based, global index): +1 iff
+    * ((i·73 + j·179 + i·j·31) mod 2039) is even. The modulus is PRIME
+    * and larger than the widest scheme's plane count (bandCount(12)·12
+    * = 1800), and the bilinear i·j term gives every plane a distinct
+    * slope (73 + 31·j mod 2039, 31 invertible) — so no two planes
+    * share a sign pattern. This replaced the r12 formula
+    * ((i·73 + j·179) mod 7) mod 2 in r13: that one was PERIOD-7 IN j,
+    * so the entire scheme only ever contained 7 distinct hyperplanes —
+    * at 8-bit widths every band's 8 consecutive planes covered all 7
+    * residues and every band induced the SAME partition, which is the
+    * real reason q192 measured recall frozen at 0.114 no matter the
+    * band count. The oracle computes the same formula arithmetically
+    * in SQL ([[lshBandCtes]]) and via generated literals
+    * ([[planeDotSql]]) — one source of truth. All arithmetic stays in
+    * int32 range (max term ≈ 64·1800·31 ≈ 3.6e6), exact on any
+    * engine. */
   private def planeSign(i: Int, j: Int): Float =
-    if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0f else -1.0f
+    if (((i * 73 + j * 179 + i * j * 31) % 2039) % 2 == 0) 1.0f else -1.0f
 
   private val Dims = 64
   private val Planes = 16 // q167's fixed RP projection width (not the LSH band scheme)
-  private val Bands = 4
 
   /** ADAPTIVE band resolution — the sign-LSH twin of the IVF
     * `centroidStride` cap (SimilarityQueries.scala:47): bits per band
@@ -52,23 +64,51 @@ object CorpusQueries {
     * float log: smallest b in [4, 12] with 128·2^b ≥ n. n ≤ 2048 ⇒ 4,
     * so every fixture scale (22 / 200 / 2000 vectors) keeps the exact
     * historical scheme and byte-identical outputs; sf1's 20k ⇒ 8. The
-    * 12-bit cap (n = 262 144; 48 planes = 4×12 ≤ SignLshCode's 63) is
-    * the MaxCentroids-style re-tune point: past it a real deployment
-    * re-bands (or adds bands) rather than letting keys float — and as
-    * bits grow the effective LSH threshold s* ≈ cos(π·(1−(1/4)^(1/bits)))
-    * drifts up (0.60 at 4 bits, 0.88 at 8), the standard
-    * candidates-vs-recall trade that q122/q132's evaluation keys are
-    * the instrument for. At 100 TB the chosen bits FREEZES with a
-    * persisted index (append ≡ rebuild only under the index's own
-    * scheme); here it derives deterministically from the fixture table
-    * so both engines agree — the oracle computes the same ladder in
-    * SQL (one source of truth: [[lshBandCtes]] generates the
-    * thresholds from this function's 128·2^b expression). */
+    * 12-bit cap (n = 262 144) is the MaxCentroids-style re-tune point:
+    * past it a real deployment re-tunes rather than letting keys float.
+    * Width alone is NOT the whole ladder: narrowing buckets without
+    * adding bands silently trades recall away (the r12 scheme measured
+    * 0.402 → 0.114 via q192), so the band COUNT grows alongside via
+    * [[bandCount]] to hold the analytic threshold recall ≥ 0.45 at
+    * every rung — q192 stays the live instrument for what the scheme
+    * actually delivers on a given corpus. At 100 TB the chosen width
+    * FREEZES with a persisted index (append ≡ rebuild only under the
+    * index's own scheme — [[embedBandIndex]] carries the width in the
+    * table name and probes read it back); here it derives
+    * deterministically from the fixture table so both engines agree —
+    * the oracle computes the same ladders in SQL (one source of truth:
+    * [[lshBandCtes]] generates the thresholds from this function's
+    * 128·2^b expression and the BandCounts table). */
   private[graft] def bandBits(n: Long): Int = {
     var b = 4
     while (b < 12 && (128L << b) < n) b += 1
     b
   }
+
+  /** The SECOND dimension of the band ladder (r13): band COUNT grows
+    * with band width so candidate RECALL holds a floor instead of
+    * collapsing as buckets narrow. With per-plane collision probability
+    * p = 1 − arccos(s)/π (p ≈ 0.631 at the gated cosine threshold
+    * s = 0.4), a (bands=b, bits=k) scheme captures a threshold-sim pair
+    * with probability 1 − (1 − p^k)^b; the r12 single-dimension ladder
+    * (b fixed at 4) let that fall 0.402 → 0.114 measured (q192) as k
+    * grew 4 → 8, silently dropping ~90% of true neighbors at sf1. This
+    * table is the smallest b per width with analytic threshold recall
+    * ≥ 0.45 — b = ceil(ln(0.55)/ln(1−p^k)) — derived OFFLINE (compile-
+    * time constants; engine-side arithmetic stays integer-only per the
+    * determinism contract), except the 4-bit rung, which is PINNED at
+    * its historical 4 (analytic 0.499) so every fixture scale keeps
+    * byte-identical outputs. Verify cost scales as b·n²/2^k — wider-
+    * with-more-bands is CHEAPER per unit recall than narrow (the
+    * per-rung pair budget b/2^k falls as k grows), which is why the
+    * ladder widens at all. The q73/q109/q135/q143/q163/q192 oracles
+    * replay the same table via the generated nbands CASE in
+    * [[lshBandCtes]] — one source of truth. */
+  private[graft] val BandCounts: Map[Int, Int] = Map(
+    4 -> 4, 5 -> 6, 6 -> 10, 7 -> 15, 8 -> 24,
+    9 -> 38, 10 -> 60, 11 -> 95, 12 -> 150)
+
+  private[graft] def bandCount(bits: Int): Int = BandCounts(bits)
 
   /** The band width every sign-LSH consumer (one-shot, index build,
     * probe, stream) must share for a given dir: the ladder over the
@@ -180,30 +220,30 @@ object CorpusQueries {
   /** Sign-LSH coding + band-key explode shared by every embedding
     * near-dup consumer (q73/q143 one-shot, q109's index build and
     * per-batch probe, q135's stream side): one kernel pass codes
-    * 4·bits planes, 4 band keys of `bits` bits each ([[bandBits]] —
-    * callers MUST pass the same width on both sides of a join; for the
-    * gated keys that is [[embBandBits]] of the dir, frozen with the
-    * persisted index), embedding + norm riding each band row. `carry`
+    * bandCount(bits)·bits planes into bandCount(bits) band keys of
+    * `bits` bits each (the two-dimensional [[bandBits]] × [[bandCount]]
+    * ladder — callers MUST pass the same width on both sides of a join;
+    * for the gated keys that is [[embBandBits]] of the dir, frozen with
+    * the persisted index), embedding + norm riding each band row. `carry`
     * names extra input columns to ride along unchanged (q143 carries
     * the cluster id so its candidate join needs no join-back). */
   private[graft] def codedBands(e: DataFrame, bits: Int,
       carry: Seq[String] = Nil): DataFrame = {
-    import graft.plans.GraftExpressions.sign_lsh_code
-    val nPlanes = Bands * bits
+    import graft.plans.GraftExpressions.sign_lsh_bands
+    val bands = bandCount(bits)
+    val nPlanes = bands * bits
     val signs = Array.tabulate(nPlanes * Dims) { idx =>
       planeSign(idx % Dims + 1, idx / Dims).toDouble
     }
     val coded = e.select(Seq(col("vec_id"), col("embedding"),
       graft.functions.VectorOps.l2Norm(col("embedding")).as("nrm"),
-      sign_lsh_code(col("embedding"), signs, nPlanes, Dims).as("code")) ++
-      carry.map(col): _*)
-    val bks = (0 until Bands).map { b =>
-      concat_ws(":", lit(b),
-        shiftright(col("code"), (Bands - 1 - b) * bits)
-          .bitwiseAND(lit((1L << bits) - 1)))
-    }
+      sign_lsh_bands(col("embedding"), signs, bands, bits, Dims)
+        .as("codes")) ++ carry.map(col): _*)
     coded.select(Seq(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(bks: _*)).as("bk")) ++ carry.map(col): _*)
+      posexplode(col("codes"))) ++ carry.map(col): _*)
+      .select(Seq(col("vec_id"), col("embedding"), col("nrm"),
+        concat_ws(":", col("pos"), col("col")).as("bk")) ++
+        carry.map(col): _*)
   }
 
   /** Build — or REUSE (same (dir, session) ⇒ same content; Bench times
@@ -212,19 +252,39 @@ object CorpusQueries {
     * the band key. Grows per ingest via Staging.appendBucketed at
     * 100 TB, the q113 lifecycle. */
   def embedBandIndex(s: SparkSession, dir: String,
-      rebuild: Boolean = false): String = {
+      rebuild: Boolean = false): String = embedBandIndexFrozen(s, dir, rebuild)._1
+
+  /** [[embedBandIndex]] plus the band WIDTH the index was built at,
+    * FROZEN in the table name (`..._w<bits>`): probes MUST code their
+    * batch at the index's own width, not a re-derivation from the live
+    * count — a corpus that crosses a ladder threshold (2048, 4096, …)
+    * after the build would otherwise code probes at a wider width than
+    * the stored keys and silently return zero candidates. Freezing the
+    * width freezes the band count too ([[bandCount]] is keyed on it).
+    * An existing index of ANY width wins over the live ladder; rebuild
+    * re-derives from the current count. */
+  def embedBandIndexFrozen(s: SparkSession, dir: String,
+      rebuild: Boolean = false): (String, Int) = {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     graft.sources.Staging.vacuumStale(s, wh, "graft_embed_bands_")
-    val tab = "graft_embed_bands_" +
-      graft.sources.Staging.sessionSuffix(s, dir)
-    if (rebuild || !s.catalog.tableExists(tab)) {
-      val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
-      graft.sources.Staging.storeBucketed(
-        codedBands(emb.filter(col("vec_id") % 10 =!= 7), embBandBits(s, dir))
-          .repartition(8, col("bk")),
-        tab, Seq("bk"), 8)
+    val prefix = "graft_embed_bands_" +
+      graft.sources.Staging.sessionSuffix(s, dir) + "_w"
+    val existing =
+      if (rebuild) Nil
+      else s.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith(prefix)).toSeq
+    existing.headOption match {
+      case Some(tab) => (tab, tab.stripPrefix(prefix).toInt)
+      case None =>
+        val bits = embBandBits(s, dir)
+        val tab = prefix + bits
+        val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
+        graft.sources.Staging.storeBucketed(
+          codedBands(emb.filter(col("vec_id") % 10 =!= 7), bits)
+            .repartition(8, col("bk")),
+          tab, Seq("bk"), 8)
+        (tab, bits)
     }
-    tab
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,10 +666,9 @@ object CorpusQueries {
     // same bucketed layout).
     "q109_embed_dedup_incremental" -> { (s, dir) =>
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
-      val tab = embedBandIndex(s, dir)
+      val (tab, idxBits) = embedBandIndexFrozen(s, dir)
       val corpus = s.table(tab).toDF("corpus_vec", "e_c", "n_c", "bk")
-      val batch = codedBands(emb.filter(col("vec_id") % 10 === 7),
-          embBandBits(s, dir))
+      val batch = codedBands(emb.filter(col("vec_id") % 10 === 7), idxBits)
         .toDF("batch_vec", "e_b", "n_b", "bk_b")
       corpus.join(broadcast(batch), col("bk") === col("bk_b"))
         .select(col("batch_vec"), col("corpus_vec"),
@@ -642,7 +701,7 @@ object CorpusQueries {
     // must reproduce the one-shot batch answer bit-for-bit.
     "q135_stream_embed_dedup" -> { (s, dir) =>
       import graft.streaming.EventQueries.{freshBase, stageBatches}
-      val tab = embedBandIndex(s, dir)
+      val (tab, idxBits) = embedBandIndexFrozen(s, dir)
       val corpus = s.table(tab).toDF("corpus_vec", "e_c", "n_c", "bk")
       val base = freshBase(s, dir, "q135")
       val outDir = s"$base/out"
@@ -657,7 +716,7 @@ object CorpusQueries {
           .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
           .option("maxFilesPerTrigger", 1)
           .parquet(src)
-        val batch = codedBands(stream, embBandBits(s, dir))
+        val batch = codedBands(stream, idxBits)
           .toDF("batch_vec", "e_b", "n_b", "bk_b")
         val pairs = batch.join(corpus, col("bk") === col("bk_b"))
           .select(col("batch_vec"), col("corpus_vec"),
@@ -982,30 +1041,47 @@ object CorpusQueries {
     * `bands`) of [[embedLshSql]], exposed (without the WITH) so q143's
     * oracle can splice the SAME sign-LSH replay after its IVF-assignment
     * CTEs — one source of truth for the plane constants AND the
-    * [[bandBits]] ladder on the DuckDB side too: `lshpar.nbits` is the
-    * same integer ladder (thresholds generated from 128·2^b here, never
-    * hand-written), `c` carries all 4×12 = 48 plane bits as a list, and
+    * [[bandBits]] × [[bandCount]] ladders on the DuckDB side too:
+    * `lshpar.(nbits, nbands)` replay both integer ladders (thresholds
+    * generated from 128·2^w and BandCounts here, never hand-written),
+    * `c` carries the nbits·nbands plane bits as a list, and
     * the band key slices the first nbits planes of each band with a
     * variable-width fold — so DuckDB reproduces whatever width the
     * engine chose for the table's row count, at every scale. */
   private[graft] def lshBandCtes: String = {
-    val maxPlanes = Bands * 12
-    val bitList = (0 until maxPlanes).map(j =>
-      s"CASE WHEN ${planeDotSql(j)} > 0 THEN 1 ELSE 0 END")
-      .mkString("[", ",\n    ", "]")
-    val ladder = (4 until 12).map(b =>
-      s"WHEN cnt <= ${128L << b} THEN $b").mkString(" ")
-    s"""lshpar AS (SELECT CASE $ladder ELSE 12 END AS nbits
+    // both ladders share one threshold list (128·2^w), so nbits and
+    // nbands are generated together from bandBits/BandCounts — the
+    // Scala tables are the single source of truth for BOTH engines
+    val ladder = (4 until 12).map(w =>
+      s"WHEN cnt <= ${128L << w} THEN $w").mkString(" ")
+    val bladder = (4 until 12).map(w =>
+      s"WHEN cnt <= ${128L << w} THEN ${bandCount(w)}").mkString(" ")
+    // plane signs computed ARITHMETICALLY from the planeSign formula
+    // (±1 iff ((i·73 + j·179) mod 7) is even) instead of per-plane
+    // literal arrays: the r13 band-count ladder needs up to
+    // bandCount(12)·12 = 1800 planes, far past what literal CASE lists
+    // can carry — and the formula is exactly what planeSign evaluates,
+    // so the products (float element × ±1.0 double, left-fold) stay
+    // value-identical to the engine kernel's
+    s"""lshpar AS (SELECT CASE $ladder ELSE 12 END AS nbits,
+       |                  CASE $bladder ELSE ${bandCount(12)} END AS nbands
        |  FROM (SELECT count(*) AS cnt FROM embeddings)),
        |c AS MATERIALIZED (
-       |  SELECT vec_id, $bitList AS bits
-       |  FROM embeddings),
+       |  SELECT vec_id,
+       |    list_transform(range(CAST(nbits*nbands AS BIGINT)), j ->
+       |      CASE WHEN list_reduce(list_transform(range(1,${Dims + 1}),
+       |        i -> CAST(embedding[i] AS DOUBLE) *
+       |          (CASE WHEN ((i*73 + j*179 + i*j*31) % 2039) % 2 = 0
+       |                THEN 1.0 ELSE -1.0 END)), (a,x)->a+x) > 0
+       |        THEN 1 ELSE 0 END) AS bits
+       |  FROM embeddings CROSS JOIN lshpar),
        |bands AS MATERIALIZED (
        |  SELECT vec_id, b,
        |    list_reduce(list_transform(range(nbits),
        |      t -> bits[b*nbits + t + 1] * (1 << (nbits-1-t))), (a,x)->a+x) AS key
-       |  FROM c CROSS JOIN lshpar
-       |       CROSS JOIN (SELECT unnest(range($Bands)) AS b) bb)""".stripMargin
+       |  FROM (SELECT vec_id, bits, nbits,
+       |          unnest(range(CAST(nbands AS BIGINT))) AS b
+       |        FROM c CROSS JOIN lshpar))""".stripMargin
   }
 
   private def embedLshSql(candExtra: String, finalSelect: String): String = {

@@ -984,7 +984,7 @@ object CurationQueries {
           .option("maxFilesPerTrigger", 1).parquet(src)
         val q = stream.writeStream
           .option("checkpointLocation", s"$base/ckpt")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
             batch.persist()
             if (batch.count() > 0) {
               val key = batch
@@ -1028,7 +1028,7 @@ object CurationQueries {
                     sum("doc_id").cast("long").as("id_sum"))
                   .select(lit(key).as("batch_key"), col("decision"),
                     col("n_docs"), col("id_sum")),
-                outDir, key)
+                outDir, key, bid)
             }
             batch.unpersist()
             ()

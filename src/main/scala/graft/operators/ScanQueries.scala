@@ -10,6 +10,32 @@ import graft.Tables._
   * ReadSchema). */
 object ScanQueries {
 
+  /** q178's TSV null codec, TOTAL over all string values: null encodes
+    * as the classic `\N` marker, and any value that literally matches
+    * the marker CLASS (one-or-more backslashes then `N` — `\N`, `\\N`,
+    * …) gains one backslash on write and sheds it on read, so the
+    * class shifts up injectively and nothing outside it is touched.
+    * Numeric fields can never collide with the marker, so they skip
+    * the escape. ScanSpec pins the round-trip law including the
+    * look-alikes. */
+  private[operators] val TsvNull = "\\N"
+  private[operators] val TsvMarkClass = "^\\\\+N$"
+
+  private[operators] def tsvEncStr(c: org.apache.spark.sql.Column) =
+    coalesce(when(c.rlike(TsvMarkClass), concat(lit("\\"), c)).otherwise(c),
+      lit(TsvNull))
+
+  private[operators] def tsvEncNum(c: org.apache.spark.sql.Column) =
+    coalesce(c.cast("string"), lit(TsvNull))
+
+  private[operators] def tsvDecStr(c: org.apache.spark.sql.Column) =
+    when(c === TsvNull, lit(null))
+      .when(c.rlike(TsvMarkClass), c.substr(lit(2), length(c)))
+      .otherwise(c)
+
+  private[operators] def tsvDecNum(c: org.apache.spark.sql.Column) =
+    when(c === TsvNull, lit(null)).otherwise(c)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -179,11 +205,16 @@ object ScanQueries {
     // an explicit "\N" sentinel on both sides: concat_ws SKIPS null
     // arguments, so an unsentineled null lang/source/n_chars would
     // silently shift every later field left (misaligning doc_id..text)
-    // instead of round-tripping — the sentinel makes the serialization
-    // contract TOTAL (fixtures are null-free, so the gated output is
-    // unchanged; this pins the contract, not the fixture). Everything
-    // else is the shared roundtrip recipe: write → schema'd read-back →
-    // per-lang checksum agg against the ORIGINAL parquet table.
+    // instead of round-tripping. String fields that literally MATCH
+    // the sentinel class (`\N`, `\\N`, … — r13, was the one partiality
+    // hole) gain one backslash on write and shed it on read, so the
+    // serialization contract is TOTAL — injective on every value
+    // including the sentinel look-alikes (fixtures are null-free and
+    // sentinel-free, so the gated output is unchanged; this pins the
+    // contract, not the fixture; the round-trip law incl. look-alikes
+    // is ScanSpec's). Everything else is the shared roundtrip recipe:
+    // write → schema'd read-back → per-lang checksum agg against the
+    // ORIGINAL parquet table.
     "q178_text_roundtrip" -> { (s, dir) =>
       import graft.plans.GraftExpressions.poly_hash
       val tmp = System.getProperty("java.io.tmpdir")
@@ -191,24 +222,20 @@ object ScanQueries {
       val stage = s"$tmp/graft_q178_" +
         graft.sources.Staging.sessionSuffix(s, dir)
       graft.sources.Staging.vacuum(s, stage)
-      val NullMark = "\\N" // the classic TSV null marker
-      def nn(c: org.apache.spark.sql.Column) =
-        coalesce(c.cast("string"), lit(NullMark))
       t(s, dir, "documents")
-        .select(concat_ws("\t", nn(col("doc_id")), nn(col("lang")),
-          nn(col("source")), nn(col("n_chars")), nn(col("text")))
+        .select(concat_ws("\t", tsvEncNum(col("doc_id")),
+          tsvEncStr(col("lang")), tsvEncStr(col("source")),
+          tsvEncNum(col("n_chars")), tsvEncStr(col("text")))
           .as("value"))
         .write.text(stage)
       val p = split(col("value"), "\t", 5)
-      def un(c: org.apache.spark.sql.Column) =
-        when(c === NullMark, lit(null)).otherwise(c)
       s.read.text(stage)
         .select(
-          un(element_at(p, 1)).cast("long").as("doc_id"),
-          un(element_at(p, 2)).as("lang"),
-          un(element_at(p, 3)).as("source"),
-          un(element_at(p, 4)).cast("long").as("n_chars"),
-          un(element_at(p, 5)).as("text"))
+          tsvDecNum(element_at(p, 1)).cast("long").as("doc_id"),
+          tsvDecStr(element_at(p, 2)).as("lang"),
+          tsvDecStr(element_at(p, 3)).as("source"),
+          tsvDecNum(element_at(p, 4)).cast("long").as("n_chars"),
+          tsvDecStr(element_at(p, 5)).as("text"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("sum_chars"),

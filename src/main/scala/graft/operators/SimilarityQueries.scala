@@ -377,8 +377,11 @@ object SimilarityQueries {
     // positional bound 1 + min(n_a−rn_a, n_b−rn_b) ≥ α and the
     // one-sided length filter n_b ≥ α. Verify runs the early-exit
     // SortedIntersectMin kernel at α; the −1 filter IS the threshold.
+    // r13: the shingle/df/rank build persists as q164_index_build
+    // (it was 4.2 s of the 4.3 s warm key, recomputed per run) — this
+    // key is now probe-only against the persisted frames.
     "q164_containment" -> { (s, dir) =>
-      containmentPairs(tWide(s, dir, "documents"))
+      containmentProbe(s, dir)
     },
 
     // Blocked (per-label) embedding pair scan: the partition-then-compare
@@ -536,7 +539,7 @@ object SimilarityQueries {
           .parquet(src)
         val q = stream.writeStream
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch0: DataFrame, _: Long) =>
+          .foreachBatch { (batch0: DataFrame, bid: Long) =>
             val batch = batch0.persist()
             // content-derived batch key (the q174 discipline; the two
             // staged batches split on vec_id % 100 ∈ {0, 50}) → the
@@ -586,7 +589,7 @@ object SimilarityQueries {
               .select(col("qid"), col("rnk"), col("nid"),
                 round(col("sim_raw"), 6).as("sim"))
             if (key >= 0)
-              graft.sources.Staging.storeBatch(top3, outDir, key)
+              graft.sources.Staging.storeBatch(top3, outDir, key, bid)
             batch.unpersist()
             ()
           }
@@ -694,23 +697,82 @@ object SimilarityQueries {
   /** q164 core: exact ordered-pair 3-gram containment ≥ 0.8 over a
     * (doc_id, text) frame — prefix-filtered candidates, early-exit
     * kernel verify; rationale and filter proofs at the q164 key. */
-  def containmentPairs(docs: DataFrame): DataFrame = {
+  /** The expensive HALF of the containment pipeline: sorted 62-bit
+    * shingle arrays per doc (`arrs`) and the per-doc rarity-ranked
+    * exploded shingle frame (`ranked` = (doc_id, h, rn, n), rn ranking
+    * by global (df, h)). The r12 cost probe measured this build at
+    * 4.2 s of q164's 4.3 s warm at sf0.1 — and it is a pure function
+    * of the corpus, exactly the persist-and-price shape every sibling
+    * family (q44/q57/q69/q106/q134/q190) already moved to. */
+  private def containmentBuild(docs: DataFrame): (DataFrame, DataFrame) = {
     val h62 = (c: Column) =>
       poly_hash(c, 131) * 2147483648L + poly_hash(c, 137)
     val arrs = docs.select(col("doc_id"),
       array_sort(transform(LlmQueries.shingles(col("text"), 3),
         sg => h62(sg))).as("arr"))
-      .filter(size(col("arr")) > 0).cache()
+      .filter(size(col("arr")) > 0)
     val sh = arrs.select(col("doc_id"),
       size(col("arr")).cast("long").as("n"), explode(col("arr")).as("h"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")
-    // cached: BOTH join sides consume it (A prefix-filtered, B full)
-    // and alias-renamed sides defeat ReuseExchange (the q55 finding)
     val ranked = sh.join(dfreq, "h")
       .withColumn("rn", row_number().over(wDoc).cast("long"))
       .select("doc_id", "h", "rn", "n")
-      .cache()
+    (arrs, ranked)
+  }
+
+  /** Build — or REUSE — q164's persisted containment index: the
+    * (arrs, ranked) pair of [[containmentBuild]] staged under one base
+    * path (`arrs/`, then `ranked/` — the ranked `_SUCCESS` is the
+    * publish marker, so a half-landed build rebuilds both). Bench
+    * prices the build as q164_index_build; the gated key reads the
+    * persisted frames probe-only. At 100 TB this is the index a
+    * decontamination service maintains per corpus snapshot — df ranks
+    * shift only with corpus-wide ingest, so the build amortizes across
+    * every eval-set probe batch. */
+  def containmentIndex(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    graft.sources.Staging.vacuumStale(s, tmp, "graft_containment_")
+    val base = s"$tmp/graft_containment_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    val done = new org.apache.hadoop.fs.Path(s"$base/ranked", "_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (rebuild || !fs.exists(done)) {
+      val (arrs, ranked) =
+        containmentBuild(graft.Tables.tWide(s, dir, "documents"))
+      // arrs first: ranked's _SUCCESS publishes the pair atomically
+      graft.sources.Staging.store(arrs, s"$base/arrs")
+      graft.sources.Staging.store(ranked, s"$base/ranked")
+    }
+    base
+  }
+
+  /** q164 probe-only: candidate generation + verify against the
+    * persisted index — byte-identical output to the one-shot
+    * [[containmentPairs]] (same frames, same plan from the filter on).
+    * Reading `ranked` twice from parquet replaces the r12 `.cache()`:
+    * two column-pruned local scans of a small index beat a
+    * materialization barrier (the measured mixSources trade), and on a
+    * cluster the scans are partition-parallel reads of a persisted
+    * table, not a recompute. */
+  def containmentProbe(s: SparkSession, dir: String): DataFrame = {
+    val base = containmentIndex(s, dir)
+    val arrs = s.read.parquet(s"$base/arrs")
+    val ranked = s.read.parquet(s"$base/ranked")
+    containmentVerify(arrs, ranked)
+  }
+
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val (arrs0, ranked0) = containmentBuild(docs)
+    // cached: BOTH join sides consume each frame (A prefix-filtered,
+    // B full) and alias-renamed sides defeat ReuseExchange (the q55
+    // finding) — the persisted path gets the same reuse from parquet
+    containmentVerify(arrs0.cache(), ranked0.cache())
+  }
+
+  private def containmentVerify(arrs: DataFrame,
+      ranked: DataFrame): DataFrame = {
     val pa = ranked
       .filter(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
       .toDF("doc_a", "h", "rn_a", "n_a")

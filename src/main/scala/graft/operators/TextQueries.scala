@@ -120,7 +120,7 @@ object TextQueries {
           .withColumn("quality", TextOps.qualityScore(col("text")))
         val q = stream.writeStream
           .option("checkpointLocation", s"$base/ckpt")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
             // both sinks consume the scored batch — cache so the score
             // pass (and the source file read) runs once per batch
             batch.persist()
@@ -132,9 +132,9 @@ object TextQueries {
               val key = batch
                 .agg(min(pmod(col("doc_id"), lit(2L)))).head().getLong(0)
               graft.sources.Staging.storeBatch(
-                batch.filter(col("quality") >= 0.5), passDir, key)
+                batch.filter(col("quality") >= 0.5), passDir, key, bid)
               graft.sources.Staging.storeBatch(
-                batch.filter(col("quality") < 0.5), quarDir, key)
+                batch.filter(col("quality") < 0.5), quarDir, key, bid)
             }
             batch.unpersist()
             ()

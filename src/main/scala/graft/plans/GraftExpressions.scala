@@ -508,29 +508,32 @@ case class SeqDotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Packed sign-LSH code over a float vector: for each of `planes` fixed
-  * hyperplanes (rows of `signs`, row-major `planes × dims`, entries ±1),
-  * compute the sequential dot product (double accumulation, left-to-right
-  * — the oracle's list_reduce op order; ±1 products are exact in every
-  * float width) and pack bit j = (dot_j > 0) at position planes−1−j of a
-  * BIGINT code (plane 0 is the MSB; ≤ 63 planes keeps it non-negative, so
-  * arithmetic shift-right + mask band extraction agrees across engines).
-  * One straight-line pass per row replaces
-  * q73's 16 separate `when(seq_dot(emb, array(64 literals)) > 0, 1)`
-  * columns — 16 CreateArray(64-lit) expression trees per projection,
-  * duplicated again by the band self-join — whose sheer tree size
-  * dominated runtime via plan/codegen overhead at small scale.
-  * Band keys come out with bit arithmetic: band b of width w is
-  * `(code >> ((planes/w − 1 − b)·w)) & (2^w − 1)`. */
-case class SignLshCode(child: Expression, signs: Array[Double],
-    planes: Int, dims: Int) extends UnaryExpression {
-  require(signs.length == planes * dims,
-    s"signs must be planes×dims = ${planes * dims}, got ${signs.length}")
-  require(planes <= 63,
-    s"code packs into a non-negative BIGINT: planes ≤ 63, got $planes")
+/** Multi-band sign-LSH band keys in ONE kernel pass: for each of
+  * bands·bits fixed hyperplanes (rows of `signs`, row-major
+  * `(bands·bits) × dims`, entries ±1), compute the sequential dot
+  * product (double accumulation, left-to-right — the oracle's
+  * list_reduce op order; ±1 products are exact in every float width);
+  * band b's key packs bits (dot_j > 0) for the GLOBAL plane indices
+  * j = b·bits .. b·bits + bits − 1, plane b·bits as that band's MSB —
+  * so the 4×4-bit fixture keys are bit-identical to the r12
+  * single-BIGINT kernel's. Returns ARRAY<BIGINT> of `bands` keys, each
+  * in [0, 2^bits): the r13 recall ladder grows the band COUNT with the
+  * width (CorpusQueries.bandCount), so the total plane count can far
+  * exceed the 63 planes one packed BIGINT carried — one key per band
+  * removes the cap entirely while keeping the per-band arithmetic (and
+  * the DuckDB twin's variable-width fold) unchanged. One straight-line
+  * pass per row instead of per-plane `when(seq_dot(emb, array(64
+  * literals)) > 0, 1)` columns, whose expression-tree size dominated
+  * runtime via plan/codegen overhead at small scale. */
+case class SignLshBands(child: Expression, signs: Array[Double],
+    bands: Int, bits: Int, dims: Int) extends UnaryExpression {
+  require(signs.length == bands * bits * dims,
+    s"signs must be bands×bits×dims = ${bands * bits * dims}, got ${signs.length}")
+  require(bits >= 1 && bits <= 62, s"band key packs into a BIGINT: got $bits")
+  require(bands >= 1, s"need at least one band, got $bands")
 
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_sign_lsh"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_lsh_bands"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -545,47 +548,59 @@ case class SignLshCode(child: Expression, signs: Array[Double],
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != dims) {
-      // silently coding a truncated vector would bucket it plausibly
       throw new IllegalArgumentException(
-        s"graft_sign_lsh: expected $dims elements, got $n")
+        s"graft_sign_lsh_bands: expected $dims elements, got $n")
     }
-    var code = 0L
-    var j = 0
-    while (j < planes) {
-      var acc = 0.0
-      var i = 0
-      while (i < n) { acc += a.getFloat(i).toDouble * signs(j * dims + i); i += 1 }
-      code = (code << 1) | (if (acc > 0) 1L else 0L)
-      j += 1
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var t = 0
+      while (t < bits) {
+        val j = b * bits + t
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += a.getFloat(i).toDouble * signs(j * dims + i); i += 1 }
+        key = (key << 1) | (if (acc > 0) 1L else 0L)
+        t += 1
+      }
+      keys(b) = key
+      b += 1
     }
-    code
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val signsRef = ctx.addReferenceObj("signs", signs, "double[]")
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
-      val code = ctx.freshName("code")
+      val b = ctx.freshName("b"); val t = ctx.freshName("t")
+      val acc = ctx.freshName("acc"); val key = ctx.freshName("key")
+      val keys = ctx.freshName("keys")
       s"""
          |int $n = $a.numElements();
          |if ($n != $dims) {
          |  throw new IllegalArgumentException(
-         |    "graft_sign_lsh: expected $dims elements, got " + $n);
+         |    "graft_sign_lsh_bands: expected $dims elements, got " + $n);
          |}
-         |long $code = 0L;
-         |for (int $j = 0; $j < $planes; $j++) {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += ((double) $a.getFloat($i)) * $signsRef[$j * $dims + $i];
+         |long[] $keys = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = 0L;
+         |  for (int $t = 0; $t < $bits; $t++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += ((double) $a.getFloat($i))
+         |        * $signsRef[($b * $bits + $t) * $dims + $i];
+         |    }
+         |    $key = ($key << 1) | ($acc > 0 ? 1L : 0L);
          |  }
-         |  $code = ($code << 1) | ($acc > 0 ? 1L : 0L);
+         |  $keys[$b] = $key;
          |}
-         |${ev.value} = $code;
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newChild: Expression): SignLshCode =
+  override protected def withNewChildInternal(newChild: Expression): SignLshBands =
     copy(child = newChild)
 }
 
@@ -720,10 +735,10 @@ object GraftExpressions {
   def quantize_stats(v: Column, scale: Double): Column =
     toColumn(QuantizeInt8Stats(toExpression(v), scale))
 
-  /** Column wrapper: packed sign-LSH code (plane 0 = MSB). */
-  def sign_lsh_code(v: Column, signs: Array[Double],
-      planes: Int, dims: Int): Column =
-    toColumn(SignLshCode(toExpression(v), signs, planes, dims))
+  /** Column wrapper: per-band sign-LSH keys as ARRAY<BIGINT>. */
+  def sign_lsh_bands(v: Column, signs: Array[Double],
+      bands: Int, bits: Int, dims: Int): Column =
+    toColumn(SignLshBands(toExpression(v), signs, bands, bits, dims))
 
   /** Column wrapper: exact integer dot product of two long arrays. */
   def seq_dot_long(a: Column, b: Column): Column =

@@ -25,8 +25,10 @@ import org.apache.spark.sql.types._
   * `maxPartitionBytes`-bounded, never a driver funnel), through the
   * Hadoop FileSystem API so `file://` here and HDFS/`s3a://` in
   * production differ only by URI. The reader parallelizes one task per
-  * container and streams records off `DataFileReader` (closing on
-  * exhaustion), never materializing a file in memory. Nullable fields
+  * container and streams records off `DataFileReader` (closed on
+  * exhaustion AND via a task-completion hook, so early-stopping
+  * consumers like `limit` don't leak the stream), never materializing
+  * a file in memory. Nullable fields
   * use Avro UNION types — the total-contract lesson q178 pins for TSV
   * applies at the schema level here, so a null round-trips as a null
   * rather than poisoning the writer. */
@@ -50,15 +52,36 @@ object AvroStage {
     StructField("n_chars", LongType),
     StructField("text", StringType)))
 
+  /** The session's EFFECTIVE Hadoop configuration as a serializable
+    * key/value list (Configuration itself is not Serializable and the
+    * task closures run executor-side): iterating a live Configuration
+    * yields loaded defaults plus every spark.hadoop.* override, so the
+    * loadDefaults=false rebuild in [[hadoopConf]] is faithful. */
+  private def serializableHadoopConf(s: SparkSession): Seq[(String, String)] = {
+    val c = s.sparkContext.hadoopConfiguration
+    c.iterator().asScala.map(e => e.getKey -> e.getValue).toList
+  }
+
+  private def hadoopConf(kv: Seq[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    kv.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Stage `df` (doc_id, lang, source, n_chars, text) as one Avro
     * container file per partition under `dir`. */
   def write(df: DataFrame, dir: String): Unit = {
+    // ship the SESSION Hadoop configuration into the tasks (a bare
+    // `new Configuration()` executor-side would drop every
+    // spark.hadoop.* setting — s3a credentials/endpoints — making the
+    // "HDFS/s3a differ only by URI" claim above false off-box)
+    val hc = serializableHadoopConf(df.sparkSession)
     val n = df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(SchemaJson)
         val path = new Path(f"$dir/part-$i%05d.avro")
-        val out = path.getFileSystem(new Configuration()).create(path, true)
+        val out = path.getFileSystem(hadoopConf(hc)).create(path, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
@@ -87,19 +110,27 @@ object AvroStage {
       if (!fs.exists(p)) Array.empty[String]
       else fs.listStatus(p).map(_.getPath)
         .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
+    val hc = serializableHadoopConf(spark)
     val rows = spark.sparkContext
       .parallelize(files.toIndexedSeq, math.max(files.length, 1))
       .flatMap { f =>
         val rdr = new DataFileReader[GenericRecord](
-          new FsInput(new Path(f), new Configuration()),
+          new FsInput(new Path(f), hadoopConf(hc)),
           new GenericDatumReader[GenericRecord]())
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; rdr.close() }
+        // a consumer that stops early (limit, take) never reaches the
+        // close-on-exhaustion below — the task-completion hook closes
+        // the reader (and its input stream) either way
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeOnce()))
         val it = rdr.iterator().asScala
         def str(v: AnyRef): String = if (v == null) null else v.toString
         new Iterator[Row] {
           // stream off the reader, closing exactly when exhausted
           def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h) rdr.close()
+            if (!h) closeOnce()
             h
           }
           def next(): Row = {

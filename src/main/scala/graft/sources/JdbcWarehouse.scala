@@ -157,6 +157,22 @@ object JdbcWarehouse {
     val stgN = s"${stg}_n"
     val c = DriverManager.getConnection(url)
     try {
+      // heal a leftover side table from a crashed previous upsert:
+      // without the guard, every later upsert of this target dies on
+      // CREATE TABLE until someone cleans up by hand (the side table
+      // is derived state — rebuilt from stg below — so dropping is
+      // always safe)
+      if (tableExists(url, stgN)) {
+        val st0 = c.createStatement()
+        try st0.executeUpdate(s"DROP TABLE $stgN") finally st0.close()
+      }
+      // one transaction around the whole split-merge: autocommit would
+      // leave the target HALF-MERGED (equality rows in, null-key rows
+      // not) on a mid-sequence crash, and stgN behind. Derby's DDL is
+      // transactional, so the CREATE/DROPs roll back with the DML;
+      // `stg` itself is loaded by the distributed writer outside the
+      // transaction and is overwritten by the next batch either way.
+      c.setAutoCommit(false)
       val st = c.createStatement()
       try {
         st.executeUpdate(
@@ -168,6 +184,12 @@ object JdbcWarehouse {
         st.executeUpdate(mergeSql(stgN, onNullSafe))
         st.executeUpdate(s"DROP TABLE $stgN")
         st.executeUpdate(s"DROP TABLE $stg")
+        c.commit()
+      } catch {
+        case t: Throwable =>
+          try c.rollback()
+          catch { case s: Exception => t.addSuppressed(s) }
+          throw t
       } finally st.close()
     } finally c.close()
   }

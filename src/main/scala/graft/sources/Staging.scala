@@ -186,8 +186,39 @@ object Staging {
     * is the stronger discipline for concurrent readers). Read the sink
     * back with [[readBatchSink]]. StreamingSpec replays a batch through
     * this and proves the read-back unchanged. */
-  def storeBatch(df: DataFrame, dir: String, key: Long): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch-$key")
+  def storeBatch(df: DataFrame, dir: String, key: Long,
+      batchId: Long = -1L): Unit = {
+    val sub = new Path(s"$dir/batch-$key")
+    val f = fs(df.sparkSession, dir)
+    val marker = new Path(sub, "_graft_batch_id")
+    // collision guard (r13): the overwrite-own-subdirectory recipe is
+    // exactly-once ONLY while batch keys are unique per micro-batch —
+    // the callers derive keys from small content moduli, so two
+    // DISTINCT batches that ever landed on one key would silently
+    // replace each other's rows. The framework batchId is stable
+    // across replays of the SAME batch (the checkpoint log replays a
+    // failed epoch under its own id), so: same id ⇒ legitimate replay,
+    // overwrite; different id ⇒ key collision, fail loudly at write
+    // time instead of corrupting the sink. Callers outside a stream
+    // (no batchId) skip the guard.
+    if (batchId >= 0 && f.exists(marker)) {
+      val in = f.open(marker)
+      val prev =
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      require(prev == batchId,
+        s"storeBatch key collision at $sub: written by batch $prev, " +
+          s"now batch $batchId — two distinct micro-batches share " +
+          s"content key $key; widen the key derivation")
+    }
+    df.write.mode(SaveMode.Overwrite).parquet(sub.toString)
+    if (batchId >= 0) {
+      // underscore-prefixed ⇒ invisible to the parquet read-back
+      val out = f.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 
   /** Read everything ever written by [[storeBatch]] under `dir`: one
     * subdirectory per batch, unioned by a recursive listing. The

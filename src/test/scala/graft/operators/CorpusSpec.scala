@@ -225,7 +225,7 @@ class CorpusSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     def sign(i: Int, j: Int): Float =
-      if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0f else -1.0f
+      if (((i * 73 + j * 179 + i * j * 31) % 2039) % 2 == 0) 1.0f else -1.0f
     // engine-exact arithmetic: float multiply, double accumulation
     def fdot(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
@@ -286,15 +286,17 @@ class CorpusSpec extends SparkSpec {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
     }
     def sign(i: Int, j: Int): Float =
-      if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0f else -1.0f
+      if (((i * 73 + j * 179 + i * j * 31) % 2039) % 2 == 0) 1.0f else -1.0f
     val bits = CorpusQueries.bandBits(rows.length.toLong)
     assert(bits === 4, "fixture corpus must sit on the ladder floor")
+    val nb = CorpusQueries.bandCount(bits)
+    assert(nb === 4, "the 4-bit rung keeps the historical 4 bands")
     val vecs = rows.toMap
     def bandsOf(v: Array[Float]): Set[(Int, Long)] = {
-      val b = (0 until 4 * bits).map { j =>
+      val b = (0 until nb * bits).map { j =>
         if (fdot(v, Array.tabulate(64)(i => sign(i + 1, j))) > 0) 1L else 0L
       }
-      (0 until 4).map(k => k ->
+      (0 until nb).map(k => k ->
         (0 until bits).foldLeft(0L)((a, t) => (a << 1) | b(k * bits + t))).toSet
     }
     val bnd = rows.map { case (id, v) => id -> bandsOf(v) }.toMap
@@ -337,13 +339,37 @@ class CorpusSpec extends SparkSpec {
     assert(samples.map(bb) === samples.map(bb).sorted)
   }
 
+  test("bandCount ladder: historical 4-bit pin, analytic recall floor, " +
+      "one source of truth with the oracle's nbands CASE") {
+    // p = 1 − arccos(0.4)/π; every rung but the pinned 4-bit one must
+    // hold analytic threshold recall 1−(1−p^k)^b ≥ 0.45, and b must be
+    // MINIMAL (b−1 falls below the floor) — the table is derived
+    // offline, so this test is the witness that the constants match
+    // their derivation; lshBandCtes generates the SQL CASE from the
+    // same map, so the oracle can't drift
+    val p = 1.0 - math.acos(0.4) / math.Pi
+    def recall(k: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(p, k), b)
+    assert(CorpusQueries.bandCount(4) === 4,
+      "the 4-bit rung is pinned at its historical band count")
+    for (k <- 5 to 12) {
+      val b = CorpusQueries.bandCount(k)
+      assert(recall(k, b) >= 0.45, s"rung $k: recall(${b}) below floor")
+      assert(recall(k, b - 1) < 0.45, s"rung $k: $b not minimal")
+    }
+    // monotone: narrower buckets never mean fewer bands
+    val bs = (4 to 12).map(CorpusQueries.bandCount)
+    assert(bs === bs.sorted)
+  }
+
   test("codedBands at a non-fixture width: band keys equal a driver-side " +
-      "recompute from planeSign, 4 bands, keys < 2^bits") {
+      "recompute from planeSign, bandCount(bits) bands, keys < 2^bits") {
     val sess = spark
     import sess.implicits._
-    val dims = 64; val bits = 6; val bands = 4
+    val dims = 64; val bits = 6
+    val bands = CorpusQueries.bandCount(bits)
     def sign(i: Int, j: Int): Float =
-      if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0f else -1.0f
+      if (((i * 73 + j * 179 + i * j * 31) % 2039) % 2 == 0) 1.0f else -1.0f
     val rnd = new scala.util.Random(40177)
     val vecs = (0L until 25L).map(id =>
       (id, Array.fill(dims)(rnd.nextFloat() * 2f - 1f)))

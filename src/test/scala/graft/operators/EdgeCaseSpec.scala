@@ -169,4 +169,30 @@ class EdgeCaseSpec extends SparkSpec {
           .toDouble, "recall must be n_hit/3 rounded to 6")
     }
   }
+
+  test("q178 TSV null codec is total: sentinel look-alikes round-trip") {
+    // the r13 escape closes the one partiality hole the fixtures can't
+    // see: a document whose text (or lang/source) is literally \N —
+    // or any member of the escape class \\N, \\\N, … — must come back
+    // verbatim, while a true NULL still round-trips to NULL
+    val sess = spark
+    import sess.implicits._
+    val vals: Seq[String] = Seq(
+      null, "\\N", "\\\\N", "N", "\\", "x\\N", "\\Nx", "\\\\\\N", "", "plain")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val back = df
+      .select(col("id"), ScanQueries.tsvEncStr(col("v")).as("enc"))
+      .select(col("id"), col("enc"),
+        ScanQueries.tsvDecStr(col("enc")).as("dec"))
+      .orderBy("id").collect()
+    back.zip(vals).foreach { case (r, v) =>
+      assert(!r.isNullAt(1), "encoding is never null (concat_ws-safe)")
+      assert(Option(r.getString(2)) === Option(v),
+        s"round-trip of ${Option(v)} gave ${Option(r.getString(2))} " +
+          s"via ${r.getString(1)}")
+    }
+    // injectivity across the whole set: distinct inputs, distinct encodings
+    assert(back.map(_.getString(1)).distinct.length === vals.length)
+  }
 }

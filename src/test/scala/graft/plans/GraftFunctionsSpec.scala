@@ -113,14 +113,16 @@ class GraftFunctionsSpec extends SparkSpec {
       s"expected folded literal in optimized plan:\n$opt")
   }
 
-  test("sign_lsh_code equals the per-plane seq_dot formulation") {
+  test("sign_lsh_bands equals the per-plane seq_dot formulation") {
     // the q73 kernel vs the r4 shape it replaced: for random vectors
     // (including exact-zero dots, which both sides must call NOT > 0),
-    // bit j of the packed code must equal when(seq_dot(v, plane_j) > 0)
+    // bit t of band b's key must equal when(seq_dot(v, plane_{b·bits+t})
+    // > 0) — the global-index, MSB-first plane convention
     import org.apache.spark.sql.functions._
     val sess = spark
     import sess.implicits._
-    val planes = 4; val dims = 8
+    val bands = 2; val bits = 2; val dims = 8
+    val planes = bands * bits
     def sign(i: Int, j: Int): Double =
       if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0 else -1.0
     val signs = Array.tabulate(planes * dims)(idx =>
@@ -135,48 +137,55 @@ class GraftFunctionsSpec extends SparkSpec {
         .otherwise(0).as(s"bit$j")
     }
     val withCode = df.select(
-      GraftExpressions.sign_lsh_code($"v", signs, planes, dims).as("code")
-        +: bitCols: _*)
+      GraftExpressions.sign_lsh_bands($"v", signs, bands, bits, dims)
+        .as("keys") +: bitCols: _*)
     withCode.collect().foreach { r =>
-      val code = r.getLong(0)
-      for (j <- 0 until planes) {
-        val expected = r.getInt(1 + j)
-        val actual = ((code >> (planes - 1 - j)) & 1L).toInt
-        assert(actual === expected, s"plane $j of code $code")
+      val keys = r.getSeq[Long](0)
+      assert(keys.length === bands)
+      for (b <- 0 until bands; t <- 0 until bits) {
+        val expected = r.getInt(1 + b * bits + t)
+        val actual = ((keys(b) >> (bits - 1 - t)) & 1L).toInt
+        assert(actual === expected, s"band $b bit $t of keys $keys")
       }
     }
   }
 
-  test("sign_lsh_code packs 48 planes into a non-negative BIGINT " +
-      "(the adaptive 12-bit × 4-band ceiling)") {
-    // the adaptive band scheme (CorpusQueries.bandBits) needs up to
-    // 4 × 12 = 48 planes; the code must stay non-negative so that
-    // arithmetic shiftright + mask band extraction agrees with DuckDB
+  test("sign_lsh_bands carries the r13 recall ladder's widest rung " +
+      "(150 bands × 12 bits = 1800 planes) past the single-BIGINT cap") {
+    // the two-dimensional band scheme (CorpusQueries.bandBits ×
+    // bandCount) needs up to 150 × 12 planes — impossible in one packed
+    // BIGINT (the r12 kernel's 63-plane cap was exactly why band count
+    // stayed frozen at 4 and recall collapsed); every per-band key must
+    // stay in [0, 2^bits) so shiftright extraction agrees with DuckDB's
+    // variable-width fold
     import org.apache.spark.sql.functions._
     val sess = spark
     import sess.implicits._
-    val planes = 48; val dims = 8
+    val bands = 150; val bits = 12; val dims = 8
     def sign(i: Int, j: Int): Double =
       if (((i * 73 + j * 179) % 7) % 2 == 0) 1.0 else -1.0
-    val signs = Array.tabulate(planes * dims)(idx =>
+    val signs = Array.tabulate(bands * bits * dims)(idx =>
       sign(idx % dims + 1, idx / dims))
     val rnd = new scala.util.Random(12901)
-    val vecs = Seq.fill(30)(Seq.fill(dims)(rnd.nextFloat() * 2f - 1f))
+    val vecs = Seq.fill(10)(Seq.fill(dims)(rnd.nextFloat() * 2f - 1f))
     val df = vecs.toDF("v").select($"v".cast("array<float>").as("v"))
     val rows = df.select($"v",
-      GraftExpressions.sign_lsh_code($"v", signs, planes, dims).as("code"))
+      GraftExpressions.sign_lsh_bands($"v", signs, bands, bits, dims)
+        .as("keys"))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val v = r.getSeq[Float](0)
-      val code = r.getLong(1)
-      assert(code >= 0L, s"negative code $code")
-      for (j <- 0 until planes) {
+      val keys = r.getSeq[Long](1)
+      assert(keys.length === bands)
+      assert(keys.forall(k => k >= 0L && k < (1L << bits)))
+      for (b <- 0 until bands; t <- 0 until bits) {
+        val j = b * bits + t
         var acc = 0.0
         for (i <- 0 until dims) acc += v(i).toDouble * sign(i + 1, j)
         val expected = if (acc > 0) 1L else 0L
-        assert(((code >> (planes - 1 - j)) & 1L) === expected,
-          s"plane $j of code $code")
+        assert(((keys(b) >> (bits - 1 - t)) & 1L) === expected,
+          s"band $b bit $t")
       }
     }
   }

@@ -119,12 +119,12 @@ class StreamingSpec extends SparkSpec {
     import sess.implicits._
     implicit val ctx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    val tab = graft.operators.CorpusQueries.embedBandIndex(spark, dir)
+    val (tab, idxBits) =
+      graft.operators.CorpusQueries.embedBandIndexFrozen(spark, dir)
     val corpus = spark.table(tab).toDF("corpus_vec", "e_c", "n_c", "bk")
     val input = MemoryStream[(Long, Array[Float])]
     val stream = input.toDF().toDF("vec_id", "embedding")
-    val batch = graft.operators.CorpusQueries.codedBands(stream,
-        graft.operators.CorpusQueries.embBandBits(spark, dir))
+    val batch = graft.operators.CorpusQueries.codedBands(stream, idxBits)
       .toDF("batch_vec", "e_b", "n_b", "bk_b")
     val pairs = batch.join(corpus, expr("bk = bk_b"))
       .select(col("batch_vec"), col("corpus_vec"),
