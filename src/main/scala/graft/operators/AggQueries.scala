@@ -103,12 +103,29 @@ object AggQueries {
         .orderBy("l_suppkey")
     },
 
-    // Approx distinct (HLL++) — no oracle by design (D6): sketch results
-    // are implementation-defined; the exact twin is q15.
+    // Approx distinct (HLL++). The raw estimate is implementation-
+    // defined (D6), so it can never hash-match a DuckDB twin — but the
+    // sketch's CONTRACT can: the estimate must sit within 3·rsd (rsd =
+    // 0.05, approx_count_distinct's default) of the exact count. r13
+    // moves that contract INTO the gated output: the key emits the
+    // exact count plus the engine-computed `within_3rsd` boolean, and
+    // the oracle replays the exact count with a literal TRUE — so a
+    // broken sketch hash-fails the driver gate instead of hiding
+    // behind an oracle exemption (the D6 rationale is unchanged; the
+    // estimate itself still never crosses engines). EdgeCaseSpec pins
+    // that the boolean is honest (recomputed from a separate
+    // approx+exact pass), so it cannot degenerate into lit(true).
+    // Cost note: the exact countDistinct twin rides the same shuffle —
+    // at 100 TB this key is the AUDIT of the sketch (run on samples /
+    // fixtures); production reach-for-HLL paths drop the twin.
     "q20_agg_hll" -> { (s, dir) =>
       loadEvents(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).cast("long").as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= lit(0.15) * col("exact_users")).as("within_3rsd"))
         .orderBy("event_type")
     },
 
@@ -220,6 +237,17 @@ object AggQueries {
         |FROM lineitem GROUP BY l_suppkey
         |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) > 100
         |ORDER BY l_suppkey""".stripMargin,
+
+    // q20: the oracle replays the EXACT side and asserts the engine's
+    // sketch-contract boolean with a literal TRUE — the estimate never
+    // crosses engines (D6), but a sketch outside its 3·rsd bound now
+    // hash-fails the gate instead of sitting oracle-exempt
+    "q20_agg_hll" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_3rsd
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q21_agg_stats" ->
       """WITH m AS (

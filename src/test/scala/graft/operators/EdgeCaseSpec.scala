@@ -89,26 +89,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.getTimestamp(1).toString === "2024-01-01 00:30:00.0")
   }
 
-  test("q20 approx distinct stays within the HLL++ error bound of exact") {
-    // q20 is the one oracle-EXEMPT key (SURVEY §2b D6: sketch results
-    // are implementation-defined, so no DuckDB twin) — this assertion is
-    // its evidence instead: the estimate must sit within the sketch's
-    // advertised accuracy of the exact answer (q15-style countDistinct).
-    // approx_count_distinct's default rsd is 0.05; HLL++ on a FIXED input
-    // is deterministic, and 3·rsd (15%) gives head-room over the
+  test("q20 approx distinct stays within the HLL++ error bound of exact, " +
+      "and the gated boolean is honest") {
+    // since r13 the 3·rsd sketch contract IS the gated output (the
+    // oracle replays exact_users + TRUE), so this law's job is to keep
+    // the engine-side boolean honest: recompute the raw estimate and
+    // the exact count independently and require the key's within_3rsd
+    // to equal the recomputed comparison — a q20 degenerating into
+    // lit(true) fails here even though it would still hash-match.
+    // approx_count_distinct's default rsd is 0.05; HLL++ on a FIXED
+    // input is deterministic, and 3·rsd (15%) gives head-room over the
     // 1-sigma figure without ever accepting a broken sketch.
     val dir = "/root/testdata/sf0.001"
-    val approx = graft.SparkEntry.queries("q20_agg_hll")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.Tables.loadEvents(spark, dir)
+    val gated = graft.SparkEntry.queries("q20_agg_hll")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val recompute = graft.Tables.loadEvents(spark, dir)
       .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("users"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    for ((tpe, ex) <- exact) {
-      val ap = approx(tpe)
-      assert(math.abs(ap - ex) <= math.max(1L, (ex * 0.15).toLong),
-        s"$tpe: approx $ap vs exact $ex exceeds 3·rsd")
+      .agg(approx_count_distinct(col("user_id")).as("ap"),
+        countDistinct(col("user_id")).as("ex"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gated.keySet === recompute.keySet)
+    for ((tpe, (ex, within)) <- gated) {
+      val (ap, exR) = recompute(tpe)
+      assert(ex === exR, s"$tpe: gated exact_users $ex != recomputed $exR")
+      assert(within === (math.abs(ap - ex) <= 0.15 * ex),
+        s"$tpe: gated within_3rsd $within disagrees with approx $ap vs $ex")
+      assert(within, s"$tpe: approx $ap vs exact $ex exceeds 3·rsd")
     }
   }
 

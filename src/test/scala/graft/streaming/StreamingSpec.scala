@@ -530,4 +530,166 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.Staging.readBatchSink(spark, never, schema)
       .count() === 0L)
   }
+
+  test("storeBatch collision guard: two DISTINCT micro-batches sharing a " +
+      "content key fail loudly; a true replay still overwrites") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft_batch_guard").toString
+    val b1 = Seq((1L, "a")).toDF("id", "v")
+    val b1replay = Seq((1L, "a")).toDF("id", "v")
+    val b2 = Seq((2L, "b")).toDF("id", "v")
+    graft.sources.Staging.storeBatch(b1, dir, 7L, batchId = 0L)
+    // the at-least-once replay: SAME framework batchId, same key — legal
+    graft.sources.Staging.storeBatch(b1replay, dir, 7L, batchId = 0L)
+    // a DIFFERENT batch landing on the same content key would silently
+    // replace batch 0's rows under the r12 recipe — r13 fails instead
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Staging.storeBatch(b2, dir, 7L, batchId = 1L)
+    }
+    assert(e.getMessage.contains("collision"))
+    // batch 0's rows survived the rejected write untouched
+    val back = graft.sources.Staging
+      .readBatchSink(spark, dir, "id BIGINT, v STRING")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back === Seq((1L, "a")))
+  }
+
+  /** Stage one more single-file parquet batch into an existing stream
+    * source directory — the "new data arrives while the query is DOWN"
+    * step of the recovery laws (stageBatches' single-file recipe). */
+  private def stageOne(base: String, src: String,
+      df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hfs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpDir = s"$base/tmpx$idx"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+    hfs.rename(f, new Path(src, s"batch$idx.parquet"))
+    hfs.delete(new Path(tmpDir), true)
+  }
+
+  test("checkpoint recovery (q150 shape): a file-sink stream stopped " +
+      "between batches resumes from its checkpoint and equals one-shot") {
+    // the law r12 left open: batch-level replay idempotence was proven,
+    // but not that a KILLED query restarted from its checkpoint picks
+    // up exactly the unseen input. Phase 1 processes batch A and stops
+    // (the kill); batch B arrives while nothing is running; phase 2
+    // starts a NEW query over the same checkpoint + sink. The file
+    // source's commit log must skip batch A (no reprocess — counted
+    // WITHOUT distinct, so a re-emit fails) and the final sink must
+    // equal the one-shot batch answer row-for-row.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val s = spark
+    val HourUs = graft.operators.JoinQueries.HourUs
+    val ev = graft.Tables.loadEvents(s, dir)
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"),
+        col("user_id"))
+    val iv = ev.filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("window_id"), col("us").as("s_us"),
+        (col("us") + (col("event_id") % 7 + 1) * lit(HourUs)).as("e_us"))
+    val base = graft.streaming.EventQueries.freshBase(s, dir, "q150ckpt")
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val sinkSchema = "window_id BIGINT, event_id BIGINT, user_id BIGINT"
+    val batchA = ev.filter(col("event_id") % 2 === 0)
+    val batchB = ev.filter(col("event_id") % 2 === 1)
+    val src = graft.streaming.EventQueries.stageBatches(s, base, Seq(batchA))
+    def runOnce(): Unit = graft.Tables.withShufflePartitions(s, 4) {
+      val stream = s.readStream
+        .schema("event_id BIGINT, us BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val hits = graft.operators.JoinQueries
+        .binnedIntervalHits(iv, stream, HourUs)
+        .select(col("window_id"), col("event_id"), col("user_id"))
+      val q = graft.streaming.StreamPipelines
+        .writeParquetStream(hits, outDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // phase 1: batch A only, then the query dies
+    val phase1 = s.read.schema(sinkSchema).parquet(outDir).count()
+    stageOne(base, src, batchB, 1)
+    runOnce() // phase 2: resumed from ckpt with B waiting
+    val sink = s.read.schema(sinkSchema).parquet(outDir)
+    val oneShot = graft.operators.JoinQueries
+      .binnedIntervalHits(iv, ev, HourUs)
+      .select(col("window_id"), col("event_id"), col("user_id"))
+    assert(sink.count() === oneShot.count(),
+      s"resume must process exactly the unseen batch: phase1=$phase1 " +
+        s"sink=${sink.count()} oneShot=${oneShot.count()}")
+    assert(sink.count() > phase1, "phase 2 must add batch B's rows")
+    assert(sink.exceptAll(oneShot).isEmpty && oneShot.exceptAll(sink).isEmpty,
+      "recovered stream must equal the one-shot batch answer row-for-row")
+  }
+
+  test("checkpoint recovery (q190 shape): a storeBatch foreachBatch sink " +
+      "resumes without rewriting committed batches") {
+    // same kill-restart protocol through the q138/q145/q174/q190 sink
+    // recipe: phase 1 lands batch A under its content key (marker =
+    // framework batchId 0) and the query stops; phase 2 restarts from
+    // the checkpoint with batch B staged. The restart must process ONLY
+    // B (A's sink subdirectory — marker file included — stays
+    // byte-identical), and the read-back must equal the per-batch
+    // driver recompute over both batches exactly once.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val base = graft.streaming.EventQueries.freshBase(s, dir, "q190ckpt")
+    val outDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val src = graft.streaming.EventQueries.stageBatches(s, base, Seq(a))
+    def runOnce(): Unit = graft.Tables.withShufflePartitions(s, 4) {
+      val stream = s.readStream.schema("doc_id BIGINT, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          if (!batch.isEmpty) {
+            val key = batch.agg(min(pmod(col("doc_id"), lit(2L))))
+              .head().getLong(0)
+            graft.sources.Staging.storeBatch(
+              batch.agg(count(lit(1)).as("n"),
+                  sum("doc_id").cast("long").as("id_sum"),
+                  sum("n_chars").cast("long").as("chars"))
+                .select(lit(key).as("batch_key"), col("n"),
+                  col("id_sum"), col("chars")),
+              outDir, key, bid)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // phase 1: batch A committed, query killed
+    import org.apache.hadoop.fs.Path
+    val hfs = new Path(outDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val aDir = new Path(s"$outDir/batch-0")
+    val aSnapshot = hfs.listStatus(aDir)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    stageOne(base, src, b, 1)
+    runOnce() // phase 2: restart from ckpt
+    assert(hfs.listStatus(aDir)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq === aSnapshot,
+      "batch A's committed subdirectory must survive the restart untouched")
+    val back = graft.sources.Staging.readBatchSink(s, outDir,
+        "batch_key BIGINT, n BIGINT, id_sum BIGINT, chars BIGINT")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val expect = Seq(a, b).zipWithIndex.map { case (df, i) =>
+      val r = df.agg(count(lit(1)), sum("doc_id"), sum("n_chars")).head()
+      (i.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(back === expect,
+      "read-back must hold both batches exactly once after recovery")
+  }
 }
