@@ -132,6 +132,31 @@ object JoinQueries {
         .orderBy("s_suppkey")
     },
 
+    // ONE-SIDE-SCALED band join — the probe the sf1 scale point asked
+    // for (SURVEY §6b): q10/q76's ±100 pair space grew ~100× on 10×
+    // data because BOTH fixture sides scale together, but the realistic
+    // 100 TB shape is stream×dimension — a huge fact side against a
+    // bounded dim side. This key pins that shape: the dim side is a
+    // FIXED key range (s_suppkey ≤ 50 — 51 rows at every fixture scale
+    // from sf0.01 up, so the bench scaling column reads fact-side
+    // growth directly), the fact side is the full customer table, and
+    // the BandJoin bucketization keeps it hash-joinable: the ×3 probe
+    // explode lands on the 51-row DIM side, which then BROADCASTS, so
+    // the fact side never shuffles at all — measured pairs grow
+    // linearly in facts (sf0.01 1 451 → sf1 140 390 on 100× facts).
+    // PlanSpec pins BroadcastHashJoin and the absence of any
+    // nested-loop/cartesian shape.
+    "q193_join_band_oneside" -> { (s, dir) =>
+      BandJoin.bandJoin(
+          t(s, dir, "supplier").filter(col("s_suppkey") <= 50),
+          t(s, dir, "customer"),
+          col("s_acctbal"), col("c_acctbal"), 100.0)
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("cust_cnt"),
+          sum("c_custkey").cast("long").as("cust_sum"))
+        .orderBy("s_suppkey")
+    },
+
     // POINT-IN-INTERVAL join through TIME BINNING — q76's discipline
     // for variable-length time windows (the attribution / maintenance-
     // window / campaign join every event pipeline runs). Spark plans a
@@ -432,6 +457,16 @@ object JoinQueries {
         |ORDER BY r_name, o_orderpriority""".stripMargin,
     "q10_join_theta" -> q10Sql,
     "q76_join_band_bucketed" -> q10Sql,
+    // q193: q10's twin restricted to the fixed dim-side key range, plus
+    // the fact-key checksum that would catch a dropped/duplicated pair
+    "q193_join_band_oneside" ->
+      """SELECT s_suppkey, s_name, count(*) AS cust_cnt,
+        |  CAST(sum(c_custkey) AS BIGINT) AS cust_sum
+        |FROM supplier JOIN customer
+        |  ON abs(c_acctbal - s_acctbal) <= 100
+        |WHERE s_suppkey <= 50
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
     "q11_join_asof" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
         |SELECT p.event_id, p.user_id, p.ts,

@@ -69,6 +69,30 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on the band bucket:\n$p")
   }
 
+  test("q193 one-side-scaled band join: bounded dim side broadcasts, " +
+      "fact side never shuffles") {
+    // the stream×dimension shape at 100 TB: the ×3 band explode lands
+    // on the 51-row dim side, which must broadcast — the full fact
+    // (customer) side joins shuffle-free; any nested-loop or
+    // fact-side exchange before the join breaks the linear-in-facts
+    // scaling the key exists to pin
+    val p = plan("q193_join_band_oneside")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"band join must stay an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded dim side must broadcast:\n$p")
+    // the only exchange below the join may sit on the broadcast side;
+    // the fact scan must feed the join directly (no hashpartitioning
+    // of customer before the join)
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val custScan = p.indexOf("customer.parquet")
+    assert(custScan > 0, s"expected a customer scan in:\n$p")
+    assert(!p.substring(joinIdx, math.max(joinIdx, p.length))
+      .split("\n").exists(l => l.contains("Exchange hashpartitioning")
+        && l.contains("c_custkey")),
+      s"fact side must not pre-shuffle for the band join:\n$p")
+  }
+
   test("q75 pushes the partition predicate into PartitionFilters") {
     val p = plan("q75_partition_prune")
     assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
