@@ -1,0 +1,67 @@
+#!/usr/bin/env bash
+# Round-close gate runner (VERDICT r12 #3: sf1 is a STANDING gate, not
+# an ad-hoc study). Dev-side tooling like selfcheck.py — NOT part of
+# the shipped library.
+#
+# Runs, in order (never two sbt instances at once):
+#   1. full-inventory Verify + DuckDB selfcheck at sf0.001 / sf0.01 / sf0.1
+#      (single session per scale — the sweep claim format in SURVEY §8)
+#   2. the sf0.1 bench of record           -> bench_out/last_run.json
+#   3. the sf1 fixture build if absent     (scripts/gen_sf1.py)
+#   4. full-inventory Verify at sf1        (24g heap — the r12 lesson:
+#      8g GC-thrashes the shuffle-heavy document keys 3-7x)
+#   5. the sf1 bench                       -> bench_out/bench_sf1.json
+#   6. the sf0.1-vs-sf1 scaling table      -> bench_out/scaling_sf1.md
+#      (the SURVEY §6b column, generated mechanically)
+#
+# Check `uptime` BEFORE running: the committed artifacts of record must
+# start at load < 2 (bench totals on this box swing 2-3x with load; the
+# r11 q84 episode and the r12 load-5.9 artifact are the documented
+# cost). The script records start/end load in bench_out/round_close.log.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF1_DIR="$PWD/testdata_sf1"
+LOG=bench_out/round_close.log
+mkdir -p bench_out
+echo "=== round_close $(date -u +%FT%TZ) start_load=$(cut -d' ' -f1 /proc/loadavg)" | tee -a "$LOG"
+
+for SF in 0.001 0.01 0.1; do
+  OUT=/tmp/round_close_sf$SF
+  rm -rf "$OUT"
+  echo "--- Verify sf$SF" | tee -a "$LOG"
+  sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT" 2>&1 \
+    | grep -E '\[verify\].*failed' | tee -a "$LOG" || true
+  echo "--- selfcheck sf$SF" | tee -a "$LOG"
+  python3 scripts/selfcheck.py "/root/testdata/sf$SF" "$OUT" 2>&1 \
+    | tail -1 | tee -a "$LOG"
+done
+
+echo "--- bench sf0.1 (artifact of record)" | tee -a "$LOG"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 | tee -a "$LOG"
+cp bench_out/last_run.json bench_out/bench_sf01.json
+
+if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
+  echo "--- gen_sf1 (fixture absent)" | tee -a "$LOG"
+  python3 scripts/gen_sf1.py 2>&1 | tail -2 | tee -a "$LOG"
+fi
+
+OUT=/tmp/round_close_sf1
+rm -rf "$OUT"
+echo "--- Verify sf1 (24g heap)" | tee -a "$LOG"
+SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Verify $SF1_DIR $OUT" 2>&1 \
+  | grep -E '\[verify\].*failed' | tee -a "$LOG" || true
+echo "sf1 verify dumped: $(ls "$OUT" | wc -l) entries" | tee -a "$LOG"
+
+echo "--- bench sf1" | tee -a "$LOG"
+SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 | tee -a "$LOG"
+cp bench_out/last_run.json bench_out/bench_sf1.json
+# last_run.json (the cross-round artifact of record) stays the sf0.1 run
+cp bench_out/bench_sf01.json bench_out/last_run.json
+echo "--- scaling table" | tee -a "$LOG"
+python3 scripts/scaling_report.py bench_out/bench_sf01.json bench_out/bench_sf1.json \
+  > bench_out/scaling_sf1.md || true
+echo "=== round_close done end_load=$(cut -d' ' -f1 /proc/loadavg)" | tee -a "$LOG"
