@@ -452,8 +452,9 @@ object CorpusQueries {
         .orderBy("doc_id", "rnk")
     },
 
-    // Embedding near-dup via multi-band sign-LSH: 4·bits fixed ±1
-    // hyperplanes → sign bits → 4 band keys of bandBits(n) bits →
+    // Embedding near-dup via multi-band sign-LSH: bandCount·bits
+    // fixed ±1 hyperplanes → sign bits → bandCount(bits) band keys of
+    // bandBits(n) bits each →
     // candidate pairs from same-band buckets (hash-partitionable join,
     // no all-pairs) → exact cosine verify at 0.4. The embedding-space
     // twin of q44's MinHash banding. Band width scales with corpus
@@ -464,7 +465,7 @@ object CorpusQueries {
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
       // the q44 payload trade, via the SAME codedBands helper that
       // builds q109's index: all plane dots in ONE codegen pass per
-      // vector (SignLshCode), adaptive-width band keys, and embedding + norm
+      // vector (SignLshBands), adaptive-width band keys, and embedding + norm
       // RIDING each band row — candidate verification needs no
       // embedding re-joins (the r7 rewrite; the old shape re-joined the
       // vector table twice post-candidates, 4 corpus scans total).
@@ -499,7 +500,10 @@ object CorpusQueries {
     // and on THIS corpus the honest answer is "don't": the synthetic
     // embeddings are near-isotropic (rank-5..20 sims differ by <0.05),
     // the hardest case for any projection, and measured recall is low
-    // (driver-side sweep: ~0.02–0.04 mean even at 48 Gaussian dims).
+    // (r13 full-rank planes: mean 0.16 at sf0.01, 0.045 at sf0.1 —
+    // the r12 period-7 plane set read ~0.02–0.04 with only 7 distinct
+    // directions; genuinely distinct planes lift small corpora but the
+    // isotropy verdict stands at scale).
     // That number is the operator's point — it is the instrument that
     // tells a pipeline whether RP is safe for ITS corpus, exactly as
     // q122/q126/q137 calibrate their approximations.
@@ -606,14 +610,18 @@ object CorpusQueries {
     // vector (the q45/q122 convention, |Q| ≤ 100), the TRUE set is
     // every exact-cosine ≥ 0.4 neighbor (one broadcast-Q linear scan,
     // never all-pairs) and the CANDIDATE set is every vector sharing
-    // ≥ 1 band at the corpus's own bandBits width — per-query n_true /
-    // n_hit / recall. This is the instrument that tells a pipeline
-    // whether the width the ladder picked for ITS corpus still
-    // captures the threshold it cares about (recall drifts down as
-    // bits grow — s* ≈ 0.60 at 4 bits, 0.88 at 8 — the documented
-    // trade); recall is a REPORTED metric here, candidate correctness
-    // itself is exact on both engines. NULL recall where a query has
-    // no true neighbor (the honest denominator, not a fill).
+    // ≥ 1 band at the corpus's own (bandBits × bandCount) scheme —
+    // per-query n_true / n_hit / recall. This is the instrument that
+    // tells a pipeline whether the scheme the ladder picked for ITS
+    // corpus still captures the threshold it cares about. Under r12's
+    // fixed-4-band ladder it measured the collapse (0.402 → 0.114 as
+    // width grew 4 → 8 bits); with the r13 two-dimensional ladder it
+    // verifies the floor HOLDS: measured mean 0.50 at sf0.01/sf0.001
+    // and 0.449 at sf0.1 (4-bit × 4 bands), 0.443 at sf1 (8-bit × 24
+    // bands) — ≥ the 0.4 target at every scale. Recall is a REPORTED
+    // metric here, candidate correctness itself is exact on both
+    // engines. NULL recall where a query has no true neighbor (the
+    // honest denominator, not a fill).
     "q192_lsh_recall" -> { (s, dir) =>
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
       val bands = codedBands(emb, embBandBits(s, dir)).cache()
@@ -655,7 +663,7 @@ object CorpusQueries {
     // index — q106's pattern in vector space, completing the serving
     // triad (q106 text probe, q108 streaming probe, q109 vector probe
     // — all "new data vs persisted index", never corpus × corpus).
-    // Corpus vectors are coded ONCE (sign-LSH → 4 bandBits-width keys,
+    // Corpus vectors are coded ONCE (sign-LSH → bandCount band keys,
     // embedding + norm riding each band row — the q44 payload trade)
     // and stored BUCKETED by band key; a new ingest batch
     // (vec_id % 10 = 7) codes itself, broadcasts against the
@@ -687,7 +695,7 @@ object CorpusQueries {
     // and now embeddings): new vectors arrive as file-source
     // micro-batches (two ingest batches, vec_id % 20 splits), each row
     // computes its own sign-LSH code + band keys with the per-row
-    // SignLshCode kernel — stateless narrow maps, NO stateful
+    // SignLshBands kernel — stateless narrow maps, NO stateful
     // aggregation and no stream-side shuffle; the band rows
     // stream-static join against the SAME persisted bucketed index
     // q109 probes, survivors verify by exact cosine at 0.4 inside the

@@ -356,7 +356,7 @@ class PlanSpec extends SparkSpec {
     // generated loop per vector
     val p = plan("q73_embed_lsh")
     assert(p.contains("graft_sign_lsh"),
-      s"expected the SignLshCode kernel in the plan:\n$p")
+      s"expected the SignLshBands kernel in the plan:\n$p")
     // the verify stage legitimately keeps graft_seq_dot (pair dot + norm
     // precompute); the old CODING stage is pinned out by its exact shape:
     // when(seq_dot(...) > 0, 1) renders as `CASE WHEN (graft_seq_dot(`
@@ -373,7 +373,7 @@ class PlanSpec extends SparkSpec {
     // q73 (hash-joinable, no compare matrix)
     val p = plan("q192_lsh_recall")
     assert(p.contains("graft_sign_lsh"),
-      s"expected the SignLshCode kernel in the plan:\n$p")
+      s"expected the SignLshBands kernel in the plan:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"the bounded query set must broadcast:\n$p")
     // the exact side's broadcast-bounded != join IS a BNLJ by design
@@ -406,7 +406,7 @@ class PlanSpec extends SparkSpec {
     // for both sides
     val p = plan("q143_semdedup")
     assert(p.contains("graft_sign_lsh"),
-      s"expected the SignLshCode kernel in the plan:\n$p")
+      s"expected the SignLshBands kernel in the plan:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"semdedup candidate generation must never be all-pairs:\n$p")
     assert(p.contains("InMemoryTableScan"),
