@@ -704,62 +704,82 @@ object SimilarityQueries {
     * 4.2 s of q164's 4.3 s warm at sf0.1 — and it is a pure function
     * of the corpus, exactly the persist-and-price shape every sibling
     * family (q44/q57/q69/q106/q134/q190) already moved to. */
-  private def containmentBuild(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def containmentArrs(docs: DataFrame): DataFrame = {
     val h62 = (c: Column) =>
       poly_hash(c, 131) * 2147483648L + poly_hash(c, 137)
-    val arrs = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
       array_sort(transform(LlmQueries.shingles(col("text"), 3),
         sg => h62(sg))).as("arr"))
       .filter(size(col("arr")) > 0)
+  }
+
+  private def containmentRanked(arrs: DataFrame): DataFrame = {
     val sh = arrs.select(col("doc_id"),
       size(col("arr")).cast("long").as("n"), explode(col("arr")).as("h"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")
-    val ranked = sh.join(dfreq, "h")
+    sh.join(dfreq, "h")
       .withColumn("rn", row_number().over(wDoc).cast("long"))
       .select("doc_id", "h", "rn", "n")
-    (arrs, ranked)
+  }
+
+  private def containmentBuild(docs: DataFrame): (DataFrame, DataFrame) = {
+    val arrs = containmentArrs(docs)
+    (arrs, containmentRanked(arrs))
   }
 
   /** Build — or REUSE — q164's persisted containment index: the
-    * (arrs, ranked) pair of [[containmentBuild]] staged under one base
-    * path (`arrs/`, then `ranked/` — the ranked `_SUCCESS` is the
-    * publish marker, so a half-landed build rebuilds both). Bench
-    * prices the build as q164_index_build; the gated key reads the
-    * persisted frames probe-only. At 100 TB this is the index a
-    * decontamination service maintains per corpus snapshot — df ranks
-    * shift only with corpus-wide ingest, so the build amortizes across
-    * every eval-set probe batch. */
+    * (arrs, ranked) pair of [[containmentBuild]] — `arrs` staged as
+    * parquet, `ranked` as a catalog table BUCKETED (and sorted) on the
+    * shingle hash `h`, the q106/q190 serving discipline. Bucketing is
+    * what makes the probe sub-linear-feeling at scale: the candidate
+    * join reads BOTH of its sides (A-prefix and full) from the same
+    * bucketed layout, so the h-equi-join runs bucket-aligned with ZERO
+    * exchange — the first sf1 cut of this index stored plain parquet
+    * and the probe re-shuffled the 14M-row ranked frame twice per run
+    * (measured 17.6 s of mostly exchange+sort at sf1). Publish order:
+    * arrs first, the bucketed table last — its catalog entry is the
+    * marker, so a half-landed build rebuilds both. Bench prices the
+    * build as q164_index_build; the gated key reads the persisted
+    * frames probe-only. At 100 TB this is the index a decontamination
+    * service maintains per corpus snapshot — df ranks shift only with
+    * corpus-wide ingest, so the build amortizes across every eval-set
+    * probe batch, and appends ride Staging.appendBucketed like every
+    * other bucketed index. */
   def containmentIndex(s: SparkSession, dir: String,
-      rebuild: Boolean = false): String = {
+      rebuild: Boolean = false): (String, String) = {
     val tmp = System.getProperty("java.io.tmpdir")
     graft.sources.Staging.vacuumStale(s, tmp, "graft_containment_")
-    val base = s"$tmp/graft_containment_" +
-      graft.sources.Staging.sessionSuffix(s, dir)
-    val done = new org.apache.hadoop.fs.Path(s"$base/ranked", "_SUCCESS")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (rebuild || !fs.exists(done)) {
-      val (arrs, ranked) =
-        containmentBuild(graft.Tables.tWide(s, dir, "documents"))
-      // arrs first: ranked's _SUCCESS publishes the pair atomically
-      graft.sources.Staging.store(arrs, s"$base/arrs")
-      graft.sources.Staging.store(ranked, s"$base/ranked")
+    graft.sources.Staging.vacuumStale(s,
+      s.conf.get("spark.sql.warehouse.dir"), "graft_containment_rk_")
+    val sfx = graft.sources.Staging.sessionSuffix(s, dir)
+    val arrsPath = s"$tmp/graft_containment_$sfx/arrs"
+    val tab = s"graft_containment_rk_$sfx"
+    if (rebuild || !s.catalog.tableExists(tab)) {
+      graft.sources.Staging.store(
+        containmentArrs(graft.Tables.tWide(s, dir, "documents")), arrsPath)
+      // rank from the arrs JUST WRITTEN: deriving ranked from the raw
+      // documents would run the whole shingle/hash pipeline a second
+      // time — reading the columnar arrs back costs one cheap scan
+      graft.sources.Staging.storeBucketed(
+        containmentRanked(s.read.parquet(arrsPath))
+          .repartition(32, col("h")), tab, Seq("h"), 32)
     }
-    base
+    (arrsPath, tab)
   }
 
   /** q164 probe-only: candidate generation + verify against the
     * persisted index — byte-identical output to the one-shot
     * [[containmentPairs]] (same frames, same plan from the filter on).
-    * Reading `ranked` twice from parquet replaces the r12 `.cache()`:
-    * two column-pruned local scans of a small index beat a
-    * materialization barrier (the measured mixSources trade), and on a
-    * cluster the scans are partition-parallel reads of a persisted
-    * table, not a recompute. */
+    * Both candidate sides scan the SAME bucketed table (exchange-free
+    * h-join, PlanSpec-pinned); the two arrs verify joins exchange only
+    * the candidate side. No `.cache()`: bucket-aligned scans of a
+    * persisted table beat a materialization barrier, and on a cluster
+    * they are partition-parallel reads, not a recompute. */
   def containmentProbe(s: SparkSession, dir: String): DataFrame = {
-    val base = containmentIndex(s, dir)
-    val arrs = s.read.parquet(s"$base/arrs")
-    val ranked = s.read.parquet(s"$base/ranked")
+    val (arrsPath, tab) = containmentIndex(s, dir)
+    val arrs = s.read.parquet(arrsPath)
+    val ranked = s.table(tab)
     containmentVerify(arrs, ranked)
   }
 
@@ -784,9 +804,21 @@ object SimilarityQueries {
         least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
         ceil(col("n_a") * 0.8))
       .select("doc_a", "doc_b")
+    // verify via BROADCAST of the doc-array table: the r13 sf1 probe
+    // measured 26.7M candidate occurrences whose cost was NOT the
+    // intersect kernel (early-exit, sub-µs) but the two verify joins —
+    // arrs at sf1 (~50k docs ≈ 30 MB of arrays) crosses the 10 MB
+    // autobroadcast threshold, so Spark silently flipped to SMJ and
+    // sorted 26.7M array-hauling rows (17 s; bucketing the candidate
+    // side can't help — it's the arrs side that must not shuffle the
+    // candidates). Explicit broadcast keeps verification map-side at
+    // any candidate volume. Bound: one doc-array table must fit an
+    // executor (~300 MB at 500k docs) — past that, the 100 TB fallback
+    // is arrs bucketed by doc_id so only the candidate side exchanges
+    // (the q106 shape), which this stays plan-compatible with.
     cand
-      .join(arrs.toDF("doc_a", "arr_a"), "doc_a")
-      .join(arrs.toDF("doc_b", "arr_b"), "doc_b")
+      .join(broadcast(arrs.toDF("doc_a", "arr_a")), "doc_a")
+      .join(broadcast(arrs.toDF("doc_b", "arr_b")), "doc_b")
       .withColumn("inter",
         graft.plans.GraftExpressions.sorted_intersect_min(
           col("arr_a"), col("arr_b"),

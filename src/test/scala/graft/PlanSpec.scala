@@ -746,6 +746,29 @@ class PlanSpec extends SparkSpec {
       s"the curve must probe the persisted frame, not recompute it:\n$p")
   }
 
+  test("q164 probe joins the ranked index bucket-aligned: zero exchange " +
+      "on the shingle candidate join") {
+    // both candidate sides (A-prefix filtered, B full) scan the SAME
+    // h-bucketed table, so the equi-join needs no exchange at all —
+    // the first sf1 cut stored plain parquet and paid two 14M-row
+    // shuffles per probe (17.6 s at sf1)
+    import org.apache.spark.sql.functions.{ceil, col}
+    import graft.operators.SimilarityQueries
+    val (_, tab) = SimilarityQueries.containmentIndex(spark, dir)
+    val ranked = spark.table(tab)
+    val pa = ranked
+      .filter(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
+      .toDF("doc_a", "h", "rn_a", "n_a")
+    val pb = ranked.toDF("doc_b", "h2", "rn_b", "n_b")
+    val sp = pa.hint("merge").join(pb, col("h") === col("h2"))
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("SortMergeJoin"), s"expected sort-merge:\n$sp")
+    assert(sp.contains("Bucketed: true"),
+      s"the ranked index must scan its bucketed layout:\n$sp")
+    assert("Exchange hashpartitioning".r.findAllIn(sp).size === 0,
+      s"bucket-aligned candidate join must not exchange either side:\n$sp")
+  }
+
   test("q190 admission probes scan persisted bucketed membership indexes, " +
       "no corpus re-shuffle in the batch path") {
     // the serving-path discipline: the per-micro-batch membership joins
