@@ -232,7 +232,7 @@ object AuditQueries {
     import graft.plans.CountMinAgg.count_min
     val toks = docTokens(s, dir)
     val cells = toks.agg(count_min(col("tk"), CmsDepth, CmsWidth).as("sk"))
-      .select(col("sk.cells")).head.getSeq[Long](0)
+      .select(col("sk.cells")).head().getSeq[Long](0)
     cmsTop20(toks, cells)
   }
 
@@ -275,7 +275,7 @@ object AuditQueries {
     val toks = docTokens(s, dir)
     def cellsOf(epoch: DataFrame): Seq[Long] =
       epoch.agg(count_min(col("tk"), CmsDepth, CmsWidth).as("sk"))
-        .select(col("sk.cells")).head.getSeq[Long](0)
+        .select(col("sk.cells")).head().getSeq[Long](0)
     val base = cellsOf(toks.filter(col("doc_id") % 10 =!= 3))
     val delta = cellsOf(toks.filter(col("doc_id") % 10 === 3))
     val grown = base.zip(delta).map { case (a, b) => a + b }

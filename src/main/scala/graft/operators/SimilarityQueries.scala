@@ -742,10 +742,12 @@ object SimilarityQueries {
     * marker, so a half-landed build rebuilds both. Bench prices the
     * build as q164_index_build; the gated key reads the persisted
     * frames probe-only. At 100 TB this is the index a decontamination
-    * service maintains per corpus snapshot — df ranks shift only with
-    * corpus-wide ingest, so the build amortizes across every eval-set
-    * probe batch, and appends ride Staging.appendBucketed like every
-    * other bucketed index. */
+    * service maintains per corpus SNAPSHOT. Unlike the LSH/band
+    * indexes (per-row codes ⇒ append ≡ rebuild), this one is NOT
+    * incrementally appendable: prefix positions rank by GLOBAL df, so
+    * any ingest shifts every doc's rank frame — the honest lifecycle
+    * is rebuild-per-snapshot, amortized across every eval-set probe
+    * batch against that snapshot. */
   def containmentIndex(s: SparkSession, dir: String,
       rebuild: Boolean = false): (String, String) = {
     val tmp = System.getProperty("java.io.tmpdir")

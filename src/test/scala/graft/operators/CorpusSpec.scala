@@ -394,4 +394,44 @@ class CorpusSpec extends SparkSpec {
       bk.split(":")(1).toLong < (1L << bits) })
     assert(got.size === vecs.size * bands)
   }
+
+  test("embedBandIndexFrozen: probes read the width FROZEN in the table " +
+      "name, never a re-derivation from the live count") {
+    // the ADVICE r12 hazard: a corpus that crosses a ladder threshold
+    // (2048, 4096, …) AFTER the index was persisted would code probes
+    // at a wider width than the stored band keys and silently return
+    // zero candidates. The freeze: the width lives in the table name
+    // and an existing index of ANY width wins over the live ladder.
+    val dir = "/root/testdata/sf0.001"
+    val (tab1, bits1) =
+      CorpusQueries.embedBandIndexFrozen(spark, dir, rebuild = true)
+    assert(bits1 === CorpusQueries.embBandBits(spark, dir))
+    assert(tab1.endsWith(s"_w$bits1"), s"width must be in the name: $tab1")
+    // simulate the post-build ladder shift: persist a SECOND index
+    // under the same session prefix at a DIFFERENT (wider) width, drop
+    // the original — the next probe must pick up the stored width 9,
+    // not re-derive the fixture ladder's 4
+    val prefix = tab1.stripSuffix(s"_w$bits1")
+    val emb = graft.Tables.tWide(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    graft.sources.Staging.storeBucketed(
+      CorpusQueries.codedBands(emb, 9), s"${prefix}_w9", Seq("bk"), 8)
+    spark.sql(s"DROP TABLE `$tab1`")
+    val (tab2, bits2) = CorpusQueries.embedBandIndexFrozen(spark, dir)
+    assert(tab2 === s"${prefix}_w9" && bits2 === 9,
+      s"expected the frozen width 9, got ($tab2, $bits2)")
+    // codedBands at the frozen width joins the stored keys: band keys
+    // of the probe side must be drawn from the same (band, key) space
+    val stored = spark.table(tab2)
+      .select("bk").distinct().collect().map(_.getString(0)).toSet
+    val probe = CorpusQueries.codedBands(emb.limit(5), bits2)
+      .select("bk").collect().map(_.getString(0)).toSet
+    assert(probe.subsetOf(stored) || (probe & stored).nonEmpty,
+      "probe keys at the frozen width must land in the stored key space")
+    // restore the session's natural index for any later test
+    spark.sql(s"DROP TABLE `${prefix}_w9`")
+    CorpusQueries.embedBandIndexFrozen(spark, dir, rebuild = true)
+    ()
+  }
 }
