@@ -395,6 +395,66 @@ class CorpusSpec extends SparkSpec {
     assert(got.size === vecs.size * bands)
   }
 
+  test("bandCount ladder holds its recall floor at an INTERMEDIATE rung " +
+      "(5-bit × 6 bands) no fixture or sf1 gate exercises") {
+    // fixtures sit on the 4-bit rung and sf1 on the 8-bit one, so the
+    // 5–7-bit rows of the BandCounts table would otherwise rest on the
+    // analytic formula alone. Planted-neighbor corpus: 1,600 random
+    // base vectors plus a jittered copy each (cosine clustered around
+    // the 0.4–0.9 band), n = 3,200 ⇒ bandBits = 5, bandCount = 6.
+    // Candidate recall of the true (cos ≥ 0.4) pairs through the same
+    // codedBands kernel the gated keys use must clear the floor with
+    // sampling slack (analytic 0.469 at the threshold; planted pairs
+    // sit mostly above it, so measured lands higher — assert ≥ 0.4).
+    val sess = spark
+    import sess.implicits._
+    val dims = 64
+    val rnd = new scala.util.Random(64177)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val bases = Array.fill(1600)(
+      unit(Array.fill(dims)(rnd.nextGaussian().toFloat)))
+    val jittered = bases.map { b =>
+      val lam = 0.3 + 0.7 * rnd.nextDouble() // mix weight toward base
+      val noise = unit(Array.fill(dims)(rnd.nextGaussian().toFloat))
+      unit(Array.tabulate(dims)(i =>
+        (lam * b(i) + (1 - lam) * noise(i)).toFloat))
+    }
+    val all = (bases ++ jittered).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val n = all.length.toLong
+    val bits = CorpusQueries.bandBits(n)
+    assert(bits === 5, s"planted corpus must land on the 5-bit rung, n=$n")
+    assert(CorpusQueries.bandCount(bits) === 6)
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    // true neighbors: planted (base, jitter) pairs with cos >= 0.4 —
+    // the driver-side exact set (cross-pair sims between unrelated
+    // vectors concentrate near 0 at 64 dims, so planted pairs ARE the
+    // ≥ 0.4 population; spot-checked by construction of lam)
+    val truePairs = bases.indices.flatMap { i =>
+      val c = fdot(bases(i), jittered(i)) // unit vectors: dot = cosine
+      if (c >= 0.4) Some((i.toLong, (i + 1600).toLong, c)) else None
+    }
+    assert(truePairs.size > 400, s"need a real population: ${truePairs.size}")
+    val df = all.toSeq.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val bands = CorpusQueries.codedBands(df, bits)
+      .select("vec_id", "bk").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hit = truePairs.count { case (a, b, _) =>
+      (bands(a) & bands(b)).nonEmpty
+    }
+    val recall = hit.toDouble / truePairs.size
+    assert(recall >= 0.4,
+      f"5-bit × 6-band recall $recall%.3f under the 0.4 floor " +
+        f"(${truePairs.size} true pairs)")
+  }
+
   test("embedBandIndexFrozen: probes read the width FROZEN in the table " +
       "name, never a re-derivation from the live count") {
     // the ADVICE r12 hazard: a corpus that crosses a ladder threshold
