@@ -314,6 +314,47 @@ object ScanQueries {
           sum("doc_id").cast("long").as("id_sum"))
         .orderBy("lang")
     },
+    // XML as the seventh SOURCE FORMAT under the gate, completing the
+    // built-in family (parquet native, CSV q140, JSONL q141, ORC q142,
+    // text q178, Avro q191): Spark 4 ships the former spark-xml as a
+    // first-class `format("xml")` datasource, so the feed shape every
+    // enterprise export/sitemap/RSS ingest still uses needs no extra
+    // jars. Write: one <doc> row element per record under a <docs>
+    // root, the writer entity-escaping &/</> in values. Read:
+    // EXPLICIT schema (q140's schema-on-read rule) + rowTag. XML has
+    // no NULL-vs-empty distinction for absent elements (absent element
+    // → NULL, like JSONL's dropped fields) and the reader trims
+    // surrounding whitespace by default — both invisible to the
+    // fixtures (null-free, single-space-separated ASCII) and both
+    // CAUGHT by the per-char poly-hash checksum if they ever bite.
+    // Same discipline as q140: write → schema'd read-back → per-lang
+    // checksum agg, DuckDB twin on the ORIGINAL parquet table proving
+    // the conversion lossless.
+    "q194_xml_roundtrip" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.poly_hash
+      val tmp = System.getProperty("java.io.tmpdir")
+      graft.sources.Staging.vacuumStale(s, tmp, "graft_q194_")
+      val stage = s"$tmp/graft_q194_" +
+        graft.sources.Staging.sessionSuffix(s, dir)
+      graft.sources.Staging.vacuum(s, stage)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .write.format("xml")
+        .option("rootTag", "docs").option("rowTag", "doc")
+        .save(stage)
+      s.read.format("xml")
+        .schema("doc_id BIGINT, lang STRING, source STRING, " +
+          "n_chars BIGINT, text STRING")
+        .option("rowTag", "doc")
+        .load(stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(poly_hash(col("text"))).cast("long").as("text_checksum"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -348,6 +389,7 @@ object ScanQueries {
     "q142_orc_roundtrip" -> formatRoundtripSql,
     "q178_text_roundtrip" -> formatRoundtripSql,
     "q191_avro_roundtrip" -> formatRoundtripSql,
+    "q194_xml_roundtrip" -> formatRoundtripSql,
 
     // q179: membership replayed by parity; the evolved column exists
     // only for odd ids (q51's quality expression verbatim),
