@@ -50,6 +50,57 @@ object CurationQueries {
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("scan", "merge", "dup")
 
+  /** The q93 core, shared with q195's hybrid fusion: BM25 score over
+    * [[Bm25Terms]], one row per doc containing ≥ 1 query term, rounded
+    * to 6 dp. Unordered — callers apply their own presentation sort.
+    * Determinism: each per-(doc, term) weight is a SINGLE value (tf is
+    * already one row per pair, so no shuffle-order double sums exist)
+    * and the cross-term total folds in fixed term order.
+    * dl is read twice (corpus stats + the per-doc join) and tf twice
+    * (df + weights); multi-referenced subtrees re-expand with fresh
+    * exprIds, so uncached each reference re-ran the tokenize/explode
+    * pipeline — both frames are narrow ((doc_id, dl) / ≤|terms| rows
+    * per doc), and the caches measure faster even at fixture scale
+    * (A/B warm medians 1.02 vs 1.21 s at sf0.1) because the recomputed
+    * subtree is CPU-heavy, unlike q107's cheap pruned re-scan where
+    * the same trade measured the other way. */
+  private[operators] def bm25PerDoc(raw: DataFrame): DataFrame = {
+    val docs = raw.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dl = docs.select(col("doc_id"),
+      size(col("toks")).cast("double").as("dl")).cache()
+    // dl values are whole numbers: their double sum is exact in any
+    // order, so avg() here is deterministic cross-engine
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
+    val dfreq = tf.groupBy("tok")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val w = tf
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(Bm25K1 + 1.0))
+          / (col("tf") + lit(Bm25K1)
+            * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    val perTerm = Bm25Terms.map(t =>
+      coalesce(sum(when(col("tok") === t, col("w"))), lit(0.0))
+        .as(s"w_$t"))
+    w.groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        round(Bm25Terms.map(t => col(s"w_$t")).reduce(_ + _), 6)
+          .as("bm25"))
+  }
+
   /** q110: segment width (tokens) for paragraph-granularity dedup —
     * the fixtures carry no newlines, so non-overlapping fixed-width
     * token windows stand in for paragraphs/lines. */
@@ -640,51 +691,56 @@ object CurationQueries {
     // conditional-agg column per term) so the float result is
     // bit-reproducible against the oracle before rounding.
     "q93_bm25" -> { (s, dir) =>
-      val docs = tWide(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      // dl is read twice (corpus stats + the per-doc join) and tf twice
-      // (df + weights); multi-referenced subtrees re-expand with fresh
-      // exprIds, so uncached each reference re-ran the tokenize/explode
-      // pipeline — both frames are narrow ((doc_id, dl) / ≤|terms| rows
-      // per doc), and the caches measure faster even at fixture scale
-      // (A/B warm medians 1.02 vs 1.21 s at sf0.1) because the
-      // recomputed subtree is CPU-heavy, unlike q107's cheap pruned
-      // re-scan where the same trade measured the other way
-      val dl = docs.select(col("doc_id"),
-        size(col("toks")).cast("double").as("dl")).cache()
-      // dl values are whole numbers: their double sum is exact in any
-      // order, so avg() here is deterministic cross-engine
-      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl"))
-      val tf = docs
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .filter(col("tok").isin(Bm25Terms: _*))
-        .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).cast("double").as("tf"))
-        .cache()
-      val dfreq = tf.groupBy("tok")
-        .agg(count(lit(1)).cast("double").as("df"))
-      val w = tf
-        .join(broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
-            / (col("df") + lit(0.5))))
-        .withColumn("w",
-          col("idf") * (col("tf") * lit(Bm25K1 + 1.0))
-            / (col("tf") + lit(Bm25K1)
-              * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-      val perTerm = Bm25Terms.map(t =>
-        coalesce(sum(when(col("tok") === t, col("w"))), lit(0.0))
-          .as(s"w_$t"))
-      w.groupBy("doc_id")
-        .agg(perTerm.head, perTerm.tail: _*)
-        .select(col("doc_id"),
-          round(Bm25Terms.map(t => col(s"w_$t")).reduce(_ + _), 6)
-            .as("bm25"))
+      bm25PerDoc(tWide(s, dir, "documents"))
         .orderBy(desc("bm25"), col("doc_id"))
         .limit(20)
+    },
+
+    // HYBRID RETRIEVAL FUSION — reciprocal-rank fusion (RRF, k = 60) of
+    // the two ranking modalities the engine serves separately: q93's
+    // BM25 lexical ranking and a dense cosine ranking against a fixed
+    // query embedding (vec_id 0; doc_id = vec_id in the fixtures). RRF
+    // is the production hybrid-search combiner precisely because it
+    // fuses INTEGER RANKS, not incomparable scores — which also makes
+    // it deterministic cross-engine for free: 1/(k+r) over int ranks is
+    // one fp expression, with no score normalization to disagree on.
+    // Scale: each arm ends in a distributed top-50
+    // (TakeOrderedAndProject — never a single-partition global window);
+    // rank attachment is a row_number over the already-LIMITed ≤50-row
+    // frame (the bounded-window warning is intentional and harmless
+    // there); the fusion join touches ≤ 100 rows. A missing arm
+    // contributes 0 (standard RRF over the union of lists).
+    "q195_rrf_fusion" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.seq_dot
+      val k = 60
+      val txt = bm25PerDoc(tWide(s, dir, "documents"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(50)
+        .withColumn("r_txt", row_number()
+          .over(Window.orderBy(desc("bm25"), col("doc_id"))).cast("long"))
+        .select("doc_id", "r_txt")
+      val emb = tWide(s, dir, "embeddings")
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val vec = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.VectorOps.cosinePre(
+            seq_dot(col("qe"), col("embedding")), col("qn"), col("nrm"))
+            .as("sim"))
+        .filter(col("sim").isNotNull)
+        .orderBy(desc("sim"), col("doc_id")).limit(50)
+        .withColumn("r_vec", row_number()
+          .over(Window.orderBy(desc("sim"), col("doc_id"))).cast("long"))
+        .select("doc_id", "r_vec")
+      txt.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(k) + col("r_txt")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(k) + col("r_vec")), lit(0.0)))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("r_txt"), col("r_vec"),
+          round(col("rrf"), 6).as("rrf"))
     },
 
     // q92's candidate pass maintained INCREMENTALLY under the gate:
@@ -1499,6 +1555,31 @@ object CurationQueries {
       |        FROM s3) tt),
       |s4 AS (SELECT doc_id, source, text FROM qq WHERE quality >= 0.5)""".stripMargin
 
+  /** The q93 BM25 CTE chain through `bm` (doc_id, bm25) — one DuckDB
+    * source of truth for the lexical ranking, spliced by both the q93
+    * twin and q195's fusion. Generated from the same
+    * [[Bm25Terms]]/[[Bm25K1]]/[[Bm25B]] constants the Spark side uses. */
+  private val bm25Ctes: String = {
+    val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
+    val sumExpr = Bm25Terms
+      .map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN w END), 0)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+       |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+       |w AS (SELECT tf.doc_id, tf.tok,
+       |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |    * (tf * ${Bm25K1 + 1.0})
+       |    / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)) AS w
+       |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats),
+       |bm AS (SELECT doc_id, round($sumExpr, 6) AS bm25
+       |  FROM w GROUP BY doc_id)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     // q154: q49's bigram replay + MLE conditional + q103's guarded
     // integer micro-nat fold
@@ -1805,27 +1886,40 @@ object CurationQueries {
         |GROUP BY tok, n.n HAVING count(*) > n.n / 32.0
         |ORDER BY tok""".stripMargin,
 
-    "q93_bm25" -> {
-      val terms = Bm25Terms.map("'" + _ + "'").mkString(", ")
-      val sumExpr = Bm25Terms
-        .map(t => s"coalesce(sum(CASE WHEN tok = '$t' THEN w END), 0)")
-        .mkString(" + ")
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-         |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
-         |dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
-         |w AS (SELECT tf.doc_id, tf.tok,
-         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |    * (tf * ${Bm25K1 + 1.0})
-         |    / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl)) AS w
-         |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats)
-         |SELECT doc_id, round($sumExpr, 6) AS bm25
-         |FROM w GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "q93_bm25" ->
+      (bm25Ctes + "\n" +
+        """SELECT doc_id, bm25 FROM bm
+          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q195: the q93 BM25 CTEs and the q45 float-dot cosine rendering,
+    // each ranked (QUALIFY ≤ 50 replays the Spark top-50 + re-rank —
+    // same total order, same cut), fused on integer ranks. Literals
+    // route through CAST(1 AS DOUBLE): DuckDB parses 1.0 as DECIMAL
+    // and a decimal division would leak DECIMAL into the result
+    // surface, which the gate hard-fails.
+    "q195_rrf_fusion" ->
+      (bm25Ctes + ",\n" +
+        """txt AS (SELECT doc_id,
+          |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_txt
+          |  FROM bm QUALIFY r_txt <= 50),
+          |e AS MATERIALIZED (SELECT vec_id, embedding,
+          |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
+          |  FROM embeddings),
+          |qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+          |sims AS (SELECT vec_id AS doc_id,
+          |    CASE WHEN qn = 0 OR nrm = 0 THEN NULL ELSE
+          |      list_reduce(list_transform(range(1,65), i -> CAST(qe[i]*embedding[i] AS DOUBLE)), (a,b)->a+b) / (qn * nrm)
+          |    END AS sim
+          |  FROM e CROSS JOIN qv WHERE vec_id != 0),
+          |vec AS (SELECT doc_id,
+          |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_vec
+          |  FROM sims WHERE sim IS NOT NULL QUALIFY r_vec <= 50),
+          |f AS (SELECT coalesce(txt.doc_id, vec.doc_id) AS doc_id, r_txt, r_vec,
+          |    coalesce(CAST(1 AS DOUBLE) / (60 + r_txt), 0)
+          |      + coalesce(CAST(1 AS DOUBLE) / (60 + r_vec), 0) AS rrf
+          |  FROM txt FULL JOIN vec ON txt.doc_id = vec.doc_id)
+          |SELECT doc_id, r_txt, r_vec, round(rrf, 6) AS rrf
+          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
 
     "q103_perplexity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -640,4 +640,52 @@ class CurationSpec extends SparkSpec {
     assert(synth.head.getAs[String]("bg") === "x y",
       "the always-adjacent pair must top the PMI board")
   }
+
+  test("q195: rrf fusion equals the exact rank arithmetic over both arms") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CurationQueries.queries("q195_rrf_fusion")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3))).toSeq
+    // lexical arm: rank the engine's own bm25 board (its exactness is
+    // q93's oracle-gated concern; THIS law pins the fusion arithmetic)
+    val txt = CurationQueries.bm25PerDoc(
+      graft.Tables.tWide(spark, dir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // dense arm: driver-side cosine replaying seq_dot's float-product-
+    // widened-to-double sequential fold exactly (contract D7)
+    val emb = graft.Tables.tWide(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) * b(i)).toDouble)
+    val (qe, qn) = {
+      val q = emb.find(_._1 == 0L).get._2
+      (q, math.sqrt(dot(q, q)))
+    }
+    val vec = emb.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(qe, v) / (qn * math.sqrt(dot(v, v)))) }
+      .filterNot { case (_, s) => s.isNaN }
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expect = (txt.keySet ++ vec.keySet).toSeq.map { id =>
+      val rrf = txt.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vec.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, txt.get(id), vec.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(20)
+      .map { case (id, rt, rv, rrf) =>
+        (id, rt, rv, BigDecimal(rrf)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got === expect,
+      "fused board must equal the exact union-of-arms rank arithmetic")
+    // non-degenerate: the fixture must exercise all three membership
+    // shapes (both arms, text-only, vector-only)
+    assert(got.exists(t => t._2.isDefined && t._3.isDefined) &&
+      got.exists(t => t._2.isEmpty) && got.exists(t => t._3.isEmpty),
+      "fixture board should contain both-arms, text-only and vector-only rows")
+  }
 }
