@@ -816,6 +816,38 @@ object LlmQueries {
         .orderBy("qid", "rnk")
     },
 
+    // HARD-NEGATIVE MINING — the contrastive-training selection step:
+    // for each query vector, the most-similar vectors carrying a
+    // DIFFERENT label (top-3 by cosine). High-similarity/wrong-label is
+    // exactly what embedding finetuning needs as negatives; random
+    // negatives are too easy to carry gradient. Same bounded-|Q|
+    // contract, precomputed norms, and rank discipline as q45 (the
+    // brute-force arm is the correctness baseline; the unbounded-|Q|
+    // scale path is IVF/LSH candidate generation feeding this same
+    // label-mismatch filter — q57/q73). The label filter lands INSIDE
+    // the pair stage, before ranking, so negatives never compete with
+    // same-label rows for the top-3 cut.
+    "q196_hard_negatives" -> { (s, dir) =>
+      val emb = tWide(s, dir, "embeddings")
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
+      val q = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val v = emb.select(col("vec_id").as("nid"), col("label").as("n_label"),
+        col("embedding").as("ve"), col("nrm").as("vn"))
+      val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
+      q.crossJoin(v)
+        .filter(col("nid") =!= col("qid") && col("n_label") =!= col("q_label"))
+        .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
+          graft.functions.VectorOps.cosinePre(
+            seqDot(col("qe"), col("ve")), col("qn"), col("vn")).as("sim_raw"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("nid"), col("q_label"),
+          col("n_label"), round(col("sim_raw"), 6).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+
     // Composite cleaning pipeline — the canonical training-data flow:
     // exact-dedup survivors → quality gate → per-lang corpus report.
     "q62_clean_pipeline" -> { (s, dir) =>
@@ -1142,6 +1174,26 @@ object LlmQueries {
     // norms precomputed per vector in CTE `e` — the same sqrt'd
     // sequential fold the Spark side's l2Norm runs (D7: bit-identical
     // whether computed once or per pair)
+    // q196: q45's CTE rendering with the label carried through the
+    // pair stage and the mismatch filter applied BEFORE ranking
+    "q196_hard_negatives" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qe, nrm AS qn FROM e
+        |  WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |p AS (
+        |  SELECT qid, q_label, vec_id AS nid, label AS n_label,
+        |    list_reduce(list_transform(range(1,65), i -> CAST(qe[i]*embedding[i] AS DOUBLE)), (a,b)->a+b) AS dot,
+        |    qn, nrm AS vn
+        |  FROM q CROSS JOIN e WHERE vec_id != qid AND label != q_label),
+        |s AS (SELECT qid, q_label, nid, n_label,
+        |  CASE WHEN qn = 0 OR vn = 0 THEN NULL ELSE dot/(qn*vn) END AS sim_raw FROM p),
+        |r AS (SELECT qid, q_label, nid, n_label, sim_raw,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid) AS rnk FROM s)
+        |SELECT qid, rnk, nid, q_label, n_label, round(sim_raw, 6) AS sim
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
     "q45_sim_topk" ->
       """WITH e AS MATERIALIZED (SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS nrm

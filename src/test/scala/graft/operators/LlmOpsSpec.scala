@@ -402,4 +402,37 @@ class LlmOpsSpec extends SparkSpec {
     val j = 10.0 / (10 + 68 - 10)
     assert(j < 0.5, "sanity: the swallowed pair sits under the q55 threshold")
   }
+
+  test("q196: hard negatives are the hardest different-label vectors") {
+    val dir = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("q196_hard_negatives")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    // every row is a genuine negative
+    assert(got.forall { case (_, _, _, ql, nl, _) => ql != nl },
+      "a mined negative must carry a different label than its query")
+    // exact driver recompute: top-3 different-label by the D7 cosine
+    // (float product widened to double, sequential fold), tie on nid
+    val emb = graft.Tables.tWide(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) * b(i)).toDouble)
+    val expect = emb.filter(e => e._1 % 50 == 0 && e._1 < 5000)
+      .flatMap { case (qid, ql, qe) =>
+        val qn = math.sqrt(dot(qe, qe))
+        emb.filter(e => e._1 != qid && e._2 != ql)
+          .map { case (nid, nl, ve) =>
+            (nid, nl, dot(qe, ve) / (qn * math.sqrt(dot(ve, ve)))) }
+          .filterNot(_._3.isNaN)
+          .sortBy { case (nid, _, s) => (-s, nid) }.take(3)
+          .zipWithIndex.map { case ((nid, nl, s), i) =>
+            (qid, i + 1L, nid, ql, nl, BigDecimal(s)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expect.toSeq,
+      "engine top-3 must equal the exact brute-force recompute")
+  }
 }
