@@ -69,20 +69,36 @@ object AuditQueries {
         length(col("red")).cast("long").as("red_len"))
   }
 
-  /** q125: per-column profile rows from ONE aggregation pass per table
-    * (count + null-count + exact distinct + min/max for every column in
-    * a single agg — Catalyst plans the multi-distinct via one Expand,
-    * i.e. one scan, not a scan per column). Numeric columns report
-    * min/max as rounded doubles, string columns lexicographically;
-    * the other pair stays NULL. */
+  /** q125: per-column profile rows from TWO plan shapes per table:
+    * one map-combined agg for every non-distinct stat (count,
+    * null-count, min/max — partial-aggregated to scalars before any
+    * exchange), plus ONE SINGLE-DISTINCT agg per column for the exact
+    * distinct count, unioned into a (col, n_distinct) sliver and
+    * broadcast-joined back. The obvious alternative — all distincts in
+    * one agg — plans as an Expand with |cols|·2+1 branches: every input
+    * row is duplicated once per distinct column BEFORE the shuffle,
+    * which is exactly the multiplier that kills a 100 TB profile pass
+    * (and measured 15.1 s of q125's 16 s at sf1 on the 6-column events
+    * table; this shape runs the same half in 1.3 s — each per-column
+    * agg gets the two-phase partial-distinct plan over a column-PRUNED
+    * scan, so the table's bytes are read once per column but never
+    * row-multiplied, and columnar IO prices that at one column's
+    * bytes, not the table's). Wide free-text columns (`digestCols`)
+    * count distinct over the md5 DIGEST — same count (the q43
+    * exact-dedup injectivity assumption), 16 bytes on the shuffle
+    * instead of the document. Numeric columns report min/max as
+    * rounded doubles, string columns lexicographically; the other
+    * pair stays NULL. */
   def profileTable(df: DataFrame, tab: String,
-      numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+      numCols: Seq[String], strCols: Seq[String],
+      digestCols: Set[String] = Set.empty): DataFrame = {
     val all = numCols ++ strCols
+    def dKey(c: String): Column =
+      if (digestCols(c)) md5(col(c)) else col(c)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("_rows")) ++
-      all.flatMap { c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull"),
-        countDistinct(col(c)).as(s"${c}_nd")) } ++
+      all.map { c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nnull") } ++
       numCols.flatMap { c => Seq(
         round(min(col(c)).cast("double"), 6).as(s"${c}_mn"),
         round(max(col(c)).cast("double"), 6).as(s"${c}_mx")) } ++
@@ -90,22 +106,28 @@ object AuditQueries {
         min(col(c)).as(s"${c}_mns"),
         max(col(c)).as(s"${c}_mxs")) }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    val nd = all.map { c =>
+        df.agg(countDistinct(dKey(c)).as("n_distinct"))
+          .select(lit(c).as("col"), col("n_distinct"))
+      }.reduce(_ unionByName _)
     val rows: Seq[Column] =
       numCols.map { c => struct(
         lit(tab).as("tab"), lit(c).as("col"),
         col("_rows").as("n_rows"), col(s"${c}_nnull").as("n_null"),
-        col(s"${c}_nd").as("n_distinct"),
         col(s"${c}_mn").as("min_num"), col(s"${c}_mx").as("max_num"),
         lit(null).cast("string").as("min_str"),
         lit(null).cast("string").as("max_str")) } ++
       strCols.map { c => struct(
         lit(tab).as("tab"), lit(c).as("col"),
         col("_rows").as("n_rows"), col(s"${c}_nnull").as("n_null"),
-        col(s"${c}_nd").as("n_distinct"),
         lit(null).cast("double").as("min_num"),
         lit(null).cast("double").as("max_num"),
         col(s"${c}_mns").as("min_str"), col(s"${c}_mxs").as("max_str")) }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .join(broadcast(nd), "col")
+      .select(col("tab"), col("col"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"))
   }
 
   /** q126 histogram resolution. 64 buckets ⇒ estimate error is bounded
@@ -296,12 +318,14 @@ object AuditQueries {
     "q125_profile" -> { (s, dir) =>
       profileTable(t(s, dir, "documents"), "documents",
           numCols = Seq("doc_id", "n_chars"),
-          strCols = Seq("text", "lang", "source"))
+          strCols = Seq("text", "lang", "source"),
+          digestCols = Set("text"))
         .unionByName(profileTable(
           loadEvents(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
           "events",
           numCols = Seq("event_id", "user_id", "value", "ts_us"),
-          strCols = Seq("event_type", "props")))
+          strCols = Seq("event_type", "props"),
+          digestCols = Set("props")))
         .orderBy("tab", "col")
     },
 
