@@ -93,6 +93,26 @@ class PlanSpec extends SparkSpec {
       s"fact side must not pre-shuffle for the band join:\n$p")
   }
 
+  test("q195 fusion arms are distributed top-50s — every rank window " +
+      "sits over a TakeOrderedAndProject, never over the unbounded frame") {
+    // the scale contract: each retrieval arm cuts to 50 rows via a
+    // distributed TakeOrderedAndProject BEFORE the (single-partition)
+    // row_number attaches ranks; a Window directly over the corpus
+    // would funnel the whole table through one partition at 100 TB
+    val p = plan("q195_rrf_fusion")
+    val lines = p.split("\n")
+    val winIdx = lines.zipWithIndex
+      .collect { case (l, i) if l.contains("Window [row_number") => i }
+    assert(winIdx.length == 2, s"expected exactly two rank windows:\n$p")
+    winIdx.foreach { i =>
+      assert(lines.slice(i + 1, i + 4)
+        .exists(_.contains("TakeOrderedAndProject(limit=50")),
+        s"rank window at line $i must sit over the 50-row cut:\n$p")
+    }
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"final fusion board must be a distributed top-20:\n$p")
+  }
+
   test("q75 pushes the partition predicate into PartitionFilters") {
     val p = plan("q75_partition_prune")
     assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
