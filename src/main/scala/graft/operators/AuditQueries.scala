@@ -130,6 +130,62 @@ object AuditQueries {
         col("min_str"), col("max_str"))
   }
 
+  /** q197 bin count: the 10-decile convention PSI is defined over. */
+  val PsiBins = 10
+
+  /** q197 core: PSI of each source's n_chars distribution against the
+    * rest of the corpus, over pooled-decile bins. Unordered — the gated
+    * key applies the presentation sort. See the key's comment for the
+    * determinism disciplines. */
+  def psiDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = PsiBins
+    val d = docs.select(col("source"), col("n_chars"))
+    val n = d.count()
+    // pooled decile breakpoints: t_k = smallest value whose cumulative
+    // count covers k/B of the pool (exact integer rank cut). The
+    // single-partition window runs over the DISTINCT value domain —
+    // metadata-scale, the q171 argument.
+    val wAll = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.groupBy("n_chars").agg(count(lit(1)).as("ct"))
+      .withColumn("cc", sum("ct").over(wAll).cast("long"))
+    val kdf = docs.sparkSession.range(1, B).toDF("k")
+    val brk = cum.crossJoin(broadcast(kdf))
+      .filter(col("cc") * B >= col("k") * n)
+      .groupBy("k").agg(min("n_chars").as("t"))
+    val brkArr = brk.agg(array_sort(collect_list("t")).as("ts"))
+    val binned = d.crossJoin(broadcast(brkArr))
+      .select(col("source"),
+        size(filter(col("ts"), t => col("n_chars") >= t)).as("bin"))
+    val cb = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val tot = binned.groupBy("bin").agg(count(lit(1)).as("ct"))
+    val n1 = binned.groupBy("source").agg(count(lit(1)).as("n1"))
+    val bins = docs.sparkSession.range(0, B).toDF("bin")
+    val cells = n1.crossJoin(broadcast(bins))
+      .join(cb, Seq("source", "bin"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(tot), Seq("bin"), "left").na.fill(0L, Seq("ct"))
+      .withColumn("dcnt", col("ct") - col("c"))
+      .withColumn("n2", lit(n) - col("n1"))
+      .withColumn("cA", greatest(col("c"), lit(1L)))
+      .withColumn("dA", greatest(col("dcnt"), lit(1L)))
+      .withColumn("term",
+        when(col("c") + col("dcnt") === 0L, lit(0.0))
+          .otherwise(
+            (col("cA").cast("double") / col("n1")
+              - col("dA").cast("double") / col("n2"))
+            * log((col("cA") * col("n2")).cast("double")
+              / (col("dA") * col("n1")).cast("double"))))
+    val perBin = (0 until B).map(b =>
+      coalesce(sum(when(col("bin") === b, col("term"))), lit(0.0))
+        .as(s"t_$b"))
+    cells.groupBy("source", "n1")
+      .agg(perBin.head, perBin.tail: _*)
+      .select(col("source"), col("n1").as("n_docs"),
+        round((0 until B).map(b => col(s"t_$b")).reduce(_ + _), 6)
+          .as("psi"))
+  }
+
   /** q126 histogram resolution. 64 buckets ⇒ estimate error is bounded
     * by the bucket width; the observed abs_err column quantifies it. */
   val HistBuckets = 64
@@ -367,6 +423,26 @@ object AuditQueries {
     // over the distinct-VALUE domain for the pooled ECDF — metadata-
     // scale by the same argument as q126's histogram. The final D
     // divides exact longs once, rounded for display.
+    // POPULATION STABILITY INDEX per source — the binned drift score
+    // model monitoring actually reports, complementing q171's KS
+    // sup-norm with interpretable per-bin contributions: PSI =
+    // Σ (p_i − q_i)·ln(p_i/q_i) over the pooled distribution's 10
+    // decile bins, each source vs the REST of the corpus. Disciplines
+    // compose: decile breakpoints are exact integer rank cuts over the
+    // pooled value domain (q181 — every breakpoint is a value that
+    // exists); bin membership is a 9-comparison fold against the
+    // broadcast breakpoint array; every (source, bin) cell is ONE row
+    // so the conditional per-bin sums have a single element each (the
+    // q93 rule) and the final PSI folds the 10 bin terms in fixed bin
+    // order — no shuffle-order double sum anywhere. Zero cells use the
+    // standard ε-substitution at one COUNT (greatest(c,1)) so ln stays
+    // finite, a both-sides-empty bin contributes exactly 0, and each
+    // term is (x−y)·ln(x/y) ≥ 0. Width bound (q171's rule): the int64
+    // products c·n2 stay exact while n² < 2⁶³, i.e. ~3e9 docs.
+    "q197_psi_drift" -> { (s, dir) =>
+      psiDrift(t(s, dir, "documents")).orderBy("source")
+    },
+
     "q171_ks_drift" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
