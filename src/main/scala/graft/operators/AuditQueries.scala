@@ -722,6 +722,64 @@ object AuditQueries {
         |FROM c1 JOIN ct USING (n_chars) CROSS JOIN n
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // q197: the same exact-integer disciplines as q171, composed — the
+    // decile breakpoints are integer rank cuts over the pooled
+    // cumulative counts (cc·10 ≥ k·n picks the smallest covering
+    // value), bin membership counts breakpoints ≤ n_chars, every
+    // (source, bin) cell is ONE row so the per-bin MIN(CASE…) each
+    // select a single term, and the final PSI folds t_0..t_9 in the
+    // same fixed bin order as the Spark side's left-to-right reduce.
+    "q197_psi_drift" -> {
+      val B = PsiBins
+      val pivotCols = (0 until B).map(b =>
+        s"COALESCE(min(CASE WHEN bin = $b THEN term END), 0.0) AS t_$b")
+        .mkString(",\n        |    ")
+      val foldSum = (0 until B).map(b => s"t_$b").mkString(" + ")
+      s"""WITH d AS (SELECT source, n_chars FROM documents),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |cum AS (
+         |  SELECT n_chars,
+         |    CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS cc
+         |  FROM d GROUP BY n_chars),
+         |brk AS (
+         |  SELECT k, min(n_chars) AS t
+         |  FROM cum CROSS JOIN (SELECT unnest(range(1, $B)) AS k) kk
+         |    CROSS JOIN nn
+         |  WHERE cc * $B >= k * n
+         |  GROUP BY k),
+         |binned AS (
+         |  SELECT dd.source,
+         |    (SELECT count(*) FROM brk WHERE dd.n_chars >= brk.t) AS bin
+         |  FROM d dd),
+         |cb AS (SELECT source, bin, count(*) AS c
+         |       FROM binned GROUP BY source, bin),
+         |tot AS (SELECT bin, count(*) AS ct FROM binned GROUP BY bin),
+         |srcn AS (SELECT source, count(*) AS n1 FROM d GROUP BY source),
+         |cells AS (
+         |  SELECT s.source, s.n1, b.bin,
+         |    COALESCE(cb.c, 0) AS c, COALESCE(tot.ct, 0) - COALESCE(cb.c, 0) AS dcnt
+         |  FROM srcn s
+         |  CROSS JOIN (SELECT unnest(range(0, $B)) AS bin) b
+         |  LEFT JOIN cb ON cb.source = s.source AND cb.bin = b.bin
+         |  LEFT JOIN tot ON tot.bin = b.bin),
+         |terms AS (
+         |  SELECT source, n1, bin,
+         |    CASE WHEN c + dcnt = 0 THEN 0.0 ELSE
+         |      (CAST(greatest(c, 1) AS DOUBLE) / n1
+         |        - CAST(greatest(dcnt, 1) AS DOUBLE) / (n - n1))
+         |      * ln(CAST(greatest(c, 1) * (n - n1) AS DOUBLE)
+         |        / CAST(greatest(dcnt, 1) * n1 AS DOUBLE))
+         |    END AS term
+         |  FROM cells CROSS JOIN nn),
+         |piv AS (
+         |  SELECT source, n1,
+         |    $pivotCols
+         |  FROM terms GROUP BY source, n1)
+         |SELECT source, CAST(n1 AS BIGINT) AS n_docs,
+         |  round($foldSum, 6) AS psi
+         |FROM piv ORDER BY source""".stripMargin
+    },
+
     // q174: each batch replayed by its %20 membership against the
     // static corpus — streamed ≡ one-shot per batch (q108 discipline)
     "q174_stream_ks_drift" ->

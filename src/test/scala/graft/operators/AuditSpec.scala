@@ -236,4 +236,43 @@ class AuditSpec extends SparkSpec {
     // and D is a proper statistic: bounded in [0, 1]
     got.values.foreach { case (_, _, d) => assert(d >= 0 && d <= 1) }
   }
+
+  test("q197: PSI drift equals an exact driver-side decile recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = AuditQueries.queries("q197_psi_drift")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("psi")))
+      .toMap
+    val rows = graft.Tables.t(spark, dir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val B = AuditQueries.PsiBins
+    val n = rows.length.toLong
+    // pooled decile breakpoints: exact integer rank cuts over the
+    // distinct value domain (same rule as the engine and the oracle)
+    val cum = rows.map(_._2).groupBy(identity).toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, cc), (v, g)) => (v, cc + g.length) }
+      .drop(1)
+    val ts = (1 until B).map(k => cum.find(_._2 * B >= k * n).get._1)
+    def bin(v: Long): Int = ts.count(v >= _)
+    val expect = rows.groupBy(_._1).map { case (src, own) =>
+      val n1 = own.length.toLong
+      val n2 = n - n1
+      val terms = (0 until B).map { b =>
+        val c = own.count(r => bin(r._2) == b).toLong
+        val d = rows.count(r => bin(r._2) == b).toLong - c
+        if (c + d == 0L) 0.0
+        else {
+          val cA = math.max(c, 1L); val dA = math.max(d, 1L)
+          (cA.toDouble / n1 - dA.toDouble / n2) *
+            math.log((cA * n2).toDouble / (dA * n1).toDouble)
+        }
+      }
+      src -> (n1,
+        BigDecimal(terms.reduce(_ + _))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === expect, "PSI must equal the exact decile recompute")
+    // with the one-count ε-substitution every term is (x−y)·ln(x/y) ≥ 0
+    got.values.foreach { case (_, psi) => assert(psi >= 0.0) }
+  }
 }
