@@ -50,6 +50,12 @@ object CurationQueries {
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("scan", "merge", "dup")
 
+  /** q198: hashed-feature vocabulary size and resampling-front cut.
+    * V is FIXED (not data-dependent) — the λ table is always exactly
+    * V rows, broadcastable at any corpus size. */
+  val DsirBuckets = 4096
+  val DsirTopK = 50
+
   /** The q93 core, shared with q195's hybrid fusion: BM25 score over
     * [[Bm25Terms]], one row per doc containing ≥ 1 query term, rounded
     * to 6 dp. Unordered — callers apply their own presentation sort.
@@ -741,6 +747,61 @@ object CurationQueries {
         .limit(20)
         .select(col("doc_id"), col("r_txt"), col("r_vec"),
           round(col("rrf"), 6).as("rrf"))
+    },
+
+    // DSIR IMPORTANCE WEIGHTS — data selection via importance
+    // resampling over a HASHED n-gram feature space (the public DSIR
+    // recipe: score each raw document by how much likelier its
+    // unigram+bigram profile is under the TARGET domain than under the
+    // raw corpus, then resample by weight). Target here is lang = 'en';
+    // w(d) = Σ_g λ(h(g)) over the doc's gram INSTANCES, with λ(h) =
+    // ln(p_tgt(h) / p_raw(h)) under Laplace smoothing on the fixed
+    // V-bucket hashed vocabulary. Scale (100 TB): the feature space is
+    // FIXED at V = 4096 buckets, so the λ table is bucket-count-sized
+    // and broadcasts; the corpus makes exactly two linear gram passes
+    // (one bounded-key count agg — map-side combinable — and one
+    // score-join + per-doc sum whose shuffle key is doc_id), and the
+    // final cut is a distributed TakeOrderedAndProject top-50. No
+    // corpus-sized build is cached or collected. Determinism: λ is
+    // quantized to int64 micro-nats per DISTINCT bucket (floor(ln·1e6
+    // + 1e-6), the quantize-then-sum discipline) so per-doc weights
+    // are exact integer sums; the ln argument is a ratio of exact
+    // int64 products, each ≤ ~1e14 at sf1 (double-exact below 2^53,
+    // headroom to ~3e7-gram targets; past that, split the ln).
+    "q198_dsir_weight" -> { (s, dir) =>
+      import graft.plans.GraftExpressions.{poly_hash, word_bigrams}
+      val V = DsirBuckets
+      val docs = tWide(s, dir, "documents")
+      def grams: DataFrame = {
+        val uni = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("g"))
+        val bi = docs.select(col("doc_id"), col("lang"),
+          word_bigrams(col("text")).as("g"))
+        uni.unionAll(bi)
+          .select(col("doc_id"), col("lang"),
+            (poly_hash(col("g")) % V).as("h"))
+      }
+      val counts = grams.groupBy("h").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      // corpus totals off the bounded V-row count table — metadata-scale
+      val tot = counts
+        .agg(sum("cr").cast("long"), sum("ct").cast("long")).head()
+      val (nr, nt) = (tot.getLong(0), tot.getLong(1))
+      val lam = counts.select(col("h"),
+        floor(log(((col("ct") + lit(1L)) * lit(nr + V)).cast("double")
+            / ((col("cr") + lit(1L)) * lit(nt + V)).cast("double"))
+          * 1e6 + 1e-6).as("q"))
+      val perDoc = grams.join(broadcast(lam), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("q").as("w_scaled"))
+      docs.select("doc_id", "lang", "source")
+        .join(perDoc, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_feats"),
+          col("w_scaled"),
+          round(col("w_scaled").cast("double") / 1e6, 6).as("w"))
+        .orderBy(desc("w_scaled"), col("doc_id"))
+        .limit(DsirTopK)
     },
 
     // q92's candidate pass maintained INCREMENTALLY under the gate:
@@ -1920,6 +1981,50 @@ object CurationQueries {
           |  FROM txt FULL JOIN vec ON txt.doc_id = vec.doc_id)
           |SELECT doc_id, r_txt, r_vec, round(rrf, 6) AS rrf
           |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+
+    // q198: the full DSIR replay — same gram streams (unigrams +
+    // positional bigrams), the char-fold poly_hash into V buckets, one
+    // bounded count table, quantized λ per DISTINCT bucket, exact
+    // integer per-doc sums. sp/g are multi-referenced → MATERIALIZED
+    // (the exponential-re-evaluation gotcha). The ln argument is the
+    // identical exact-int64-product ratio the engine builds.
+    "q198_dsir_weight" -> {
+      val V = DsirBuckets
+      s"""WITH sp AS MATERIALIZED (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, lang, unnest(toks) AS g FROM sp
+         |  UNION ALL
+         |  SELECT doc_id, lang, unnest(list_transform(range(0, len(toks) - 1),
+         |    i -> array_to_string(toks[i+1:i+2], ' '))) AS g FROM sp),
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(string_split(g, ''), ch -> ascii(ch)::BIGINT)),
+         |      (a,b) -> (a*131 + b) % 2147483647) % $V AS h
+         |  FROM g0),
+         |counts AS (
+         |  SELECT h, count(*) AS cr,
+         |    count(*) FILTER (lang = 'en') AS ct
+         |  FROM g GROUP BY h),
+         |tots AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |    CAST(sum(ct) AS BIGINT) AS nt FROM counts),
+         |lam AS (
+         |  SELECT h, CAST(floor(ln(
+         |      CAST((ct + 1) * (nr + $V) AS DOUBLE)
+         |      / CAST((cr + 1) * (nt + $V) AS DOUBLE)) * 1e6 + 1e-6)
+         |    AS BIGINT) AS q
+         |  FROM counts CROSS JOIN tots),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_feats,
+         |    CAST(sum(q) AS BIGINT) AS w_scaled
+         |  FROM g JOIN lam USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, d.source, n_feats, w_scaled,
+         |  round(CAST(w_scaled AS DOUBLE) / 1e6, 6) AS w
+         |FROM per JOIN documents d USING (doc_id)
+         |ORDER BY w_scaled DESC, doc_id LIMIT $DsirTopK""".stripMargin
+    },
 
     "q103_perplexity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

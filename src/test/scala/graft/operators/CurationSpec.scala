@@ -688,4 +688,54 @@ class CurationSpec extends SparkSpec {
       got.exists(t => t._2.isEmpty) && got.exists(t => t._3.isEmpty),
       "fixture board should contain both-arms, text-only and vector-only rows")
   }
+
+  test("q198: DSIR weights equal an exact driver-side hashed-gram recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CurationQueries.queries("q198_dsir_weight")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val V = CurationQueries.DsirBuckets
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 2147483647L)
+    val docs = graft.Tables.tWide(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    // gram instance stream: unigrams ++ positional bigrams, hashed
+    val grams = docs.flatMap { case (id, lang, _, text) =>
+      val toks = text.split(" ", -1)
+      val gs = toks.toSeq ++
+        (if (toks.length < 2) Seq.empty
+         else (0 until toks.length - 1).map(i => toks(i) + " " + toks(i + 1)))
+      gs.map(g => (id, lang, polyHash(g) % V))
+    }
+    val nr = grams.length.toLong
+    val nt = grams.count(_._2 == "en").toLong
+    val lam = grams.groupBy(_._3).map { case (h, inst) =>
+      val cr = inst.length.toLong
+      val ct = inst.count(_._2 == "en").toLong
+      h -> math.floor(math.log(((ct + 1) * (nr + V)).toDouble
+        / ((cr + 1) * (nt + V)).toDouble) * 1e6 + 1e-6).toLong
+    }
+    val perDoc = grams.groupBy(_._1).map { case (id, inst) =>
+      id -> (inst.length.toLong, inst.map(g => lam(g._3)).sum)
+    }
+    val meta = docs.map(d => d._1 -> (d._2, d._3)).toMap
+    val expect = perDoc.toSeq
+      .sortBy { case (id, (_, w)) => (-w, id) }.take(CurationQueries.DsirTopK)
+      .map { case (id, (nf, w)) =>
+        (id, meta(id)._1, meta(id)._2, nf, w,
+          BigDecimal(w.toDouble / 1e6)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got === expect,
+      "DSIR board must equal the exact quantized-λ recompute")
+    // and the weights discriminate: target-domain docs average higher
+    val (enW, otherW) = {
+      val byLang = perDoc.toSeq.map { case (id, (_, w)) => (meta(id)._1, w) }
+      (byLang.filter(_._1 == "en").map(_._2.toDouble),
+        byLang.filterNot(_._1 == "en").map(_._2.toDouble))
+    }
+    assert(enW.sum / enW.length > otherW.sum / otherW.length,
+      "mean importance weight must be higher for the target domain")
+  }
 }
