@@ -458,6 +458,84 @@ object SimilarityQueries {
     // scan, and zero-hit queries still report (left join from Q).
     "q122_ann_recall" -> { (s, dir) => annRecall(s, dir) },
 
+    // SPHERICAL K-MEANS REFINEMENT — one Lloyd update over the
+    // persisted IVF index: per centroid, the member count, the mean
+    // cosine of members to their centroid (cohesion — the quality the
+    // index build traded for speed), and how far the centroid would
+    // MOVE if re-estimated as its members' mean (drift = 1 − cos(old,
+    // mean)). The stride-sampled q57 centroids are seeds, not optima;
+    // this is the measurement-plus-update step a production re-cluster
+    // loop runs until drift settles. Scale (100 TB): assignment is
+    // REUSED from the persisted index (probe-only — the build is
+    // priced as q57_index_build); the update pass is one linear scan
+    // shuffling (cid, dim) partial sums — map-side combined to k·64
+    // rows per partition — plus bounded k-row joins. Determinism:
+    // member components quantize to int64 at 2^20 (exact — a float
+    // mantissa times a power of two), so per-dim sums are exact
+    // integers (width: 2^53/2^20 ≈ 8e9 unit-scale members per
+    // cluster); cohesion sums quantized micro-cosines (floor(sim·1e6
+    // + 1e-6), zero-norm rows pinned to 0 via coalesce); the three
+    // 64-dim drift folds run in explicit pos order from a 0.0 seed
+    // (sorted-fold discipline), so old-vs-mean cosine is the identical
+    // double on both engines.
+    "q199_kmeans_refine" -> { (s, dir) =>
+      val idx = s.read.parquet(ivfIndex(s, dir))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cid").cast("long").as("cid"))
+      val stride = centroidStride(idx.count())
+      val cent = idx.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      // two linear passes over the partitioned index (cohesion +
+      // per-dim sums) — never a corpus-sized cache
+      val withC = idx.join(broadcast(cent), Seq("cid"))
+      val stats = withC
+        .select(col("cid"),
+          floor(coalesce(graft.functions.VectorOps.cosinePre(
+              seqDot(col("embedding"), col("ce")), col("nrm"), col("cn")),
+            lit(0.0)) * 1e6 + 1e-6).as("simq"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_assigned"), sum("simq").as("coh_q"))
+      val sums = idx
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cid"), col("pos"),
+          floor(col("v").cast("double") * lit(1048576.0)).as("vq"))
+        .groupBy("cid", "pos").agg(sum("vq").as("sq"))
+      val mean = sums.join(broadcast(stats.select("cid", "n_assigned")), "cid")
+        .select(col("cid"), col("pos"),
+          (col("sq").cast("double")
+            / (col("n_assigned") * lit(1048576L)).cast("double")).as("m"))
+      val centPos = cent
+        .select(col("cid"), posexplode(col("ce")).as(Seq("pos", "cv")))
+        .select(col("cid"), col("pos"), col("cv").cast("double").as("c"))
+      val folds = mean.join(centPos, Seq("cid", "pos"))
+        .select(col("cid"), col("pos"),
+          (col("m") * col("c")).as("mc"),
+          (col("m") * col("m")).as("mm"),
+          (col("c") * col("c")).as("cc"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(
+          struct(col("pos"), col("mc"), col("mm"), col("cc")))).as("arr"))
+        .select(col("cid"),
+          aggregate(col("arr"), lit(0.0), (a, x) => a + x("mc")).as("dmc"),
+          aggregate(col("arr"), lit(0.0), (a, x) => a + x("mm")).as("dmm"),
+          aggregate(col("arr"), lit(0.0), (a, x) => a + x("cc")).as("dcc"))
+      cent.select("cid")
+        .join(stats, Seq("cid"), "left")
+        .na.fill(0L, Seq("n_assigned", "coh_q"))
+        .join(folds, Seq("cid"), "left")
+        .select(col("cid"), col("n_assigned"),
+          round(when(col("n_assigned") === 0L, lit(0.0))
+            .otherwise(col("coh_q").cast("double") / 1e6
+              / col("n_assigned")), 6).as("cohesion"),
+          round(coalesce(
+            when(col("dmm") === 0.0 || col("dcc") === 0.0, lit(0.0))
+              .otherwise(lit(1.0)
+                - col("dmc") / (sqrt(col("dmm")) * sqrt(col("dcc")))),
+            lit(0.0)), 6).as("drift"))
+        .orderBy("cid")
+    },
+
     // Semantic dedup over the clustered corpus (the SemDeDup recipe —
     // Abbas et al. 2023, arXiv:2303.09540: cluster embeddings, dedup
     // WITHIN clusters): reuses q57's persisted IVF index for the
@@ -987,6 +1065,52 @@ object SimilarityQueries {
         |ORDER BY qid""".stripMargin,
 
     "q57_ann_ivf" -> IvfProbeSql,
+
+    // q199: the IVF assignment CTEs verbatim, then the Lloyd update —
+    // per-dim member sums quantized at 2^20 (exact: float mantissa ×
+    // power of two), micro-cosine cohesion sums, and the three drift
+    // folds as explicit pos-ordered list_reduce from a 0.0 seed
+    // (mirroring the engine's sorted-fold, leading 0.0 included)
+    "q199_kmeans_refine" -> (IvfAssignCtes + ",\n" +
+      """asg AS MATERIALIZED (
+        |  SELECT b.cid, e.vec_id, e.embedding, e.nrm
+        |  FROM e JOIN buckets b USING (vec_id)),
+        |coh AS (
+        |  SELECT cid,
+        |    CAST(floor(coalesce(CASE WHEN nrm = 0 OR cn = 0 THEN NULL
+        |        ELSE dot/(nrm*cn) END, CAST(0 AS DOUBLE)) * 1e6 + 1e-6)
+        |      AS BIGINT) AS simq
+        |  FROM (
+        |    SELECT a.cid, a.nrm, c.cn,
+        |      list_reduce(list_transform(range(1,65), i -> CAST(a.embedding[i]*c.ce[i] AS DOUBLE)), (x,y)->x+y) AS dot
+        |    FROM asg a JOIN cent c USING (cid))),
+        |stats AS MATERIALIZED (
+        |  SELECT cid, count(*) AS n_assigned,
+        |    CAST(sum(simq) AS BIGINT) AS coh_q
+        |  FROM coh GROUP BY cid),
+        |sums AS (
+        |  SELECT a.cid, u.i AS pos,
+        |    CAST(sum(CAST(floor(CAST(a.embedding[u.i] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM asg a CROSS JOIN (SELECT unnest(range(1,65)) AS i) u
+        |  GROUP BY a.cid, u.i),
+        |mn AS (
+        |  SELECT s.cid, s.pos,
+        |    CAST(s.sq AS DOUBLE) / CAST(st.n_assigned * 1048576 AS DOUBLE) AS m
+        |  FROM sums s JOIN stats st USING (cid)),
+        |fold AS (
+        |  SELECT mn.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(mn.m * CAST(c.ce[mn.pos] AS DOUBLE) ORDER BY mn.pos)), (x,y)->x+y) AS dmc,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(mn.m * mn.m ORDER BY mn.pos)), (x,y)->x+y) AS dmm,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(CAST(c.ce[mn.pos] AS DOUBLE) * CAST(c.ce[mn.pos] AS DOUBLE) ORDER BY mn.pos)), (x,y)->x+y) AS dcc
+        |  FROM mn JOIN cent c USING (cid) GROUP BY mn.cid)
+        |SELECT c.cid, COALESCE(st.n_assigned, 0) AS n_assigned,
+        |  round(CASE WHEN COALESCE(st.n_assigned, 0) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(st.coh_q AS DOUBLE) / 1e6 / st.n_assigned END, 6) AS cohesion,
+        |  round(COALESCE(CASE WHEN f.dmm = 0 OR f.dcc = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE 1 - f.dmc / (sqrt(f.dmm) * sqrt(f.dcc)) END,
+        |    CAST(0 AS DOUBLE)), 6) AS drift
+        |FROM cent c LEFT JOIN stats st USING (cid) LEFT JOIN fold f USING (cid)
+        |ORDER BY cid""".stripMargin),
 
     // q134 = q57's answer from the grown index; same SQL, and the gate
     // becomes the append≡rebuild equivalence proof

@@ -435,4 +435,63 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq,
       "engine top-3 must equal the exact brute-force recompute")
   }
+
+  test("q199: Lloyd refinement equals an exact driver-side recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SimilarityQueries.queries("q199_kmeans_refine")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    val emb = graft.Tables.tWide(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stride = SimilarityQueries.centroidStride(emb.length.toLong)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) * b(i)).toDouble)
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val cents = emb.filter(_._1 % stride == 0).sortBy(_._1)
+    // nearest-centroid assignment: sim desc (nulls last), cid asc —
+    // the same total order the persisted index build uses
+    val assigned = emb.map { case (id, v) =>
+      val nv = nrm(v)
+      val cid = cents.map { case (c, ce) =>
+        val nc = nrm(ce)
+        val s = if (nv == 0 || nc == 0) None else Some(dot(v, ce) / (nv * nc))
+        (c, s)
+      }.minBy { case (c, s) => (s.map(-_).getOrElse(Double.MaxValue), c) }._1
+      (id, v, cid)
+    }
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = cents.map { case (cid, ce) =>
+      val members = assigned.filter(_._3 == cid)
+      val nA = members.length.toLong
+      val cohQ = members.map { case (_, v, _) =>
+        val nv = nrm(v); val nc = nrm(ce)
+        val s = if (nv == 0 || nc == 0) 0.0 else dot(v, ce) / (nv * nc)
+        math.floor(s * 1e6 + 1e-6).toLong
+      }.sum
+      val m = (0 until 64).map { i =>
+        val sq = members.map { case (_, v, _) =>
+          math.floor(v(i).toDouble * 1048576.0).toLong }.sum
+        sq.toDouble / (nA * 1048576L).toDouble
+      }
+      val dmc = (0 until 64).foldLeft(0.0)((a, i) => a + m(i) * ce(i).toDouble)
+      val dmm = (0 until 64).foldLeft(0.0)((a, i) => a + m(i) * m(i))
+      val dcc = (0 until 64).foldLeft(0.0)((a, i) =>
+        a + ce(i).toDouble * ce(i).toDouble)
+      val drift = if (dmm == 0.0 || dcc == 0.0) 0.0
+        else 1.0 - dmc / (math.sqrt(dmm) * math.sqrt(dcc))
+      (cid, nA,
+        rnd(if (nA == 0) 0.0 else cohQ.toDouble / 1e6 / nA),
+        rnd(drift))
+    }
+    assert(got === expect.toSeq,
+      "refinement stats must equal the exact per-cluster recompute")
+    // every vector lands somewhere, and drift is a proper 1−cos ∈ [0, 2]
+    assert(got.map(_._2).sum === emb.length.toLong)
+    got.foreach { case (_, _, coh, drift) =>
+      assert(coh >= -1.0 && coh <= 1.0 && drift >= 0.0 && drift <= 2.0)
+    }
+  }
 }
