@@ -53,6 +53,20 @@ object Tables {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** General conf-swap: run `body` with the given session confs set,
+    * restoring (or unsetting) each afterwards. Same discipline as
+    * [[withShufflePartitions]] — only work that MATERIALIZES inside
+    * `body` sees the settings; callers returning lazy plans must
+    * collect within the block. */
+  def withConfs[A](spark: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** `events.ts` has shipped under two parquet encodings across fixture
     * generations, so this loader branches on the READ type rather than
     * assuming either (contract D9):

@@ -36,7 +36,48 @@ object ScanQueries {
   private[operators] def tsvDecNum(c: org.apache.spark.sql.Column) =
     when(c === TsvNull, lit(null)).otherwise(c)
 
+  /** q200: session confs that route parquet reads through DataSource V2
+    * with footer-stats aggregate pushdown on. V2 is opt-in per source
+    * (empty `useV1SourceList`), and the pushdown conf only affects
+    * unfiltered MIN/MAX/COUNT aggregates — both are swapped back after
+    * the key materializes (the [[graft.Tables.withConfs]] discipline). */
+  private[graft] val PushdownConfs = Seq(
+    "spark.sql.sources.useV1SourceList" -> "",
+    "spark.sql.parquet.aggregatePushdown" -> "true")
+
+  /** q200 core: a stats-only aggregate — COUNT plus MIN/MAX over long
+    * and double columns, no filter, no grouping — the exact shape the
+    * V2 parquet reader answers from ROW-GROUP FOOTER METADATA with zero
+    * data pages read. Must be planned AND executed inside
+    * [[PushdownConfs]] to take the pushdown path (PlanSpec pins the
+    * `PushedAggregation` scan); the values are identical either way,
+    * which is what the oracle gate checks. */
+  private[graft] def statsOnlyAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_okey"), max("l_orderkey").as("max_okey"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // METADATA-ONLY AGGREGATION — the 100 TB shape where the right
+    // answer costs zero data reads: parquet already stores per-row-group
+    // min/max/count in its footers, and Spark's V2 reader can answer an
+    // unfiltered MIN/MAX/COUNT aggregate wholly from those stats
+    // (explain shows `PushedAggregation`; a scan that reads 100 TB to
+    // compute a 7-value summary is wrong). The key materializes its one
+    // row inside the conf swap (lazy plans evaluate under restored
+    // confs — the withConfs contract) and returns it as a local frame.
+    "q200_agg_pushdown" -> { (s, dir) =>
+      graft.Tables.withConfs(s, PushdownConfs: _*) {
+        val df = statsOnlyAgg(s, dir)
+        val rows = java.util.Arrays.asList(df.collect(): _*)
+        s.createDataFrame(rows, df.schema)
+      }
+    },
+
     "q01_scan_project" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .select(
@@ -358,6 +399,17 @@ object ScanQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // q200: the values are plain unfiltered MIN/MAX/COUNT — the key's
+    // substance is WHERE they come from (footer stats, plan-pinned in
+    // PlanSpec), which an SQL twin checks by value equality
+    "q200_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
         | CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue

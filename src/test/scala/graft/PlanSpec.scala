@@ -823,4 +823,21 @@ class PlanSpec extends SparkSpec {
         s"no cached corpus-sized frames in the probe path:\n$sp")
     }
   }
+
+  test("q200 answers MIN/MAX/COUNT from parquet footer stats (PushedAggregation)") {
+    import graft.operators.ScanQueries
+    graft.Tables.withConfs(spark, ScanQueries.PushdownConfs: _*) {
+      val p = ScanQueries.statsOnlyAgg(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)"),
+        s"the aggregate must reach the V2 parquet scan:\n$p")
+      // the plan string truncates long lists — pin the leading entries
+      assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_quantity)"),
+        s"min/max must be pushed alongside count:\n$p")
+      // a pushed scan exposes only the aggregate columns — the row-level
+      // schema must NOT be read
+      assert(!p.contains("l_returnflag"),
+        s"stats-only scan must not read data columns:\n$p")
+    }
+  }
 }
