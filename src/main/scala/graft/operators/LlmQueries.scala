@@ -33,6 +33,11 @@ object LlmQueries {
   /** q44's near-dup cutoff: est Jaccard ≥ 0.8 ⇔ match_cnt ≥ this. */
   val NearDupMinMatches: Int = math.ceil(0.8 * NumPerms).toInt
 
+  /** q201: candidate-list width and greedy pick count. Both FIXED, so
+    * every MMR round works on ≤ |Q|·[[MmrCandidates]]-row frames. */
+  val MmrCandidates = 20
+  val MmrPicks = 5
+
   /** Declarative form of the affine "permutation" — constants come from
     * [[graft.plans.MinHashAgg]], the single source of truth shared with
     * the imperative aggregate and the DuckDB oracle SQL. */
@@ -848,6 +853,80 @@ object LlmQueries {
         .orderBy("qid", "rnk")
     },
 
+    // MMR DIVERSIFIED RETRIEVAL — maximal marginal relevance re-ranking
+    // of each query's candidate list: greedily pick the candidate
+    // maximizing relevance MINUS its max similarity to what's already
+    // picked, so the final 5 don't say the same thing five times (the
+    // RAG-context / eval-set diversification step; near-dup retrieved
+    // contexts waste the prompt budget q189 packs). λ = 0.5, for which
+    // argmax(λ·sim − (1−λ)·maxsim) ≡ argmax(sim − maxsim) — the
+    // CONSTANT-FREE form, one subtraction of two gate-proven cosine
+    // doubles, nothing else to disagree on cross-engine. Greedy is
+    // inherently sequential, so the [[MmrPicks]] rounds unroll as fixed
+    // plan stages (the q101 fixed-point discipline: one cached frame
+    // per iteration) — but every frame is BOUNDED: |Q| ≤ 100 queries ×
+    // [[MmrCandidates]] candidates (the q45 rule), so each round is
+    // joins over ≤ 2,000-row cached frames regardless of corpus size.
+    // The only corpus-sized work is the one candidate-generation pass
+    // (brute force here as the correctness baseline; the scale path
+    // feeds IVF/LSH candidates — q57/q73 — into the same greedy loop).
+    "q201_mmr_diversify" -> { (s, dir) =>
+      val emb = tWide(s, dir, "embeddings")
+        .withColumn("nrm", graft.functions.VectorOps.l2Norm(col("embedding")))
+      val q = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val v = emb.select(col("vec_id").as("nid"), col("embedding").as("ve"),
+        col("nrm").as("vn"))
+      val wTop = Window.partitionBy("qid").orderBy(desc("sim"), col("nid"))
+      val cand = broadcast(q).crossJoin(v)
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), col("ve"), col("vn"),
+          graft.functions.VectorOps.cosinePre(
+            seqDot(col("qe"), col("ve")), col("qn"), col("vn")).as("sim"))
+        .filter(col("sim").isNotNull)
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= MmrCandidates)
+        .select("qid", "nid", "ve", "vn", "sim")
+        .cache()
+      // candidate-candidate similarities: ≤ |Q|·20² rows, all norms > 0
+      // by cand's sim-not-null construction
+      val pairs = cand.select(col("qid"), col("nid").as("a"),
+          col("ve").as("ae"), col("vn").as("an"))
+        .join(cand.select(col("qid"), col("nid").as("b"),
+          col("ve").as("be"), col("vn").as("bn")), Seq("qid"))
+        .filter(col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("b"),
+          graft.functions.VectorOps.cosinePre(
+            seqDot(col("ae"), col("be")), col("an"), col("bn")).as("psim"))
+        .cache()
+      val w1 = Window.partitionBy("qid").orderBy(desc("sim"), col("nid"))
+      var acc = cand
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+        .select(col("qid"), lit(1L).as("step"), col("nid"),
+          col("sim").as("score"))
+        .cache()
+      for (k <- 2 to MmrPicks) {
+        val pen = pairs
+          .join(acc.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
+          .groupBy("qid", "a").agg(max("psim").as("pen"))
+          .select(col("qid"), col("a").as("nid"), col("pen"))
+        val wPick = Window.partitionBy("qid").orderBy(desc("score"), col("nid"))
+        val pick = cand
+          .join(acc.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+          .join(pen, Seq("qid", "nid"))
+          .withColumn("score", col("sim") - col("pen"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("qid"), lit(k.toLong).as("step"), col("nid"),
+            col("score"))
+        acc = acc.unionByName(pick).cache()
+      }
+      acc.select(col("qid"), col("step"), col("nid"),
+          round(col("score"), 6).as("score"))
+        .orderBy("qid", "step")
+    },
+
     // Composite cleaning pipeline — the canonical training-data flow:
     // exact-dedup survivors → quality gate → per-lang corpus report.
     "q62_clean_pipeline" -> { (s, dir) =>
@@ -1211,6 +1290,64 @@ object LlmQueries {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid) AS rnk FROM s)
         |SELECT qid, rnk, nid, round(sim_raw, 6) AS sim
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // q201: the greedy rounds UNROLL as generated CTE layers (fixed
+    // pick count — no recursion, so no recursive-term aggregate
+    // restrictions); each p_k excludes prior picks and ranks by the
+    // constant-free sim − max(psim-to-picked) score. cand/pairs are
+    // multi-referenced → MATERIALIZED.
+    "q201_mmr_diversify" -> {
+      val steps = (2 to MmrPicks).map { k =>
+        val prev = (1 until k).map(i => s"SELECT qid, nid FROM p$i")
+          .mkString(" UNION ALL ")
+        s"""p$k AS (
+           |  SELECT qid, nid, score FROM (
+           |    SELECT c.qid, c.nid, c.sim - pen.pen AS score,
+           |      row_number() OVER (PARTITION BY c.qid
+           |        ORDER BY c.sim - pen.pen DESC, c.nid) AS rn
+           |    FROM cand c
+           |    JOIN (SELECT pr.qid, pr.a, max(pr.psim) AS pen
+           |          FROM pairs pr JOIN ($prev) s
+           |            ON pr.qid = s.qid AND pr.b = s.nid
+           |          GROUP BY pr.qid, pr.a) pen
+           |      ON pen.qid = c.qid AND pen.a = c.nid
+           |    WHERE NOT EXISTS (SELECT 1 FROM ($prev) s2
+           |      WHERE s2.qid = c.qid AND s2.nid = c.nid)) t
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to MmrPicks).map(i =>
+        s"SELECT qid, CAST($i AS BIGINT) AS step, nid, score FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (x,y)->x+y)) AS nrm
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
+         |  WHERE vec_id % 50 = 0 AND vec_id < 5000),
+         |cand AS MATERIALIZED (
+         |  SELECT qid, nid, ve, vn, sim FROM (
+         |    SELECT qid, nid, ve, vn, sim,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |    FROM (
+         |      SELECT q.qid, e.vec_id AS nid, e.embedding AS ve, e.nrm AS vn,
+         |        CASE WHEN q.qn = 0 OR e.nrm = 0 THEN NULL ELSE
+         |          list_reduce(list_transform(range(1,65), i -> CAST(q.qe[i]*e.embedding[i] AS DOUBLE)), (x,y)->x+y) / (q.qn * e.nrm)
+         |        END AS sim
+         |      FROM qv q CROSS JOIN e WHERE e.vec_id != q.qid) s0
+         |    WHERE sim IS NOT NULL) s1
+         |  WHERE rn <= $MmrCandidates),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.qid, a.nid AS a, b.nid AS b,
+         |    list_reduce(list_transform(range(1,65), i -> CAST(a.ve[i]*b.ve[i] AS DOUBLE)), (x,y)->x+y) / (a.vn * b.vn) AS psim
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid != b.nid),
+         |p1 AS (
+         |  SELECT qid, nid, score FROM (
+         |    SELECT qid, nid, sim AS score,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |    FROM cand) t WHERE rn = 1),
+         |$steps
+         |SELECT qid, step, nid, round(score, 6) AS score
+         |FROM ($out) u ORDER BY qid, step""".stripMargin
+    },
 
     "q62_clean_pipeline" ->
       """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

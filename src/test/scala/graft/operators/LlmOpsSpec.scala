@@ -494,4 +494,55 @@ class LlmOpsSpec extends SparkSpec {
       assert(coh >= -1.0 && coh <= 1.0 && drift >= 0.0 && drift <= 2.0)
     }
   }
+
+  test("q201: MMR picks equal an exact driver-side greedy recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = LlmQueries.queries("q201_mmr_diversify")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val emb = graft.Tables.tWide(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) * b(i)).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+      val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+      if (na == 0 || nb == 0) None else Some(dot(a, b) / (na * nb))
+    }
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qids = emb.keys.filter(id => id % 50 == 0 && id < 5000).toSeq.sorted
+    val expect = qids.flatMap { qid =>
+      val cand = emb.toSeq.filter(_._1 != qid)
+        .flatMap { case (nid, v) => cos(emb(qid), v).map(s => (nid, v, s)) }
+        .sortBy { case (nid, _, s) => (-s, nid) }.take(LlmQueries.MmrCandidates)
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      (1 to LlmQueries.MmrPicks).foreach { _ =>
+        val remaining = cand.filterNot(c => picks.exists(_._1 == c._1))
+        if (remaining.nonEmpty) {
+          val best = remaining.map { case (nid, v, s) =>
+            val sc = if (picks.isEmpty) s
+              else s - picks.map(p => cos(v, emb(p._1)).get).max
+            (nid, sc)
+          }.minBy { case (nid, sc) => (-sc, nid) }
+          picks += best
+        }
+      }
+      picks.zipWithIndex.map { case ((nid, sc), i) =>
+        (qid, i + 1L, nid, rnd(sc)) }
+    }
+    assert(got === expect, "MMR board must equal the exact greedy recompute")
+    // non-degenerate diversification: at least one query's MMR picks
+    // diverge from its plain similarity top-5
+    val plainTop = qids.map { qid =>
+      qid -> emb.toSeq.filter(_._1 != qid)
+        .flatMap { case (nid, v) => cos(emb(qid), v).map(s => (nid, s)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(LlmQueries.MmrPicks)
+        .map(_._1)
+    }.toMap
+    val mmrPicks = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    assert(qids.exists(q => mmrPicks(q) != plainTop(q)),
+      "the fixture should make MMR reorder at least one query's board")
+  }
 }
