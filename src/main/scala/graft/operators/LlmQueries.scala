@@ -899,31 +899,49 @@ object LlmQueries {
         .select(col("qid"), col("a"), col("b"),
           graft.functions.VectorOps.cosinePre(
             seqDot(col("ae"), col("be")), col("an"), col("bn")).as("psim"))
-        .cache()
-      val w1 = Window.partitionBy("qid").orderBy(desc("sim"), col("nid"))
-      var acc = cand
-        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-        .select(col("qid"), lit(1L).as("step"), col("nid"),
-          col("sim").as("score"))
-        .cache()
-      for (k <- 2 to MmrPicks) {
-        val pen = pairs
-          .join(acc.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
-          .groupBy("qid", "a").agg(max("psim").as("pen"))
-          .select(col("qid"), col("a").as("nid"), col("pen"))
-        val wPick = Window.partitionBy("qid").orderBy(desc("score"), col("nid"))
-        val pick = cand
-          .join(acc.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-          .join(pen, Seq("qid", "nid"))
-          .withColumn("score", col("sim") - col("pen"))
-          .withColumn("rn", row_number().over(wPick))
-          .filter(col("rn") === 1)
-          .select(col("qid"), lit(k.toLong).as("step"), col("nid"),
-            col("score"))
-        acc = acc.unionByName(pick).cache()
-      }
-      acc.select(col("qid"), col("step"), col("nid"),
-          round(col("score"), 6).as("score"))
+      // the greedy rounds run INSIDE one expression over each query's
+      // bounded arrays (≤ 20 candidates, ≤ 380 pair sims) — a per-row
+      // O(picks·cands·pairs) ≈ 40k-op loop, not 5 plan stages: an
+      // iterative union-and-cache formulation re-references each round's
+      // frame three times and planned 20+ jobs (measured 7 s at sf0.1
+      // for ≤ 200 output rows); this single-projection form is the same
+      // arithmetic in one pass. Argmax folds are order-free (strict
+      // improvement or equal-score-smaller-nid replacement), so the
+      // unsorted collect_list order can't leak into the answer.
+      val st = cand.groupBy("qid")
+        .agg(collect_list(struct(col("nid"), col("sim"))).as("cands"))
+        .join(pairs.groupBy("qid")
+          .agg(collect_list(struct(col("a"), col("b"), col("psim")))
+            .as("prs")), Seq("qid"))
+      val picks = expr(s"""
+        aggregate(
+          sequence(1, $MmrPicks),
+          cast(array() as array<struct<nid: bigint, score: double>>),
+          (acc, step) ->
+            case when size(cands) <= size(acc) then acc else array_append(
+              acc,
+              aggregate(
+                transform(
+                  filter(cands, c -> not exists(acc, p -> p.nid = c.nid)),
+                  c -> named_struct('nid', c.nid, 'score',
+                    case when size(acc) = 0 then c.sim
+                    else c.sim - aggregate(
+                      filter(prs, pr -> pr.a = c.nid
+                        and exists(acc, p -> p.nid = pr.b)),
+                      cast(-2.0 as double),
+                      (m, pr) -> case when pr.psim > m then pr.psim else m end)
+                    end)),
+                named_struct('nid', cast(null as bigint),
+                  'score', cast(null as double)),
+                (best, c) -> case
+                  when best.nid is null then c
+                  when c.score > best.score then c
+                  when c.score = best.score and c.nid < best.nid then c
+                  else best end))
+            end)""")
+      st.select(col("qid"), posexplode(picks).as(Seq("i", "p")))
+        .select(col("qid"), (col("i") + 1).cast("long").as("step"),
+          col("p.nid").as("nid"), round(col("p.score"), 6).as("score"))
         .orderBy("qid", "step")
     },
 

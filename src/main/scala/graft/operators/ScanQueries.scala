@@ -61,7 +61,47 @@ object ScanQueries {
         min("l_extendedprice").as("min_price"),
         max("l_extendedprice").as("max_price"))
 
+  /** q202 core: MIN/MAX/COUNT grouped by the PARTITION column of a
+    * hive-partitioned layout — with aggregate pushdown the V2 reader
+    * answers per-group from each partition directory's footer stats
+    * (`PushedGroupBy: [lang]` in the scan). Must be planned and
+    * executed inside [[PushdownConfs]]. */
+  private[graft] def partitionGroupAgg(s: SparkSession, stage: String): DataFrame =
+    s.read.parquet(stage)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+
+  /** q202: stage documents hive-partitioned by lang under tmpdir (the
+    * q194 session-suffix discipline) and return the staged path. */
+  private[graft] def q202Stage(s: SparkSession, dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    graft.sources.Staging.vacuumStale(s, tmp, "graft_q202_")
+    val stage = s"$tmp/graft_q202_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
+    graft.sources.Staging.store(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      stage, partitionBy = Seq("lang"))
+    stage
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q200's pushdown extended to GROUPED stats: over a lake laid out
+    // hive-partitioned by the grouping key (the layout a 100 TB corpus
+    // already has for its source/lang dimensions), per-group
+    // MIN/MAX/COUNT comes from partition-local footer stats — the scan
+    // carries PushedAggregation AND PushedGroupBy, and reads zero data
+    // pages. The write prices the layout; the point is the read shape.
+    "q202_groupby_pushdown" -> { (s, dir) =>
+      val stage = q202Stage(s, dir)
+      graft.Tables.withConfs(s, PushdownConfs: _*) {
+        val df = partitionGroupAgg(s, stage)
+        val rows = java.util.Arrays.asList(df.collect(): _*)
+        s.createDataFrame(rows, df.schema).orderBy("lang")
+      }
+    },
+
     // METADATA-ONLY AGGREGATION — the 100 TB shape where the right
     // answer costs zero data reads: parquet already stores per-row-group
     // min/max/count in its footers, and Spark's V2 reader can answer an
@@ -399,6 +439,14 @@ object ScanQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // q202: per-lang stats by value — the staged partitioned layout is
+    // lossless, so the twin runs on the original table
+    "q202_groupby_pushdown" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // q200: the values are plain unfiltered MIN/MAX/COUNT — the key's
     // substance is WHERE they come from (footer stats, plan-pinned in
     // PlanSpec), which an SQL twin checks by value equality

@@ -840,4 +840,17 @@ class PlanSpec extends SparkSpec {
         s"stats-only scan must not read data columns:\n$p")
     }
   }
+
+  test("q202 pushes grouped MIN/MAX/COUNT down to the partitioned layout") {
+    import graft.operators.ScanQueries
+    val stage = ScanQueries.q202Stage(spark, dir)
+    graft.Tables.withConfs(spark, ScanQueries.PushdownConfs: _*) {
+      val p = ScanQueries.partitionGroupAgg(spark, stage)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)"),
+        s"the grouped aggregate must reach the V2 parquet scan:\n$p")
+      assert(p.contains("PushedGroupBy: [lang]"),
+        s"grouping by the partition column must push down:\n$p")
+    }
+  }
 }
