@@ -893,8 +893,8 @@ object LlmQueries {
       // by cand's sim-not-null construction
       val pairs = cand.select(col("qid"), col("nid").as("a"),
           col("ve").as("ae"), col("vn").as("an"))
-        .join(cand.select(col("qid"), col("nid").as("b"),
-          col("ve").as("be"), col("vn").as("bn")), Seq("qid"))
+        .join(broadcast(cand.select(col("qid"), col("nid").as("b"),
+          col("ve").as("be"), col("vn").as("bn"))), Seq("qid"))
         .filter(col("a") =!= col("b"))
         .select(col("qid"), col("a"), col("b"),
           graft.functions.VectorOps.cosinePre(
@@ -910,9 +910,9 @@ object LlmQueries {
       // unsorted collect_list order can't leak into the answer.
       val st = cand.groupBy("qid")
         .agg(collect_list(struct(col("nid"), col("sim"))).as("cands"))
-        .join(pairs.groupBy("qid")
+        .join(broadcast(pairs.groupBy("qid")
           .agg(collect_list(struct(col("a"), col("b"), col("psim")))
-            .as("prs")), Seq("qid"))
+            .as("prs"))), Seq("qid"))
       val picks = expr(s"""
         aggregate(
           sequence(1, $MmrPicks),

@@ -508,7 +508,7 @@ object SimilarityQueries {
       val centPos = cent
         .select(col("cid"), posexplode(col("ce")).as(Seq("pos", "cv")))
         .select(col("cid"), col("pos"), col("cv").cast("double").as("c"))
-      val folds = mean.join(centPos, Seq("cid", "pos"))
+      val folds = mean.join(broadcast(centPos), Seq("cid", "pos"))
         .select(col("cid"), col("pos"),
           (col("m") * col("c")).as("mc"),
           (col("m") * col("m")).as("mm"),
@@ -521,9 +521,9 @@ object SimilarityQueries {
           aggregate(col("arr"), lit(0.0), (a, x) => a + x("mm")).as("dmm"),
           aggregate(col("arr"), lit(0.0), (a, x) => a + x("cc")).as("dcc"))
       cent.select("cid")
-        .join(stats, Seq("cid"), "left")
+        .join(broadcast(stats), Seq("cid"), "left")
         .na.fill(0L, Seq("n_assigned", "coh_q"))
-        .join(folds, Seq("cid"), "left")
+        .join(broadcast(folds), Seq("cid"), "left")
         .select(col("cid"), col("n_assigned"),
           round(when(col("n_assigned") === 0L, lit(0.0))
             .otherwise(col("coh_q").cast("double") / 1e6
