@@ -44,6 +44,9 @@ object SimilarityQueries {
     * (`par` CTE). */
   private[graft] val CentroidBaseStride = 100L
   private[graft] val MaxCentroids = 4096L
+
+  /** q203: truncated (matryoshka) retrieval width. */
+  val MrlDims = 16
   private[graft] def centroidStride(n: Long): Long = {
     val block = MaxCentroids * CentroidBaseStride
     CentroidBaseStride * math.max(1L, (n + block - 1L) / block)
@@ -692,7 +695,59 @@ object SimilarityQueries {
     "q137_quant_recall" -> { (s, dir) =>
       quantRecall(tWide(s, dir, "embeddings").select("vec_id", "embedding"))
     },
+
+    // MATRYOSHKA-TRUNCATION recall — q137's measure-before-trust
+    // discipline applied to DIMENSION reduction instead of integer
+    // quantization: recall@5 of cosine retrieval over the first
+    // [[MrlDims]] embedding dims against the exact full-width cosine
+    // top-5, per query. MRL-style truncation is the other standard
+    // storage/latency trade (16 of 64 dims = 4× less vector I/O, same
+    // arithmetic), and like quantization it must be MEASURED per corpus
+    // before a pipeline trusts it. Both sims compute in ONE bounded
+    // pair pass (the truncated rep is a slice of the same row — no
+    // second scan); ranks break ties identically (metric DESC, nid);
+    // bounded-|Q| contract as q45/q137. A truncated-zero vector yields
+    // NULL sim → ranked last on both engines (the q45 convention).
+    "q203_mrl_recall" -> { (s, dir) =>
+      mrlRecall(tWide(s, dir, "embeddings").select("vec_id", "embedding"))
+    },
   )
+
+  /** q203 core over any (vec_id, embedding) frame: recall@5 of
+    * truncated-dim cosine against full-width cosine on the bounded
+    * query set. Factored so the spec can feed vectors whose
+    * information lives entirely in the first [[MrlDims]] dims (the
+    * recall-1 law). */
+  def mrlRecall(embIn: DataFrame): DataFrame = {
+    val emb = embIn
+      .select(col("vec_id"), col("embedding").as("fv"),
+        slice(col("embedding"), 1, MrlDims).as("tv"))
+      .withColumn("fn", graft.functions.VectorOps.l2Norm(col("fv")))
+      .withColumn("tn", graft.functions.VectorOps.l2Norm(col("tv")))
+    val q = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("fv").as("qfv"),
+        col("tv").as("qtv"), col("fn").as("qfn"), col("tn").as("qtn"))
+    val p = broadcast(q).crossJoin(emb)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        graft.functions.VectorOps.cosinePre(
+          seqDot(col("qfv"), col("fv")), col("qfn"), col("fn")).as("mf"),
+        graft.functions.VectorOps.cosinePre(
+          seqDot(col("qtv"), col("tv")), col("qtn"), col("tn")).as("mt"))
+    val wF = Window.partitionBy("qid").orderBy(desc("mf"), col("nid"))
+    val wT = Window.partitionBy("qid").orderBy(desc("mt"), col("nid"))
+    val full = p.withColumn("r", row_number().over(wF))
+      .filter(col("r") <= 5).select("qid", "nid")
+    val trunc = p.withColumn("r", row_number().over(wT))
+      .filter(col("r") <= 5).select("qid", "nid")
+    val hits = full.join(trunc, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    q.select("qid").join(hits, Seq("qid"), "left_outer")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("qid"), col("n_hit").cast("long").as("n_hit"),
+        round(col("n_hit") / lit(5.0), 6).as("recall"))
+      .orderBy("qid")
+  }
 
   /** q137 core over any (vec_id, embedding) frame: recall@5 of the
     * int8-dot ranking (q90's chain) against exact float-dot top-5 on
@@ -1065,6 +1120,35 @@ object SimilarityQueries {
         |ORDER BY qid""".stripMargin,
 
     "q57_ann_ivf" -> IvfProbeSql,
+
+    // q203: both sims from one pair CTE — the truncated arm folds
+    // range(1, MrlDims+1) of the SAME row, the full arm range(1,65);
+    // q137's hit/recall tail verbatim
+    "q203_mrl_recall" -> {
+      val T = MrlDims + 1
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_transform(range(1,65), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS fn,
+         |    sqrt(list_reduce(list_transform(range(1,$T), i -> CAST(embedding[i]*embedding[i] AS DOUBLE)), (a,b)->a+b)) AS tn
+         |  FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv, fn AS qfn, tn AS qtn
+         |  FROM e WHERE vec_id % 50 = 0 AND vec_id < 5000),
+         |p AS MATERIALIZED (
+         |  SELECT qid, e.vec_id AS nid,
+         |    CASE WHEN qfn = 0 OR e.fn = 0 THEN NULL ELSE
+         |      list_reduce(list_transform(range(1,65), i -> CAST(qv[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) / (qfn * e.fn) END AS mf,
+         |    CASE WHEN qtn = 0 OR e.tn = 0 THEN NULL ELSE
+         |      list_reduce(list_transform(range(1,$T), i -> CAST(qv[i]*e.embedding[i] AS DOUBLE)), (a,b)->a+b) / (qtn * e.tn) END AS mt
+         |  FROM q JOIN e ON e.vec_id != qid),
+         |fr AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY mf DESC, nid) AS r FROM p) WHERE r <= 5),
+         |tr AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY mt DESC, nid) AS r FROM p) WHERE r <= 5),
+         |hits AS (SELECT qid, count(*) AS n_hit FROM fr JOIN tr USING (qid, nid) GROUP BY qid)
+         |SELECT qs.qid, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(COALESCE(n_hit, 0) / 5.0, 6) AS recall
+         |FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits USING (qid)
+         |ORDER BY qid""".stripMargin
+    },
 
     // q199: the IVF assignment CTEs verbatim, then the Lloyd update —
     // per-dim member sums quantized at 2^20 (exact: float mantissa ×

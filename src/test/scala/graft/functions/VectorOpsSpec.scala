@@ -123,4 +123,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.head.getLong(1) === 5L, "all 5 exact neighbors recovered")
     assert(out.head.getDouble(2) === 1.0)
   }
+
+  test("q203 law: truncation is lossless when the info lives in the kept dims") {
+    // vectors whose dims beyond MrlDims are all zero: the truncated
+    // cosine IS the full cosine, so recall must be exactly 1. On the
+    // random fixture embeddings the same instrument reads ≪ 1 — that
+    // contrast (not a high number) is what the key exists to measure.
+    val sess = spark
+    import sess.implicits._
+    val D = graft.operators.SimilarityQueries.MrlDims
+    val emb = (0 to 9).map { k =>
+      val v = Array.fill(D + 4)(0f)
+      v(k % D) = 1f + 0.01f * k   // distinct directions, first-16-dim info
+      v(1) = 0.05f * k
+      (k.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.SimilarityQueries.mrlRecall(emb).collect()
+    assert(out.length === 1)   // vec_id 0 is the one bounded query
+    assert(out.head.getLong(1) === 5L && out.head.getDouble(2) === 1.0,
+      "zero tail dims ⇒ truncated ranking must equal the full ranking")
+    // and on the real fixture the instrument must report a PROPER ratio
+    val fx = graft.operators.SimilarityQueries
+      .queries("q203_mrl_recall")(spark, "/root/testdata/sf0.001").collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      val rec = r.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0 && r.getLong(1) <= 5L)
+    }
+  }
 }
