@@ -50,11 +50,52 @@ object CurationQueries {
   val Bm25B = 0.75
   val Bm25Terms: Seq[String] = Seq("scan", "merge", "dup")
 
-  /** q198: hashed-feature vocabulary size and resampling-front cut.
-    * V is FIXED (not data-dependent) — the λ table is always exactly
-    * V rows, broadcastable at any corpus size. */
+  /** q198/q204: hashed-feature vocabulary size and resampling-front
+    * cut. V is FIXED (not data-dependent) — the λ table is always at
+    * most V rows, broadcastable at any corpus size. */
   val DsirBuckets = 4096
   val DsirTopK = 50
+
+  /** q198/q204 gram stream: unigram + bigram INSTANCES of the
+    * space-token stream, hashed into the fixed V-bucket feature
+    * space — (doc_id, lang, h). */
+  private def dsirGrams(d: DataFrame): DataFrame = {
+    import graft.plans.GraftExpressions.{poly_hash, word_bigrams}
+    val uni = d.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("g"))
+    val bi = d.select(col("doc_id"), col("lang"),
+      word_bigrams(col("text")).as("g"))
+    uni.unionAll(bi)
+      .select(col("doc_id"), col("lang"),
+        (poly_hash(col("g")) % DsirBuckets).as("h"))
+  }
+
+  /** q198/q204 per-bucket counts: raw and target (lang = 'en') gram
+    * instances — the one map-side-combinable bounded-key pass. */
+  private def dsirCounts(grams: DataFrame): DataFrame =
+    grams.groupBy("h").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+
+  /** q198/q204 quantized λ per bucket row (needs cr/ct columns):
+    * floor(ln(((ct+1)(Nr+V)) / ((cr+1)(Nt+V))) · 1e6 + 1e-6) — exact
+    * int64 micro-nats, products double-exact below 2^53. */
+  private def dsirLambda(buckets: DataFrame, nr: Long, nt: Long): DataFrame =
+    buckets.select(col("h"),
+      floor(log(((col("ct") + lit(1L)) * lit(nr + DsirBuckets)).cast("double")
+          / ((col("cr") + lit(1L)) * lit(nt + DsirBuckets)).cast("double"))
+        * 1e6 + 1e-6).as("q"))
+
+  /** q198/q204 presentation: attach doc metadata, display weight,
+    * top-[[DsirTopK]] by exact integer weight. */
+  private def dsirBoard(docs: DataFrame, perDoc: DataFrame): DataFrame =
+    docs.select("doc_id", "lang", "source")
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_feats"),
+        col("w_scaled"),
+        round(col("w_scaled").cast("double") / 1e6, 6).as("w"))
+      .orderBy(desc("w_scaled"), col("doc_id"))
+      .limit(DsirTopK)
 
   /** The q93 core, shared with q195's hybrid fusion: BM25 score over
     * [[Bm25Terms]], one row per doc containing ≥ 1 query term, rounded
@@ -769,39 +810,44 @@ object CurationQueries {
     // int64 products, each ≤ ~1e14 at sf1 (double-exact below 2^53,
     // headroom to ~3e7-gram targets; past that, split the ln).
     "q198_dsir_weight" -> { (s, dir) =>
-      import graft.plans.GraftExpressions.{poly_hash, word_bigrams}
-      val V = DsirBuckets
       val docs = tWide(s, dir, "documents")
-      def grams: DataFrame = {
-        val uni = docs.select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("g"))
-        val bi = docs.select(col("doc_id"), col("lang"),
-          word_bigrams(col("text")).as("g"))
-        uni.unionAll(bi)
-          .select(col("doc_id"), col("lang"),
-            (poly_hash(col("g")) % V).as("h"))
-      }
-      val counts = grams.groupBy("h").agg(
-        count(lit(1)).as("cr"),
-        count(when(col("lang") === "en", 1)).as("ct"))
+      val counts = dsirCounts(dsirGrams(docs))
       // corpus totals off the bounded V-row count table — metadata-scale
       val tot = counts
         .agg(sum("cr").cast("long"), sum("ct").cast("long")).head()
-      val (nr, nt) = (tot.getLong(0), tot.getLong(1))
-      val lam = counts.select(col("h"),
-        floor(log(((col("ct") + lit(1L)) * lit(nr + V)).cast("double")
-            / ((col("cr") + lit(1L)) * lit(nt + V)).cast("double"))
-          * 1e6 + 1e-6).as("q"))
-      val perDoc = grams.join(broadcast(lam), "h")
+      val lam = dsirLambda(counts, tot.getLong(0), tot.getLong(1))
+      val perDoc = dsirGrams(docs).join(broadcast(lam), "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_feats"), sum("q").as("w_scaled"))
-      docs.select("doc_id", "lang", "source")
-        .join(perDoc, "doc_id")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_feats"),
-          col("w_scaled"),
-          round(col("w_scaled").cast("double") / 1e6, 6).as("w"))
-        .orderBy(desc("w_scaled"), col("doc_id"))
-        .limit(DsirTopK)
+      dsirBoard(docs, perDoc)
+    },
+
+    // DSIR SCORING WITH FROZEN WEIGHTS — the incremental production
+    // shape of q198 (the q106/q113/q155 delta-vs-index discipline
+    // applied to importance weighting): the standing corpus
+    // (doc_id % 10 ≠ 7) trains the λ table once; the ARRIVING batch
+    // (doc_id % 10 = 7) is scored with those weights FROZEN — batch
+    // work is delta-linear, the corpus is never re-scanned per batch.
+    // λ is built over the full V-bucket SPINE, so a feature the corpus
+    // never saw resolves to the smoothed default ln((Nr+V)/(Nt+V)) as
+    // a VALUE, not a join miss — the one semantic that q198 (which
+    // only ever scores counted grams) can't exercise. Same quantized
+    // micro-nat sums, same bounded broadcast, same top-50 cut over the
+    // batch.
+    "q204_dsir_score_delta" -> { (s, dir) =>
+      val docs = tWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val delta = docs.filter(col("doc_id") % 10 === 7)
+      val counts = dsirCounts(dsirGrams(corpus))
+      val tot = counts
+        .agg(sum("cr").cast("long"), sum("ct").cast("long")).head()
+      val spine = docs.sparkSession.range(DsirBuckets).toDF("h")
+        .join(counts, Seq("h"), "left").na.fill(0L, Seq("cr", "ct"))
+      val lam = dsirLambda(spine, tot.getLong(0), tot.getLong(1))
+      val perDoc = dsirGrams(delta).join(broadcast(lam), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("q").as("w_scaled"))
+      dsirBoard(delta, perDoc)
     },
 
     // q92's candidate pass maintained INCREMENTALLY under the gate:
@@ -2020,6 +2066,50 @@ object CurationQueries {
          |  SELECT doc_id, count(*) AS n_feats,
          |    CAST(sum(q) AS BIGINT) AS w_scaled
          |  FROM g JOIN lam USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, d.source, n_feats, w_scaled,
+         |  round(CAST(w_scaled AS DOUBLE) / 1e6, 6) AS w
+         |FROM per JOIN documents d USING (doc_id)
+         |ORDER BY w_scaled DESC, doc_id LIMIT $DsirTopK""".stripMargin
+    },
+
+    // q204: q198's replay with the corpus/delta split — counts come
+    // from the standing corpus only, λ is computed over the full
+    // V-bucket spine (COALESCE gives unseen features the smoothed
+    // default), and only the delta batch is scored
+    "q204_dsir_score_delta" -> {
+      val V = DsirBuckets
+      s"""WITH sp AS MATERIALIZED (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |g0 AS (
+         |  SELECT doc_id, lang, unnest(toks) AS g FROM sp
+         |  UNION ALL
+         |  SELECT doc_id, lang, unnest(list_transform(range(0, len(toks) - 1),
+         |    i -> array_to_string(toks[i+1:i+2], ' '))) AS g FROM sp),
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(string_split(g, ''), ch -> ascii(ch)::BIGINT)),
+         |      (a,b) -> (a*131 + b) % 2147483647) % $V AS h
+         |  FROM g0),
+         |counts AS (
+         |  SELECT h, count(*) AS cr,
+         |    count(*) FILTER (lang = 'en') AS ct
+         |  FROM g WHERE doc_id % 10 != 7 GROUP BY h),
+         |tots AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |    CAST(sum(ct) AS BIGINT) AS nt FROM counts),
+         |lam AS (
+         |  SELECT h, CAST(floor(ln(
+         |      CAST((COALESCE(ct, 0) + 1) * (nr + $V) AS DOUBLE)
+         |      / CAST((COALESCE(cr, 0) + 1) * (nt + $V) AS DOUBLE)) * 1e6 + 1e-6)
+         |    AS BIGINT) AS q
+         |  FROM (SELECT unnest(range(0, $V)) AS h) spine
+         |  LEFT JOIN counts USING (h) CROSS JOIN tots),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_feats,
+         |    CAST(sum(q) AS BIGINT) AS w_scaled
+         |  FROM g JOIN lam USING (h)
+         |  WHERE doc_id % 10 = 7 GROUP BY doc_id)
          |SELECT d.doc_id, d.lang, d.source, n_feats, w_scaled,
          |  round(CAST(w_scaled AS DOUBLE) / 1e6, 6) AS w
          |FROM per JOIN documents d USING (doc_id)

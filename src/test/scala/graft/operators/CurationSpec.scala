@@ -738,4 +738,54 @@ class CurationSpec extends SparkSpec {
     assert(enW.sum / enW.length > otherW.sum / otherW.length,
       "mean importance weight must be higher for the target domain")
   }
+
+  test("q204: frozen-λ delta scoring equals an exact recompute incl. the unseen default") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CurationQueries.queries("q204_dsir_score_delta")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val V = CurationQueries.DsirBuckets
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 2147483647L)
+    val docs = graft.Tables.tWide(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def grams(ds: Seq[(Long, String, String, String)]) =
+      ds.flatMap { case (id, lang, _, text) =>
+        val toks = text.split(" ", -1)
+        val gs = toks.toSeq ++
+          (if (toks.length < 2) Seq.empty
+           else (0 until toks.length - 1).map(i => toks(i) + " " + toks(i + 1)))
+        gs.map(g => (id, lang, polyHash(g) % V))
+      }
+    val corpusG = grams(docs.filter(_._1 % 10 != 7))
+    val deltaG = grams(docs.filter(_._1 % 10 == 7))
+    val nr = corpusG.length.toLong
+    val nt = corpusG.count(_._2 == "en").toLong
+    val byH = corpusG.groupBy(_._3)
+    // λ over the FULL spine — unseen buckets carry the smoothed default
+    def lam(h: Long): Long = {
+      val inst = byH.getOrElse(h, Seq.empty)
+      val cr = inst.length.toLong
+      val ct = inst.count(_._2 == "en").toLong
+      math.floor(math.log(((ct + 1) * (nr + V)).toDouble
+        / ((cr + 1) * (nt + V)).toDouble) * 1e6 + 1e-6).toLong
+    }
+    val meta = docs.map(d => d._1 -> (d._2, d._3)).toMap
+    val expect = deltaG.groupBy(_._1).toSeq.map { case (id, inst) =>
+      (id, meta(id)._1, meta(id)._2, inst.length.toLong,
+        inst.map(g => lam(g._3)).sum)
+    }.sortBy { case (id, _, _, _, w) => (-w, id) }
+      .take(CurationQueries.DsirTopK)
+      .map { case (id, l, src, nf, w) =>
+        (id, l, src, nf, w, BigDecimal(w.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got === expect,
+      "frozen-weights delta board must equal the exact split recompute")
+    // the split must actually exercise the unseen-feature default
+    val corpusH = byH.keySet
+    assert(deltaG.exists(g => !corpusH.contains(g._3)),
+      "fixture delta should contain at least one corpus-unseen bucket")
+  }
 }
