@@ -543,6 +543,91 @@ object AuditQueries {
           "batch_key BIGINT, n_batch BIGINT, d_scaled BIGINT, ks_d DOUBLE")
         .orderBy("batch_key")
     },
+
+    // q197's PSI as a TRUE STREAM — the binned-drift alarm an always-on
+    // ingest runs per micro-batch, completing the drift family's
+    // symmetry (q171 KS batch ↔ q174 KS stream; q197 PSI batch ↔ this).
+    // Unlike q197 (pooled deciles, each source vs the rest), the
+    // streaming shape freezes the BASELINE: the standing corpus
+    // (doc_id % 10 ≠ 7) fixes its decile cuts and per-bin counts ONCE —
+    // 9 + 10 + 1 values, the metadata-scale class of q98's collected
+    // sketch — and every arriving batch bins against those frozen cuts.
+    // Batch-side work is distributed (a 9-comparison bin projection +
+    // one bounded-key count agg); only the 10-term fold runs on the
+    // driver, on pre-aggregated counts, in the exact q197 term
+    // arithmetic and fixed bin order the oracle replays. Batches
+    // identify by CONTENT (min(doc_id % 20)), the sink is the
+    // idempotent storeBatch, and the oracle replays each batch by its
+    // %20 membership (the q108/q174 discipline).
+    "q205_stream_psi" -> { (s, dir) =>
+      import graft.streaming.EventQueries.{freshBase, stageBatches}
+      import org.apache.spark.sql.expressions.Window
+      val B = PsiBins
+      val base = freshBase(s, dir, "q205")
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val n2 = corpus.count()
+      val wAll = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = corpus.groupBy("n_chars").agg(count(lit(1)).as("ct"))
+        .withColumn("cc", sum("ct").over(wAll).cast("long"))
+      val ts = cum.crossJoin(broadcast(s.range(1, B).toDF("k")))
+        .filter(col("cc") * B >= col("k") * n2)
+        .groupBy("k").agg(min("n_chars").as("t"))
+        .orderBy("k").collect().map(_.getLong(1)).toSeq
+      def binOf(c: Column): Column =
+        ts.map(t => when(c >= t, 1).otherwise(0)).reduce(_ + _).cast("long")
+      val cbMap = corpus.select(binOf(col("n_chars")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cbArr = (0 until B).map(b => cbMap.getOrElse(b.toLong, 0L))
+      // the q197 term arithmetic, verbatim, over frozen baseline counts
+      def psiOf(c: IndexedSeq[Long], n1: Long): Double = {
+        val terms = (0 until B).map { b =>
+          val cA = math.max(c(b), 1L); val dA = math.max(cbArr(b), 1L)
+          if (c(b) + cbArr(b) == 0L) 0.0
+          else (cA.toDouble / n1 - dA.toDouble / n2) *
+            math.log((cA * n2).toDouble / (dA * n1).toDouble)
+        }
+        BigDecimal(terms.reduce(_ + _))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val batchDocs = docs.filter(col("doc_id") % 10 === 7)
+      val src = stageBatches(s, base, Seq(
+        batchDocs.filter(col("doc_id") % 20 === 7),
+        batchDocs.filter(col("doc_id") % 20 === 17)))
+      val outDir = s"$base/out"
+      graft.Tables.withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema("doc_id BIGINT, n_chars BIGINT")
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.persist()
+            val n1 = batch.count()
+            if (n1 > 0) {
+              val key = batch
+                .agg(min(pmod(col("doc_id"), lit(20L)))).head().getLong(0)
+              val bcMap = batch.select(binOf(col("n_chars")).as("bin"))
+                .groupBy("bin").agg(count(lit(1)).as("c"))
+                .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+              val c = (0 until B).map(b => bcMap.getOrElse(b.toLong, 0L))
+              graft.sources.Staging.storeBatch(
+                batch.sparkSession.range(1).select(
+                  lit(key).as("batch_key"), lit(n1).as("n_batch"),
+                  lit(psiOf(c, n1)).as("psi")),
+                outDir, key, bid)
+            }
+            batch.unpersist()
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      graft.sources.Staging.readBatchSink(s, outDir,
+          "batch_key BIGINT, n_batch BIGINT, psi DOUBLE")
+        .orderBy("batch_key")
+    },
   )
 
   /** DuckDB twin of one profileTable call (same agg expressions, one
@@ -778,6 +863,66 @@ object AuditQueries {
          |SELECT source, CAST(n1 AS BIGINT) AS n_docs,
          |  round($foldSum, 6) AS psi
          |FROM piv ORDER BY source""".stripMargin
+    },
+
+    // q205: each batch replayed by its %20 membership against the
+    // FROZEN corpus baseline — corpus decile cuts and per-bin counts
+    // computed once, batches binned against them, the q197 term
+    // arithmetic and fixed-order 10-term fold per batch
+    "q205_stream_psi" -> {
+      val B = PsiBins
+      val pivotCols = (0 until B).map(b =>
+        s"COALESCE(min(CASE WHEN bin = $b THEN term END), 0.0) AS t_$b")
+        .mkString(",\n        |    ")
+      val foldSum = (0 until B).map(b => s"t_$b").mkString(" + ")
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT n_chars FROM documents WHERE doc_id % 10 != 7),
+         |nn AS (SELECT count(*) AS n2 FROM corpus),
+         |cum AS (
+         |  SELECT n_chars,
+         |    CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS cc
+         |  FROM corpus GROUP BY n_chars),
+         |brk AS (
+         |  SELECT k, min(n_chars) AS t
+         |  FROM cum CROSS JOIN (SELECT unnest(range(1, $B)) AS k) kk
+         |    CROSS JOIN nn
+         |  WHERE cc * $B >= k * n2
+         |  GROUP BY k),
+         |cb AS (
+         |  SELECT bin, count(*) AS d FROM (
+         |    SELECT (SELECT count(*) FROM brk WHERE c.n_chars >= brk.t) AS bin
+         |    FROM corpus c) GROUP BY bin),
+         |batch AS MATERIALIZED (
+         |  SELECT doc_id % 20 AS pk, n_chars FROM documents
+         |  WHERE doc_id % 20 IN (7, 17)),
+         |bc AS (
+         |  SELECT pk, bin, count(*) AS c FROM (
+         |    SELECT pk, (SELECT count(*) FROM brk WHERE b.n_chars >= brk.t) AS bin
+         |    FROM batch b) GROUP BY pk, bin),
+         |bn AS (SELECT pk, count(*) AS n1 FROM batch GROUP BY pk),
+         |cells AS (
+         |  SELECT p.pk, p.n1, s.bin,
+         |    COALESCE(bc.c, 0) AS c, COALESCE(cb.d, 0) AS d
+         |  FROM bn p
+         |  CROSS JOIN (SELECT unnest(range(0, $B)) AS bin) s
+         |  LEFT JOIN bc ON bc.pk = p.pk AND bc.bin = s.bin
+         |  LEFT JOIN cb ON cb.bin = s.bin),
+         |terms AS (
+         |  SELECT pk, n1, bin,
+         |    CASE WHEN c + d = 0 THEN 0.0 ELSE
+         |      (CAST(greatest(c, 1) AS DOUBLE) / n1
+         |        - CAST(greatest(d, 1) AS DOUBLE) / n2)
+         |      * ln(CAST(greatest(c, 1) * n2 AS DOUBLE)
+         |        / CAST(greatest(d, 1) * n1 AS DOUBLE))
+         |    END AS term
+         |  FROM cells CROSS JOIN nn),
+         |piv AS (
+         |  SELECT pk, n1,
+         |    $pivotCols
+         |  FROM terms GROUP BY pk, n1)
+         |SELECT pk AS batch_key, CAST(n1 AS BIGINT) AS n_batch,
+         |  round($foldSum, 6) AS psi
+         |FROM piv ORDER BY batch_key""".stripMargin
     },
 
     // q174: each batch replayed by its %20 membership against the

@@ -275,4 +275,42 @@ class AuditSpec extends SparkSpec {
     // with the one-count ε-substitution every term is (x−y)·ln(x/y) ≥ 0
     got.values.foreach { case (_, psi) => assert(psi >= 0.0) }
   }
+
+  test("q205: streamed per-batch PSI equals the exact frozen-baseline recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = AuditQueries.queries("q205_stream_psi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("psi"))).toSeq
+    val rows = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val B = AuditQueries.PsiBins
+    val corpus = rows.filter(_._1 % 10 != 7).map(_._2)
+    val n2 = corpus.length.toLong
+    val cum = corpus.groupBy(identity).toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, cc), (v, g)) => (v, cc + g.length) }
+      .drop(1)
+    val ts = (1 until B).map(k => cum.find(_._2 * B >= k * n2).get._1)
+    def bin(v: Long): Int = ts.count(v >= _)
+    val cb = (0 until B).map(b => corpus.count(bin(_) == b).toLong)
+    val expect = Seq(7L, 17L).map { pk =>
+      val batch = rows.filter(_._1 % 20 == pk).map(_._2)
+      val n1 = batch.length.toLong
+      val terms = (0 until B).map { b =>
+        val c = batch.count(bin(_) == b).toLong
+        val d = cb(b)
+        if (c + d == 0L) 0.0
+        else {
+          val cA = math.max(c, 1L); val dA = math.max(d, 1L)
+          (cA.toDouble / n1 - dA.toDouble / n2) *
+            math.log((cA * n2).toDouble / (dA * n1).toDouble)
+        }
+      }
+      (pk, n1, BigDecimal(terms.reduce(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === expect,
+      "per-batch PSI must equal the frozen-baseline exact recompute")
+    // both micro-batches alarm-eligible: the fixture split is non-empty
+    assert(got.map(_._2).forall(_ > 0L))
+  }
 }
