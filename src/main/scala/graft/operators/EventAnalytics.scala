@@ -421,7 +421,10 @@ object EventAnalytics {
             <= lit(7L * 86400L * 1000000L))
         .select("user_id").distinct()
       views.agg(count(lit(1)).cast("long").as("n_viewers"))
-        .crossJoin(conv.agg(count(lit(1)).cast("long").as("n_converted_7d")))
+        // 1-row global agg — broadcast explicitly; the estimator sizes
+        // it from the events scan underneath (q45/q201 discipline)
+        .crossJoin(broadcast(
+          conv.agg(count(lit(1)).cast("long").as("n_converted_7d"))))
         .select(col("n_viewers"), col("n_converted_7d"),
           round(col("n_converted_7d").cast("double") / col("n_viewers"), 6)
             .as("cvr_7d"))

@@ -99,7 +99,9 @@ object JoinQueries {
     },
 
     "q09_join_cross" -> { (s, dir) =>
-      t(s, dir, "region").select("r_name")
+      // region is 5 rows by TPC-H contract at EVERY scale factor —
+      // broadcast it explicitly rather than trusting file-size stats
+      broadcast(t(s, dir, "region").select("r_name"))
         .crossJoin(
           t(s, dir, "orders").select("o_orderpriority").distinct())
         .orderBy("r_name", "o_orderpriority")

@@ -268,7 +268,11 @@ object LlmQueries {
       sum(expr("(d * (d - 1)) div 2")).cast("long").as("n_wedges"))
     val ne = edges.agg(count(lit(1)).cast("long").as("n_edges"))
     val nt = tri.agg(count(lit(1)).cast("long").as("n_triangles"))
-    nodes.crossJoin(ne).crossJoin(nt)
+    // every side is a global agg = exactly 1 row BY CONSTRUCTION, but
+    // the estimator sizes them from the (corpus-sized) scans beneath —
+    // broadcast the attach sides explicitly so the build side never
+    // depends on stats (the q45/q201 discipline).
+    nodes.crossJoin(broadcast(ne)).crossJoin(broadcast(nt))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         when(col("n_wedges") > 0,
@@ -297,7 +301,8 @@ object LlmQueries {
       sum(col("x") * col("y")).cast("long").as("sxy"))
     val nn = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
       max("d").cast("long").as("max_degree"))
-    m.crossJoin(nn)
+    // nn is a 1-row global agg — broadcast explicitly (see wedge note)
+    m.crossJoin(broadcast(nn))
       .select(col("n_nodes"), (col("n") / 2).cast("long").as("n_edges"),
         col("max_degree"),
         when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
@@ -470,7 +475,11 @@ object LlmQueries {
       .filter(size(col("arr")) > 0)
     val a = arrs.toDF("doc_a", "arr_a")
     val b = arrs.toDF("doc_b", "arr_b")
-    val tru = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+    // both sides are doc_id < 300 BY CONTRACT; broadcast one explicitly
+    // so the build side never falls back to the stats estimator (the
+    // q45/q201 discipline — at 100 TB the filter's selectivity is
+    // invisible to the planner).
+    val tru = a.crossJoin(broadcast(b)).filter(col("doc_a") < col("doc_b"))
       .withColumn("inter", graft.plans.GraftExpressions
         .sorted_intersect(col("arr_a"), col("arr_b")))
       .filter(col("inter") * 5 >=
@@ -809,7 +818,12 @@ object LlmQueries {
       val v = emb.select(col("vec_id").as("nid"), col("embedding").as("ve"),
         col("nrm").as("vn"))
       val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
-      q.crossJoin(v)
+      // broadcast the CONTRACT-bounded query side explicitly: the
+      // autobroadcast estimator sizes the post-filter frame from scan
+      // stats it can't see through, so left to itself it builds the
+      // full corpus side (BuildRight over every embedding) — fine at
+      // fixture scale, fatal at 100 TB. Same form as q201.
+      broadcast(q).crossJoin(v)
         .filter(col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"),
           graft.functions.VectorOps.cosinePre(
@@ -841,7 +855,8 @@ object LlmQueries {
       val v = emb.select(col("vec_id").as("nid"), col("label").as("n_label"),
         col("embedding").as("ve"), col("nrm").as("vn"))
       val w = Window.partitionBy("qid").orderBy(desc("sim_raw"), col("nid"))
-      q.crossJoin(v)
+      // explicit broadcast of the bounded query side — see q45's note.
+      broadcast(q).crossJoin(v)
         .filter(col("nid") =!= col("qid") && col("n_label") =!= col("q_label"))
         .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
           graft.functions.VectorOps.cosinePre(
@@ -908,11 +923,19 @@ object LlmQueries {
       // arithmetic in one pass. Argmax folds are order-free (strict
       // improvement or equal-score-smaller-nid replacement), so the
       // unsorted collect_list order can't leak into the answer.
+      // LEFT join + coalesce-to-empty: a query whose candidate list has
+      // exactly one entry yields NO pair rows (a != b needs >= 2), and
+      // an inner join here would drop the query entirely while the
+      // oracle's p1 CTE still emits its step-1 pick. The greedy
+      // expression already handles size(cands) < MmrPicks, so an empty
+      // prs array is the correct degenerate input.
       val st = cand.groupBy("qid")
         .agg(collect_list(struct(col("nid"), col("sim"))).as("cands"))
         .join(broadcast(pairs.groupBy("qid")
           .agg(collect_list(struct(col("a"), col("b"), col("psim")))
-            .as("prs"))), Seq("qid"))
+            .as("prs"))), Seq("qid"), "left_outer")
+        .withColumn("prs", coalesce(col("prs"), expr(
+          "cast(array() as array<struct<a: bigint, b: bigint, psim: double>>)")))
       val picks = expr(s"""
         aggregate(
           sequence(1, $MmrPicks),

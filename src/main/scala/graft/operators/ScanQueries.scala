@@ -65,9 +65,15 @@ object ScanQueries {
     * hive-partitioned layout — with aggregate pushdown the V2 reader
     * answers per-group from each partition directory's footer stats
     * (`PushedGroupBy: [lang]` in the scan). Must be planned and
-    * executed inside [[PushdownConfs]]. */
+    * executed inside [[PushdownConfs]]. The schema is EXPLICIT: with
+    * partition-column type inference on, `lang` round-trips as string
+    * only while its values happen to look non-numeric — a numeric-
+    * looking partition value would come back INT and silently diverge
+    * from the oracle's VARCHAR grouping. Pinning the schema keeps the
+    * staging round-trip lossless by construction. */
   private[graft] def partitionGroupAgg(s: SparkSession, stage: String): DataFrame =
-    s.read.parquet(stage)
+    s.read.schema("doc_id BIGINT, n_chars BIGINT, lang STRING")
+      .parquet(stage)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"),

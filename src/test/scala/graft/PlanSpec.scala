@@ -841,6 +841,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q45/q196/q201 brute-force cross joins build the BOUNDED query side") {
+    // the contract bounds |Q| ≤ 100 absolutely; the corpus side is the
+    // 100 TB side. The autobroadcast estimator can't see through the
+    // modulo filter, so the broadcast must be EXPLICIT and the BNLJ
+    // build side must be the query side (BuildLeft — q is the left
+    // operand of every crossJoin here). A BuildRight BNLJ here means
+    // the full corpus is being collected to the driver at scale.
+    for (k <- Seq("q45_sim_topk", "q196_hard_negatives", "q201_mmr_diversify")) {
+      val p = plan(k)
+      assert(p.contains("BroadcastNestedLoopJoin BuildLeft"),
+        s"$k must broadcast the bounded query side:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin BuildRight"),
+        s"$k must never build the corpus side:\n$p")
+    }
+  }
+
   test("q202 pushes grouped MIN/MAX/COUNT down to the partitioned layout") {
     import graft.operators.ScanQueries
     val stage = ScanQueries.q202Stage(spark, dir)
