@@ -47,9 +47,48 @@ object SimilarityQueries {
 
   /** q203: truncated (matryoshka) retrieval width. */
   val MrlDims = 16
+
+  /** q206: fixed Lloyd-iteration count (the q87/q101 fixed-iteration
+    * discipline — the gate needs a deterministic round count, and the
+    * oracle unrolls one CTE layer per round). */
+  val KmeansRounds = 3
   private[graft] def centroidStride(n: Long): Long = {
     val block = MaxCentroids * CentroidBaseStride
     CentroidBaseStride * math.max(1L, (n + block - 1L) / block)
+  }
+
+  /** q206: one Lloyd round over an assignment frame (vec_id, vq, cid,
+    * pcid) — re-estimate every centroid as its members' exact int64
+    * component sums, then reassign every vector to the argmax of
+    * dot_int64(vq, sums)/sqrt(Σsums²) with ties to the smaller
+    * centroid id (cos(v, mean) ∝ that score: the positive 1/(n·2^20)
+    * mean scaling and the per-vector norm both cancel inside the
+    * per-vector argmax). Returns the NEXT assignment frame; the caller
+    * owns checkpointing. The plan shape PlanSpec pins: (cid, pos)
+    * int64 partials map-side combined, the k-row centroid table
+    * EXPLICITLY broadcast into the reassignment pass, no sort-merge
+    * join anywhere. */
+  private[graft] def kmeansReassign(cur: DataFrame): DataFrame = {
+    import graft.plans.GraftExpressions.seq_dot_long
+    val sums = cur
+      .select(col("cid"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(sum("v").as("sq"))
+    val cent = sums.groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("sq")))).as("a"))
+      .select(col("cid").as("ncid"),
+        expr("transform(a, x -> x.sq)").as("sqa"),
+        aggregate(col("a"), lit(0.0), (acc, x) =>
+          acc + x("sq").cast("double") * x("sq").cast("double")).as("nn"))
+      .filter(col("nn") > 0.0)
+    val w = Window.partitionBy("vec_id").orderBy(desc("score"), col("ncid"))
+    cur.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("vq"), col("cid"), col("ncid"),
+        (seq_dot_long(col("vq"), col("sqa")).cast("double")
+          / sqrt(col("nn"))).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("vq"), col("ncid").as("cid"),
+        col("cid").as("pcid"))
   }
 
   /** 60-bit SimHash per doc: two char-poly word hashes (bases 131/137)
@@ -537,6 +576,58 @@ object SimilarityQueries {
                 - col("dmc") / (sqrt(col("dmm")) * sqrt(col("dcc")))),
             lit(0.0)), 6).as("drift"))
         .orderBy("cid")
+    },
+
+    // MULTI-ROUND SPHERICAL K-MEANS — the iterated re-cluster q199's
+    // drift metric exists to trigger: [[KmeansRounds]] full Lloyd
+    // rounds over the frozen-seed IVF assignment, each round
+    // re-estimating every centroid as its members' mean and reassigning
+    // every vector to its nearest NEW centroid (by cosine — for
+    // centroid ranking, cos(v,c) ∝ dot(v,c)/|c|, the per-vector norm
+    // cancels inside the argmax). Output: per-round convergence stats
+    // (vectors moved, surviving clusters, largest cluster) — the
+    // numbers a production re-cluster loop watches to decide when to
+    // stop. Scale (100 TB): the q87/q101 fixed-iteration discipline —
+    // each round's assignment frame is localCheckpoint'ed so lineage
+    // stays one round deep; the update pass shuffles only (cid, pos)
+    // int64 partial sums (map-side combined to k·64 rows/partition);
+    // the reassignment is one linear pass against the BROADCAST k-row
+    // centroid table (k ≤ MaxCentroids by the stride contract — never
+    // estimator-dependent); no corpus-sized shuffle join anywhere.
+    // Determinism: components quantize ONCE to int64 at 2^20, so
+    // centroid sums are exact integers and the argmax score is
+    // dot_int64 (exact, via the codegen seq_dot_long kernel) cast to
+    // double over sqrt(Σsq²) folded in fixed pos order from a 0.0
+    // seed — every score is the identical double on both engines, and
+    // ties break to the smaller centroid id. Width (q171's rule):
+    // |dot| ≤ 64·(2^20)²·n_c, exact while the largest cluster holds
+    // n_c ≤ 2^17 vectors at |component| ≤ 1 (fixtures: ≤ 0.58, 20k
+    // vectors at sf1 — 20× inside the bound; DuckDB's checked BIGINT
+    // multiply makes any future overflow loud, not silent). Empty
+    // clusters drop out naturally (no member rows → no centroid row) —
+    // standard Lloyd.
+    "q206_kmeans_iterate" -> { (s, dir) =>
+      val idx = s.read.parquet(ivfIndex(s, dir))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => floor(v.cast("double") * lit(1048576.0)).cast("long"))
+            .as("vq"),
+          col("cid").cast("long").as("cid"))
+      var cur = idx.select(col("vec_id"), col("vq"), col("cid"),
+        col("cid").as("pcid")).localCheckpoint()
+      val rounds = (1 to KmeansRounds).map { r =>
+        cur = kmeansReassign(cur).localCheckpoint()
+        cur.agg(
+            count(when(col("cid") =!= col("pcid"), 1)).cast("long")
+              .as("n_moved"),
+            countDistinct(col("cid")).cast("long").as("n_clusters"))
+          .crossJoin(broadcast(cur.groupBy("cid")
+            .agg(count(lit(1)).as("c"))
+            .agg(max("c").cast("long").as("max_cluster"))))
+          .select(lit(r.toLong).as("round"), col("n_moved"),
+            col("n_clusters"), col("max_cluster"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
     },
 
     // Semantic dedup over the clustered corpus (the SemDeDup recipe —
@@ -1196,6 +1287,26 @@ object SimilarityQueries {
         |FROM cent c LEFT JOIN stats st USING (cid) LEFT JOIN fold f USING (cid)
         |ORDER BY cid""".stripMargin),
 
+    // q206: the IVF assignment CTEs verbatim as round 0, then one
+    // GENERATED CTE layer per Lloyd round (never hand-written per-round
+    // SQL — the layer count and the engine's loop share KmeansRounds):
+    // exact int64 per-dim sums → pos-ordered centroid arrays + 0.0-seed
+    // norm² folds → exact-int64-dot/sqrt argmax reassignment with
+    // ties to the smaller centroid id — the engine's arithmetic
+    // verbatim. DuckDB's BIGINT multiply is overflow-CHECKED, so the
+    // documented width bound failing would abort the oracle loudly.
+    "q206_kmeans_iterate" -> (IvfAssignCtes + ",\n" +
+      """vq AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(range(1,65), i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS vq
+        |  FROM e),
+        |a0 AS MATERIALIZED (
+        |  SELECT v.vec_id, v.vq, b.cid, b.cid AS pcid
+        |  FROM vq v JOIN buckets b USING (vec_id))""".stripMargin + ",\n" +
+      (1 to KmeansRounds).map(kmeansRoundCtes).mkString(",\n") + "\n" +
+      s"""SELECT round, n_moved, n_clusters, max_cluster FROM (
+         |${(1 to KmeansRounds).map(r => s"SELECT * FROM st$r").mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin),
+
     // q134 = q57's answer from the grown index; same SQL, and the gate
     // becomes the append≡rebuild equivalence proof
     "q134_ann_grow_reprobe" -> IvfProbeSql,
@@ -1279,6 +1390,36 @@ object SimilarityQueries {
       |        e.nrm AS na, c.cn AS nb
       |      FROM e CROSS JOIN cent c))),
       |buckets AS MATERIALIZED (SELECT vec_id, cid FROM asgn WHERE rn = 1)""".stripMargin
+
+  /** q206: one unrolled Lloyd round as CTE layers over the previous
+    * round's assignment `a{r-1}` — sums, centroid arrays, argmax
+    * reassignment, and the round's convergence stats row. Generated
+    * from the round index so the SQL is a pure function of
+    * [[KmeansRounds]], mirroring the engine loop. */
+  private def kmeansRoundCtes(r: Int): String = {
+    val p = r - 1
+    s"""s$r AS (
+       |  SELECT a.cid, u.i AS pos, CAST(sum(a.vq[u.i]) AS BIGINT) AS sq
+       |  FROM a$p a CROSS JOIN (SELECT unnest(range(1,65)) AS i) u
+       |  GROUP BY a.cid, u.i),
+       |c$r AS MATERIALIZED (SELECT * FROM (
+       |  SELECT cid AS ncid, list(sq ORDER BY pos) AS sqa,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE) ORDER BY pos)), (x,y)->x+y) AS nn
+       |  FROM s$r GROUP BY cid) WHERE nn > 0),
+       |a$r AS MATERIALIZED (
+       |  SELECT vec_id, vq, cid, pcid FROM (
+       |    SELECT a.vec_id, a.vq, c.ncid AS cid, a.cid AS pcid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(list_reduce(list_transform(range(1,65), i -> a.vq[i]*c.sqa[i]), (x,y)->x+y) AS DOUBLE)/sqrt(c.nn) DESC, c.ncid) AS rn
+       |    FROM a$p a CROSS JOIN c$r c)
+       |  WHERE rn = 1),
+       |st$r AS (
+       |  SELECT CAST($r AS BIGINT) AS round,
+       |    CAST(count(CASE WHEN cid != pcid THEN 1 END) AS BIGINT) AS n_moved,
+       |    CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+       |    CAST((SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM a$r GROUP BY cid)) AS BIGINT) AS max_cluster
+       |  FROM a$r)""".stripMargin
+  }
 
   private val IvfProbeSql: String = IvfAssignCtes + ",\n" +
     """q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn, b.cid FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id % 50 = 0 AND e.vec_id < 5000),

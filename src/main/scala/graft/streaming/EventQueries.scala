@@ -186,6 +186,41 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // TIME-TRAVEL READ over the versioned serving table — q79's lake
+    // path retains every `v<batchId>` snapshot (retainVersions high)
+    // and the reader pins table@v1: exactly what a consumer at batch-1
+    // time saw, long after batch 2 moved _CURRENT past it — the
+    // reproducible-training-run primitive (pin the corpus version,
+    // not "whatever is live"). The batches split on event_id % 3 (NOT
+    // q79's ts ranges), so the same user recurs across batches with
+    // interleaved timestamps — v1 must show batch-1 rows REPLACING
+    // batch-0 rows for shared users even where batch 0 held the later
+    // timestamp, which is upsert semantics proper, not global-latest.
+    // Oracle: the batch prefix replayed as one window — batch index
+    // DESC first (later batch wins), then the in-batch keep rule
+    // (ts DESC, event_id). Scale: each snapshot is a complete merge,
+    // so time-travel reads are plain pruned scans of one version dir —
+    // no log replay, no delta reconstruction.
+    "q207_time_travel" -> { (s, dir) =>
+      val base = freshBase(s, dir, "q207")
+      val tableDir = s"$base/serve"
+      val ckpt = s"$base/ckpt"
+      val ev = loadEvents(s, dir)
+      val src = stageBatches(s, base,
+        (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      withFewShufflePartitions(s) {
+        val stream = StreamPipelines.readEventsStream(s, src,
+          maxFilesPerTrigger = Some(1))
+        val q = StreamPipelines.upsertLoadStream(
+          stream, Seq("user_id"), "ts", tableDir, ckpt,
+          retainVersions = Int.MaxValue)
+        try q.processAllAvailable() finally q.stop()
+      }
+      StreamPipelines.readServingTableAt(s, tableDir, "v1")
+        .select("user_id", "event_id", "ts", "event_type", "value", "props")
+        .orderBy("user_id")
+    },
+
     // TRUE incremental windowed aggregation under the gate: the same
     // tumbling-window agg as q39, but executed by Structured Streaming
     // (watermark + append-mode parquet sink) over micro-batches instead
@@ -363,6 +398,18 @@ object EventQueries {
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
         | r AS (SELECT *, row_number() OVER
         |   (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn FROM e)
+        |SELECT user_id, event_id, ts, event_type, value, props
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // q207: the batch prefix up through v1 (event_id % 3 IN (0, 1)),
+    // later batch winning per user, then the in-batch keep rule —
+    // q79's window with the batch index prepended to the order
+    "q207_time_travel" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
+        |   event_id % 3 AS b FROM events WHERE event_id % 3 <= 1),
+        | r AS (SELECT *, row_number() OVER
+        |   (PARTITION BY user_id ORDER BY b DESC, ts DESC, event_id) AS rn FROM e)
         |SELECT user_id, event_id, ts, event_type, value, props
         |FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,

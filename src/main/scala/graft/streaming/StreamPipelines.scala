@@ -129,9 +129,19 @@ object StreamPipelines {
     * idempotent). Readers go through [[readServingTable]], which falls
     * back to the highest complete version if the pointer itself was lost
     * mid-flip. In-place `mode("overwrite")` of the live dir would have
-    * neither property (delete happens before commit). */
+    * neither property (delete happens before commit).
+    *
+    * `retainVersions` is the table's time-travel horizon: the newest N
+    * version dirs survive each batch's retention pass (default 2 — the
+    * committed version plus its predecessor, the minimum crash-safe
+    * setting; a deployment wanting table@vN reads via
+    * [[readServingTableAt]] raises it). Each retained version is a
+    * complete self-contained snapshot (full merge, not a delta), so
+    * retention cost is N × table size — the flat-file analog of a Delta/
+    * Iceberg snapshot chain without the manifest machinery. */
   def upsertLoadStream(updates: DataFrame, keys: Seq[String],
-      orderCol: String, tableDir: String, checkpoint: String) = {
+      orderCol: String, tableDir: String, checkpoint: String,
+      retainVersions: Int = 2) = {
     val spark = updates.sparkSession
     updates.writeStream
       .outputMode(OutputMode.Append)
@@ -168,12 +178,13 @@ object StreamPipelines {
         out.write(s"v$batchId".getBytes("UTF-8")); out.close()
         hfs.delete(cur, false)
         hfs.rename(tmp, cur)
-        // retention: keep the committed version plus its predecessor (for
-        // readers that resolved the pointer just before the flip)
+        // retention: keep the newest `retainVersions` dirs — at the
+        // default 2 that's the committed version plus its predecessor
+        // (for readers that resolved the pointer just before the flip)
         hfs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
           .map(_.getPath)
           .filter(p => p.getName.matches("v\\d+") &&
-            p.getName.drop(1).toLong < batchId - 1)
+            p.getName.drop(1).toLong <= batchId - retainVersions.toLong)
           .foreach(p => hfs.delete(p, true))
         ()
       }
@@ -211,4 +222,29 @@ object StreamPipelines {
       case None => throw new java.util.NoSuchElementException(
         s"no serving-table version under $tableDir")
     }
+
+  /** TIME-TRAVEL read: a PINNED version of an [[upsertLoadStream]]
+    * serving table (`version` = "v<batchId>"). Every version dir is a
+    * complete snapshot — the merge of the micro-batch prefix up through
+    * that batch — so table@vN is exactly what a reader at batch-N time
+    * saw: the primitive reproducible training runs pin their corpus
+    * with. Loud on a vacuumed/unknown version, listing what IS
+    * retained — silently falling back to _CURRENT would un-pin the
+    * reader. */
+  def readServingTableAt(spark: SparkSession, tableDir: String,
+      version: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = new org.apache.hadoop.fs.Path(root, version)
+    if (!hfs.exists(v)) {
+      val have =
+        if (!hfs.exists(root)) Array.empty[String]
+        else hfs.listStatus(root).map(_.getPath.getName)
+          .filter(_.matches("v\\d+")).sortBy(_.drop(1).toLong)
+      throw new java.util.NoSuchElementException(
+        s"serving-table version $version not retained under $tableDir " +
+          s"(retained: ${have.mkString(",")})")
+    }
+    spark.read.parquet(v.toString)
+  }
 }

@@ -857,6 +857,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q206 Lloyd round: broadcast centroids, map-combined sums, no SMJ") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val idx = s.read.parquet(
+      graft.operators.SimilarityQueries.ivfIndex(s, dir))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1048576.0)).cast("long"))
+          .as("vq"),
+        col("cid").cast("long").as("cid"))
+      .select(col("vec_id"), col("vq"), col("cid"), col("cid").as("pcid"))
+    val p = graft.operators.SimilarityQueries.kmeansReassign(idx)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"a Lloyd round must never sort-merge:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"the k-row centroid table must be the explicit broadcast side:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"(cid,pos) sums and centroid folds must combine map-side:\n$p")
+  }
+
   test("q202 pushes grouped MIN/MAX/COUNT down to the partitioned layout") {
     import graft.operators.ScanQueries
     val stage = ScanQueries.q202Stage(spark, dir)

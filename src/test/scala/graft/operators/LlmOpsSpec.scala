@@ -495,6 +495,62 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q206: iterated Lloyd rounds equal an exact driver-side recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SimilarityQueries.queries("q206_kmeans_iterate")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val emb = graft.Tables.tWide(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val stride = SimilarityQueries.centroidStride(emb.length.toLong)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) * b(i)).toDouble)
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val cents = emb.filter(_._1 % stride == 0).sortBy(_._1)
+    // round-0: the persisted IVF assignment's total order (sim desc,
+    // nulls last, cid asc) — q199's recompute verbatim
+    var asg: Map[Long, Long] = emb.map { case (id, v) =>
+      val nv = nrm(v)
+      val cid = cents.map { case (c, ce) =>
+        val nc = nrm(ce)
+        val s = if (nv == 0 || nc == 0) None else Some(dot(v, ce) / (nv * nc))
+        (c, s)
+      }.minBy { case (c, s) => (s.map(-_).getOrElse(Double.MaxValue), c) }._1
+      id -> cid
+    }.toMap
+    // components quantized ONCE at 2^20 — the engine's arithmetic
+    val vq: Map[Long, Array[Long]] = emb.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+    }.toMap
+    val expect = (1 to SimilarityQueries.KmeansRounds).map { r =>
+      val byCid = vq.toSeq.groupBy { case (id, _) => asg(id) }
+      val cs = byCid.toSeq.map { case (cid, vs) =>
+        val sq = Array.tabulate(64)(i => vs.map(_._2(i)).sum)
+        val nn = (0 until 64).foldLeft(0.0)((a, i) =>
+          a + sq(i).toDouble * sq(i).toDouble)
+        (cid, sq, nn)
+      }.filter(_._3 > 0.0)
+      val next = vq.map { case (id, v) =>
+        val best = cs.map { case (cid, sq, nn) =>
+          val d = (0 until 64).foldLeft(0L)((a, i) => a + v(i) * sq(i))
+          (cid, d.toDouble / math.sqrt(nn))
+        }.minBy { case (c, s) => (-s, c) }._1
+        id -> best
+      }
+      val moved = next.count { case (id, c) => asg(id) != c }.toLong
+      asg = next
+      val sizes = asg.groupBy(_._2).map(_._2.size)
+      (r.toLong, moved, sizes.size.toLong, sizes.max.toLong)
+    }
+    assert(got === expect,
+      "per-round convergence stats must equal the exact Lloyd recompute")
+    // the fixed-point direction: re-clustering must not oscillate up
+    assert(got.map(_._2) === got.map(_._2).sortBy(-_),
+      "moved counts should be non-increasing across rounds on the fixture")
+  }
+
   test("q201: MMR picks equal an exact driver-side greedy recompute") {
     val dir = "/root/testdata/sf0.001"
     val got = LlmQueries.queries("q201_mmr_diversify")(spark, dir)

@@ -692,4 +692,102 @@ class StreamingSpec extends SparkSpec {
     assert(back === expect,
       "read-back must hold both batches exactly once after recovery")
   }
+
+  test("checkpoint recovery (q205 shape): the PSI stream killed between " +
+      "batches restarts from its checkpoint and equals the one-shot run") {
+    // the q190-law protocol applied to q205's content-keyed PSI sink:
+    // phase 1 lands batch A's alarm row and the query stops; phase 2
+    // restarts from the SAME checkpoint with batch B staged. The
+    // restart must leave batch A's committed subdirectory (marker
+    // included) byte-identical, and the recovered sink must equal a
+    // ONE-SHOT run over both batches — the kill is invisible.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 10 === 7)
+    val a = docs.filter(col("doc_id") % 20 === 7)
+    val b = docs.filter(col("doc_id") % 20 === 17)
+    val sinkSchema = "batch_key BIGINT, n_batch BIGINT, psi DOUBLE"
+    def readBack(outDir: String): Seq[(Long, Long, Double)] =
+      graft.sources.Staging.readBatchSink(s, outDir, sinkSchema)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    // recovered run: batch A, kill, stage B, restart from the checkpoint
+    val base = graft.streaming.EventQueries.freshBase(s, dir, "q205ckpt")
+    val outDir = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val src = graft.streaming.EventQueries.stageBatches(s, base, Seq(a))
+    graft.operators.AuditQueries.psiStream(s, dir, src, outDir, ckpt)
+    import org.apache.hadoop.fs.Path
+    val hfs = new Path(outDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val aDir = new Path(s"$outDir/batch-7")
+    val aSnapshot = hfs.listStatus(aDir)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    stageOne(base, src, b, 1)
+    graft.operators.AuditQueries.psiStream(s, dir, src, outDir, ckpt)
+    assert(hfs.listStatus(aDir)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq === aSnapshot,
+      "batch A's committed PSI row must survive the restart untouched")
+    // one-shot twin: both batches staged, fresh checkpoint and sink
+    val base2 = graft.streaming.EventQueries.freshBase(s, dir, "q205once")
+    val src2 = graft.streaming.EventQueries.stageBatches(s, base2, Seq(a, b))
+    val out2 = s"$base2/sink"
+    graft.operators.AuditQueries.psiStream(s, dir, src2, out2, s"$base2/ckpt")
+    val recovered = readBack(outDir)
+    assert(recovered.map(_._1) === Seq(7L, 17L),
+      "both content keys must be present exactly once after recovery")
+    assert(recovered === readBack(out2),
+      "the kill-restart run must equal the one-shot run row-for-row")
+  }
+
+  test("q207 law: every retained serving version is the exact batch-prefix " +
+      "merge, and a vacuumed version read is loud") {
+    // drive q207's upsert pipeline (event_id % 3 batches, all versions
+    // retained) at sf0.001, then check the TIME-TRAVEL contract: each
+    // v<k> equals the driver-side merge of batches 0..k (later batch
+    // wins per user, ts DESC / event_id tie-break within a batch), and
+    // reading a version that was never committed fails loudly instead
+    // of silently un-pinning to _CURRENT.
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{EventQueries, StreamPipelines}
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.loadEvents(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = EventQueries.freshBase(s, dir, "q207law")
+    val tableDir = s"$base/serve"
+    val src = EventQueries.stageBatches(s, base,
+      (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
+    graft.Tables.withShufflePartitions(s, 4) {
+      val stream = StreamPipelines.readEventsStream(s, src,
+        maxFilesPerTrigger = Some(1))
+      val q = StreamPipelines.upsertLoadStream(
+        stream, Seq("user_id"), "ts", tableDir, s"$base/ckpt",
+        retainVersions = Int.MaxValue)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val rows = ev.select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (k <- 0 to 2) {
+      val got = StreamPipelines.readServingTableAt(s, tableDir, s"v$k")
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val expect = rows.filter(_._1 % 3 <= k)
+        .groupBy(_._3).map { case (uid, g) =>
+          // later batch wins; within a batch ts DESC then event_id ASC
+          val best = g.minBy(t => (-(t._1 % 3), -t._2, t._1))
+          (uid, best._1)
+        }.toSeq.sortBy(_._1)
+      assert(got === expect, s"v$k must be the exact merge of batches 0..$k")
+    }
+    // version pinning must be loud, never a silent _CURRENT fallback
+    intercept[java.util.NoSuchElementException] {
+      StreamPipelines.readServingTableAt(s, tableDir, "v99")
+    }
+  }
 }
