@@ -34,8 +34,14 @@ def main():
         flag = "OK" if ratio <= 3 else ("LIN" if ratio <= 10 else "SUPER")
         rows.append((k, va, vb, ratio, flag))
     print("# sf0.1 -> sf1 scaling (10x rows)\n")
-    print(f"- sf0.1 total {a.get('value')} s (load {a.get('load_avg')}), "
-          f"sf1 total {b.get('value')} s (load {b.get('load_avg')})")
+    # start_load = the box load when the capture BEGAN (the context that
+    # matters — load_avg is the bench's own local[32] saturation at end)
+    def loads(d):
+        s = d.get('start_load')
+        return (f"start_load {s}, end load_avg {d.get('load_avg')}"
+                if s is not None else f"load {d.get('load_avg')}")
+    print(f"- sf0.1 total {a.get('value')} s ({loads(a)}), "
+          f"sf1 total {b.get('value')} s ({loads(b)})")
     n_ok = sum(1 for r in rows if r[4] == "OK")
     n_lin = sum(1 for r in rows if r[4] == "LIN")
     sup = [r for r in rows if r[4] == "SUPER"]

@@ -53,8 +53,13 @@ object SimilarityQueries {
     * oracle unrolls one CTE layer per round). */
   val KmeansRounds = 3
 
-  /** q208/q209: the slice predicate, as the DuckDB source expression —
-    * one definition, engine filter mirrored at the keys. */
+  /** q208/q209: the slice predicate — ONE definition each side of the
+    * gate: [[sliceDocs]] is the engine filter, [[SliceSrc]] its DuckDB
+    * source-expression twin. Contiguous id runs (see the q208 key
+    * note); editing one without the other breaks oracle parity for
+    * BOTH slice keys. */
+  private def sliceDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 100 >= 90 || col("doc_id") < 15)
   private val SliceSrc =
     "(SELECT * FROM documents WHERE doc_id % 100 >= 90 OR doc_id < 15)"
   private[graft] def centroidStride(n: Long): Long = {
@@ -355,9 +360,7 @@ object SimilarityQueries {
     // prefix-filter semantics at 10× the doc length distribution's
     // tail without paying the full pair space. (q209 is q164's twin.)
     "q208_jaccard_slice" -> { (s, dir) =>
-      ngramJaccardPairs(
-        tWide(s, dir, "documents")
-          .filter(col("doc_id") % 100 >= 90 || col("doc_id") < 15))
+      ngramJaccardPairs(sliceDocs(tWide(s, dir, "documents")))
     },
 
     // q164's slice twin — see q208. Runs the ONE-SHOT build
@@ -365,9 +368,7 @@ object SimilarityQueries {
     // slice is an oracle-replay instrument, not a serving path, and
     // its build is 1% of the full build's pair work.
     "q209_containment_slice" -> { (s, dir) =>
-      containmentPairs(
-        tWide(s, dir, "documents")
-          .filter(col("doc_id") % 100 >= 90 || col("doc_id") < 15))
+      containmentPairs(sliceDocs(tWide(s, dir, "documents")))
     },
 
     // EXACT set-CONTAINMENT join — the ASYMMETRIC member of the dedup
@@ -1406,7 +1407,7 @@ object SimilarityQueries {
 
   /** q55's DuckDB twin parameterized by the documents source — shared
     * verbatim by q55 (full corpus) and q208 (the sf1-replayable
-    * doc_id % 10 = 3 slice). Brute-force all-pairs over the same
+    * [[SliceSrc]] slice). Brute-force all-pairs over the same
     * 62-bit shingle hashes. */
   private def jaccardOracle(src: String): String =
     s"""WITH arrs AS MATERIALIZED (
