@@ -876,6 +876,12 @@ class PlanSpec extends SparkSpec {
       s"the k-row centroid table must be the explicit broadcast side:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"(cid,pos) sums and centroid folds must combine map-side:\n$p")
+    // the scale property of reassignment: the rank<=1 cut must push
+    // into a WindowGroupLimit BEFORE the vec_id exchange, so the n×k
+    // score rows reduce to ≤1 per (vec_id, partition) map-side — the
+    // full pair stream never shuffles
+    assert(p.contains("WindowGroupLimit"),
+      s"the top-1 cut must run map-side as a WindowGroupLimit:\n$p")
   }
 
   test("q202 pushes grouped MIN/MAX/COUNT down to the partitioned layout") {
