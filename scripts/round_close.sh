@@ -48,13 +48,14 @@ import json, sys
 p = sys.argv[1]
 d = json.load(open(p))
 d["start_load"] = float(sys.argv[2])
-head = ('{\n'
-  f'"metric":"total","value":{d["value"]},"unit":"sec",\n'
-  f'"failed":{d["failed"]},"load_avg":{d["load_avg"]},"sf":"{d["sf"]}",\n'
-  f'"agg":"{d["agg"]}",\n'
-  f'"start_load":{d["start_load"]},\n')
-rows = ',\n'.join(f'  "{k}": {v}' for k, v in sorted(d["queries"].items()))
-open(p, 'w').write(head + '"queries":{\n' + rows + '\n}\n}')
+# serialize every top-level scalar from the loaded dict (ADVICE r15:
+# a hardcoded key list silently dropped any field Bench.scala adds),
+# keeping the one-query-per-row pretty format for reviewable diffs
+head = ",\n".join(json.dumps(k) + ":" + json.dumps(v)
+                  for k, v in d.items() if k != "queries")
+rows = ',\n'.join(f'  "{k}": {json.dumps(v)}'
+                  for k, v in sorted(d["queries"].items()))
+open(p, 'w').write('{\n' + head + ',\n"queries":{\n' + rows + '\n}\n}')
 PY
 }
 
@@ -81,17 +82,28 @@ if awk "BEGIN{exit !($BLOAD > 2)}"; then
 import json, shutil
 t1 = json.load(open('bench_out/bench_sf01_try1.json'))
 t2 = json.load(open('bench_out/last_run.json'))
-if t1['value'] <= t2['value']:
+# a capture with failures can total LOWER than a clean one (failed
+# queries contribute no time — ADVICE r15), so prefer failed == 0
+# first, then the lower total
+k1 = (t1.get('failed', 0) > 0, t1['value'])
+k2 = (t2.get('failed', 0) > 0, t2['value'])
+if k1 <= k2:
     shutil.copy('bench_out/bench_sf01_try1.json', 'bench_out/last_run.json')
-    print(f"keeping first capture ({t1['value']} s <= retry {t2['value']} s)")
+    print(f"keeping first capture (failed={t1['failed']}, {t1['value']} s)"
+          f" over retry (failed={t2['failed']}, {t2['value']} s)")
 else:
-    print(f"keeping retry ({t2['value']} s < first {t1['value']} s)")
+    print(f"keeping retry (failed={t2['failed']}, {t2['value']} s)"
+          f" over first (failed={t1['failed']}, {t1['value']} s)")
 PY
   rm -f bench_out/bench_sf01_try1.json
 else
   stamp_load bench_out/last_run.json "$BLOAD"
 fi
 cp bench_out/last_run.json bench_out/bench_sf01.json
+# cross-round per-key history + minima regression check (VERDICT r15
+# item 4: the judge rule is per-key minima, make applying it mechanical)
+python3 scripts/bench_history.py append bench_out/bench_sf01.json | tee -a "$LOG"
+python3 scripts/bench_history.py report bench_out/bench_sf01.json | tee -a "$LOG"
 
 if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
   echo "--- gen_sf1 (fixture absent)" | tee -a "$LOG"
@@ -106,12 +118,40 @@ SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 \
   | grep -E '\[verify\].*failed' | tee -a "$LOG" || true
 echo "sf1 verify dumped: $(ls "$OUT" | wc -l) entries" | tee -a "$LOG"
 
+# sf1 oracle replay of the near-dup SLICE keys (the only sf1 evidence
+# q55/q164 have — SURVEY §6b item 7; ~10 min in DuckDB), both slices:
+# the biased-by-construction id-ranges AND the disjoint mid-range one
+# (VERDICT r15 item 1). Then pin the pair COUNTS: the cross-engine
+# replay can't catch a predicate bug shared by engine and oracle, so
+# the frozen constants are the independent tripwire.
+echo "--- sf1 slice-key oracle replay + count pins" | tee -a "$LOG"
+python3 scripts/selfcheck.py "$SF1_DIR" "$OUT" \
+  q208_jaccard_slice q209_containment_slice \
+  q210_jaccard_slice_mid q211_containment_slice_mid 2>&1 \
+  | tail -5 | tee -a "$LOG"
+python3 - "$OUT" <<'PY' 2>&1 | tee -a "$LOG"
+import glob, sys, duckdb
+out = sys.argv[1]
+PINNED_SF1 = {"q208_jaccard_slice": 3, "q209_containment_slice": 6,
+              "q210_jaccard_slice_mid": 2, "q211_containment_slice_mid": 4}
+bad = 0
+for key, want in sorted(PINNED_SF1.items()):
+    files = sorted(glob.glob(f"{out}/{key}/*.parquet"))
+    got = duckdb.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else -1
+    tag = "OK" if got == want else "PIN-FAIL"
+    if got != want: bad += 1
+    print(f"[slice-pin] {key}: {got} pairs (pinned {want}) {tag}")
+sys.exit(1 if bad else 0)
+PY
+
 echo "--- bench sf1" | tee -a "$LOG"
 BLOAD=$(cut -d' ' -f1 /proc/loadavg)
 SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 | tee -a "$LOG"
 stamp_load bench_out/last_run.json "$BLOAD"
 cp bench_out/last_run.json bench_out/bench_sf1.json
+python3 scripts/bench_history.py append bench_out/bench_sf1.json | tee -a "$LOG"
+python3 scripts/bench_history.py report bench_out/bench_sf1.json | tee -a "$LOG"
 # last_run.json (the cross-round artifact of record) stays the sf0.1 run
 cp bench_out/bench_sf01.json bench_out/last_run.json
 echo "--- scaling table" | tee -a "$LOG"

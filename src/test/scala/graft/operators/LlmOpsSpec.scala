@@ -601,4 +601,60 @@ class LlmOpsSpec extends SparkSpec {
     assert(qids.exists(q => mmrPicks(q) != plainTop(q)),
       "the fixture should make MMR reorder at least one query's board")
   }
+
+  test("q212: drift trigger fires at fixture scale and the metric is pinned") {
+    // the maintenance loop's branch behavior is part of the contract:
+    // at sf0.001 the corpus-weighted mean drift is 0.194712 (measured,
+    // pinned — stride-sampled seeds sit far from member means in the
+    // 500-vector corpus), well above DriftTriggerMicro=50000, so the
+    // key must emit the decision row PLUS KmeansRounds recluster rows.
+    // The sf1 standing gate covers the skip branch (37113 ≤ 50000 →
+    // 1 row; see the DriftTriggerMicro doc for the per-scale table).
+    val rows = SimilarityQueries.queries("q212_drift_recluster")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 1 + SimilarityQueries.KmeansRounds,
+      "trigger must fire at sf0.001: decision row + one row per Lloyd round")
+    assert(rows.map(_.getAs[Long]("drift_micro")).distinct.toSeq === Seq(194712L),
+      "the trigger input must be the pinned corpus-weighted mean drift")
+    assert(rows.map(_.getAs[Long]("round")).toSeq ===
+      (0L to SimilarityQueries.KmeansRounds.toLong),
+      "rounds must be 0 (decision) through KmeansRounds, ordered")
+    // the recluster rows must be q206's convergence stats verbatim:
+    // same machinery, same assignment start (grown ≡ one-shot content)
+    val q206 = SimilarityQueries.queries("q206_kmeans_iterate")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_moved"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("max_cluster")))
+    val reclusterRows = rows.filter(_.getAs[Long]("round") > 0L)
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_moved"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("max_cluster")))
+    assert(reclusterRows.toSeq === q206.toSeq,
+      "triggered recluster must equal q206's rounds on the same corpus")
+  }
+
+  test("q208-q211: slice pair counts are pinned — a hollow slice fails loudly") {
+    // VERDICT r15 item 1: the slice keys' cross-engine gate proves
+    // Spark ≡ DuckDB, but both share the slice PREDICATE — a predicate
+    // bug that empties a slice would pass the gate green-by-vacuity.
+    // These constants are the independent pin: exact pair counts per
+    // slice per fixture scale, measured once (DuckDB, 2026-08-15) and
+    // frozen. The mid slice's sf0.001 count is genuinely 0 — that 0 is
+    // the assertion, not an absence of one (the disjoint mid-range
+    // residues hold no dup pairs in the smallest fixture; they gain
+    // pairs from sf0.01 up). round_close.sh pins the sf1 counts
+    // (q208=3, q209=6, q210=2, q211=4) in the replay step.
+    val expected = Map(
+      // key -> (sf0.001 pairs, sf0.01 pairs)
+      "q208_jaccard_slice" -> ((1L, 1L)),
+      "q209_containment_slice" -> ((2L, 2L)),
+      "q210_jaccard_slice_mid" -> ((0L, 1L)),
+      "q211_containment_slice_mid" -> ((0L, 2L)))
+    for ((key, (n001, n01)) <- expected) {
+      val got001 = SimilarityQueries.queries(key)(spark, "/root/testdata/sf0.001").count()
+      assert(got001 === n001, s"$key at sf0.001: expected $n001 pairs")
+      val got01 = SimilarityQueries.queries(key)(spark, "/root/testdata/sf0.01").count()
+      assert(got01 === n01, s"$key at sf0.01: expected $n01 pairs")
+    }
+    spark.catalog.clearCache() // the slice pipelines cache arrs/prefix
+  }
 }
