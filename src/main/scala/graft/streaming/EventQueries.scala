@@ -106,6 +106,31 @@ object EventQueries {
       lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
       lit(0.0).as("value"), lit(null).cast("string").as("props"))
 
+  /** q207/q213's shared table build: events split on event_id % 3 (the
+    * same user recurs across batches with interleaved timestamps — see
+    * the q207 key note), run through the real
+    * [[StreamPipelines.upsertLoadStream]] with every version retained.
+    * Each caller builds under its own fresh base so the keys stay
+    * independently runnable; returns the serving-table dir. */
+  private def timeTravelServe(s: SparkSession, dir: String,
+      tag: String): String = {
+    val base = freshBase(s, dir, tag)
+    val tableDir = s"$base/serve"
+    val ckpt = s"$base/ckpt"
+    val ev = loadEvents(s, dir)
+    val src = stageBatches(s, base,
+      (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
+    withFewShufflePartitions(s) {
+      val stream = StreamPipelines.readEventsStream(s, src,
+        maxFilesPerTrigger = Some(1))
+      val q = StreamPipelines.upsertLoadStream(
+        stream, Seq("user_id"), "ts", tableDir, ckpt,
+        retainVersions = Int.MaxValue)
+      try q.processAllAvailable() finally q.stop()
+    }
+    tableDir
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 1-hour tumbling windows: epoch-aligned on both engines.
     "q39_tumble" -> { (s, dir) =>
@@ -202,21 +227,43 @@ object EventQueries {
     // so time-travel reads are plain pruned scans of one version dir —
     // no log replay, no delta reconstruction.
     "q207_time_travel" -> { (s, dir) =>
-      val base = freshBase(s, dir, "q207")
-      val tableDir = s"$base/serve"
-      val ckpt = s"$base/ckpt"
-      val ev = loadEvents(s, dir)
-      val src = stageBatches(s, base,
-        (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      val tableDir = timeTravelServe(s, dir, "q207")
+      StreamPipelines.readServingTableAt(s, tableDir, "v1")
+        .select("user_id", "event_id", "ts", "event_type", "value", "props")
+        .orderBy("user_id")
+    },
+
+    // STREAMED read of the PINNED version — q207's serving twin (the
+    // q138 discipline applied to time travel): the batch reader proved
+    // table@v1 is the batch-1 snapshot; this key proves the SAME pin
+    // holds for a STREAMING consumer. A readStream subscribes to the
+    // v1 version directory (schema pinned from the loud batch
+    // resolver, which throws if v1 were vacuumed) one file per
+    // trigger, while _CURRENT already points past it at v2 — a
+    // training-data loader tailing a pinned corpus snapshot, immune
+    // to the table moving on. The stream is a stateless file-source
+    // passthrough into the exactly-once parquet sink: version dirs
+    // are immutable-once-committed (upsert rewrites only its OWN
+    // v<batchId>), so subscription-at-rest is sound; retention is the
+    // one hazard and the key retains all versions (the vacuum law in
+    // StreamingSpec pins what happens when retention wins instead).
+    // Oracle: q207's batch-prefix window VERBATIM — streamed-pinned ≡
+    // batch-pinned ≡ driver-side prefix merge.
+    "q213_stream_time_travel" -> { (s, dir) =>
+      val tableDir = timeTravelServe(s, dir, "q213")
+      // loud pin first: resolves v1 or throws naming the retained set
+      val pinned = StreamPipelines.readServingTableAt(s, tableDir, "v1")
+      val outDir = s"$tableDir/../stream_out"
+      val ckpt2 = s"$tableDir/../stream_ckpt"
       withFewShufflePartitions(s) {
-        val stream = StreamPipelines.readEventsStream(s, src,
-          maxFilesPerTrigger = Some(1))
-        val q = StreamPipelines.upsertLoadStream(
-          stream, Seq("user_id"), "ts", tableDir, ckpt,
-          retainVersions = Int.MaxValue)
+        val stream = s.readStream
+          .schema(pinned.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tableDir/v1")
+        val q = StreamPipelines.writeParquetStream(stream, outDir, ckpt2)
         try q.processAllAvailable() finally q.stop()
       }
-      StreamPipelines.readServingTableAt(s, tableDir, "v1")
+      s.read.parquet(outDir)
         .select("user_id", "event_id", "ts", "event_type", "value", "props")
         .orderBy("user_id")
     },
@@ -405,13 +452,23 @@ object EventQueries {
     // q207: the batch prefix up through v1 (event_id % 3 IN (0, 1)),
     // later batch winning per user, then the in-batch keep rule —
     // q79's window with the batch index prepended to the order
-    "q207_time_travel" ->
-      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
-        |   event_id % 3 AS b FROM events WHERE event_id % 3 <= 1),
-        | r AS (SELECT *, row_number() OVER
-        |   (PARTITION BY user_id ORDER BY b DESC, ts DESC, event_id) AS rn FROM e)
-        |SELECT user_id, event_id, ts, event_type, value, props
-        |FROM r WHERE rn = 1
-        |ORDER BY user_id""".stripMargin,
+    "q207_time_travel" -> TimeTravelV1Sql,
+
+    // q213 = q207's answer reached through a STREAMING read of the
+    // pinned version; same SQL, and the gate becomes the
+    // streamed-pinned ≡ batch-pinned proof (the q138 discipline)
+    "q213_stream_time_travel" -> TimeTravelV1Sql,
   )
+
+  /** q207/q213's shared DuckDB twin: the batch-0..1 prefix replayed as
+    * one window — batch index DESC (later batch wins), then the
+    * in-batch keep rule (ts DESC, event_id). */
+  private val TimeTravelV1Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
+      |   event_id % 3 AS b FROM events WHERE event_id % 3 <= 1),
+      | r AS (SELECT *, row_number() OVER
+      |   (PARTITION BY user_id ORDER BY b DESC, ts DESC, event_id) AS rn FROM e)
+      |SELECT user_id, event_id, ts, event_type, value, props
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
 }

@@ -790,4 +790,66 @@ class StreamingSpec extends SparkSpec {
       StreamPipelines.readServingTableAt(s, tableDir, "v99")
     }
   }
+
+  test("vacuum law (q207 horizon): retainVersions keeps exactly the newest " +
+      "N versions, vacuumed reads are loud, and a mid-flip kill stays readable") {
+    // VERDICT r15 item 3: the retention pass existed but no law pinned
+    // it. Run the q207 batch shape with retainVersions=2, then check
+    // the full horizon contract on the resulting table.
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.{EventQueries, StreamPipelines}
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.loadEvents(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = EventQueries.freshBase(s, dir, "q207vac")
+    val tableDir = s"$base/serve"
+    val src = EventQueries.stageBatches(s, base,
+      (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
+    graft.Tables.withShufflePartitions(s, 4) {
+      val stream = StreamPipelines.readEventsStream(s, src,
+        maxFilesPerTrigger = Some(1))
+      val q = StreamPipelines.upsertLoadStream(
+        stream, Seq("user_id"), "ts", tableDir, s"$base/ckpt",
+        retainVersions = 2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val hfs = new Path(tableDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def versionDirs: Seq[String] = hfs.listStatus(new Path(tableDir))
+      .map(_.getPath.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    // 1. exactly the newest 2 of the 3 committed versions survive
+    assert(versionDirs === Seq("v1", "v2"),
+      "retainVersions=2 must keep exactly the newest two version dirs")
+    // 2. _CURRENT still resolves to the committed head
+    assert(StreamPipelines.currentServingVersion(s, tableDir)
+      === Some("v2"), "_CURRENT must resolve after the retention pass")
+    val v2Rows = StreamPipelines.readServingTable(s, tableDir).count()
+    assert(v2Rows > 0, "the live version must be readable")
+    // 3. the vacuumed version read throws and NAMES the retained set
+    val ex = intercept[java.util.NoSuchElementException] {
+      StreamPipelines.readServingTableAt(s, tableDir, "v0")
+    }
+    assert(ex.getMessage.contains("v1,v2"),
+      s"the error must name the retained versions: ${ex.getMessage}")
+    // 4a. kill between version-write and pointer flip: the new v3 dir
+    // exists but _CURRENT still points at v2 — readers must stay on
+    // the pointed (previous) version, fully readable
+    StreamPipelines.readServingTable(s, tableDir)
+      .write.mode("overwrite").parquet(s"$tableDir/v3")
+    assert(StreamPipelines.currentServingVersion(s, tableDir)
+      === Some("v2"),
+      "an uncommitted higher version must not capture readers")
+    assert(StreamPipelines.readServingTable(s, tableDir).count() === v2Rows)
+    // 4b. kill mid-flip proper (pointer deleted, rename never ran):
+    // readers fall back to the highest complete version and stay
+    // readable — the documented fallback path
+    hfs.delete(new Path(tableDir, "_CURRENT"), false)
+    assert(StreamPipelines.currentServingVersion(s, tableDir)
+      === Some("v3"),
+      "with the pointer lost, the highest complete version serves")
+    assert(StreamPipelines.readServingTable(s, tableDir).count() === v2Rows,
+      "the fallback version must be a complete, readable snapshot")
+  }
 }
