@@ -26,6 +26,12 @@ which preserves every distributional property the operators see:
   identical shapes.
 
 Output: /root/repo/testdata_sf1/<table>.parquet (gitignored).
+
+Usage: gen_sf1.py [replicas] [dst_dir]
+  defaults: 10 replicas -> testdata_sf1. The sf3 probe (VERDICT r15
+  item 5) calls it with 30 replicas -> testdata_sf3; STRIDE leaves
+  room for up to 900 replicas before int64 key ranges could collide
+  with the next replica's shifted block at these row counts.
 """
 import os
 import random
@@ -37,10 +43,13 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "testdata_sf1")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = (sys.argv[2] if len(sys.argv) > 2
+       else os.path.join(_REPO, "testdata_sf1"))
+if not os.path.isabs(DST):
+    DST = os.path.join(_REPO, DST)
 STRIDE = 10_000_000
-REPLICAS = 10
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
 # key columns to shift per table (everything else copies verbatim)
 KEYS = {

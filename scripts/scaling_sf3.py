@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""sf3 probe for the LIN-tail keys (VERDICT r15 item 5).
+
+The sf0.1->sf1 scaling table flags keys in the 4-10x band as LIN —
+at or below linear, but exactly where a super-linear bend would first
+show past sf1. This probe derives an sf3 point (30 replicas of sf0.1
+via gen_sf1.py — 3x sf1's data) and times ONLY those keys, then reports
+each key's sf0.1 -> sf1 -> sf3 curve with a per-key verdict:
+  sf3/sf1 <= 3.0x  -> LINEAR-OK (at/below linear on 3x data)
+  sf3/sf1 <= 4.5x  -> WATCH (above linear, below the 1.5x flag margin)
+  otherwise        -> SUPER (bends super-linear — investigate)
+
+Each key runs in its own fresh JVM via graft.tools.KeyBench with n=2;
+the FIRST run includes any persisted-index build (q134/q163's lifecycle
+cost, priced separately in the main bench) and the SECOND run is the
+warm measurement, matching Bench's warm-key semantics. sf0.1/sf1
+reference times come from the committed bench artifacts of record.
+
+Dev-side tooling like selfcheck.py — NOT part of the shipped library.
+Usage: python3 scripts/scaling_sf3.py [key ...]   (defaults below)
+"""
+import json, os, re, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF3 = os.path.join(REPO, "testdata_sf3")
+DEFAULT_KEYS = ["q54_simhash", "q55_ngram_jaccard", "q134_ann_grow_reprobe",
+                "q147_audio_dedup", "q150_stream_interval_join",
+                "q163_knn_graph"]
+
+
+def ensure_sf3():
+    if os.path.exists(os.path.join(SF3, "lineitem.parquet")):
+        return
+    print("generating sf3 fixtures (30 replicas of sf0.1)...", flush=True)
+    subprocess.run([sys.executable, os.path.join(REPO, "scripts/gen_sf1.py"),
+                    "30", SF3], check=True)
+
+
+def time_key(key):
+    env = dict(os.environ, SPARK_DRIVER_MEM="24g", SPARK_GRAFT_CPUS="32")
+    out = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.KeyBench {key} 2 {SF3}"],
+        capture_output=True, text=True, env=env, cwd=REPO).stdout
+    runs = [float(m) for m in re.findall(rf"{key} run \d+: ([0-9.]+) s", out)]
+    if len(runs) < 2:
+        print(out[-2000:])
+        raise RuntimeError(f"KeyBench produced no timings for {key}")
+    return runs
+
+
+def ref_times(path):
+    try:
+        return json.load(open(path)).get("queries", {})
+    except FileNotFoundError:
+        return {}
+
+
+def main():
+    keys = sys.argv[1:] or DEFAULT_KEYS
+    ensure_sf3()
+    sf01 = ref_times(os.path.join(REPO, "bench_out/bench_sf01.json"))
+    sf1 = ref_times(os.path.join(REPO, "bench_out/bench_sf1.json"))
+    lines = [
+        "# sf3 scaling probe — LIN-tail keys",
+        "",
+        "3x sf1's data (30 replicas of sf0.1). `cold` includes any",
+        "persisted-index build; `sf3` is the warm second run (Bench's",
+        "warm-key semantics). Linear on 3x data = 3.0x.",
+        "",
+        "| key | sf0.1 s | sf1 s | sf3 cold s | sf3 s | sf1/sf0.1 | sf3/sf1 | verdict |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for key in keys:
+        cold, warm = time_key(key)[:2]
+        t01, t1 = sf01.get(key), sf1.get(key)
+        r10 = f"{t1/t01:.1f}x" if t01 and t1 else "?"
+        r31 = warm / t1 if t1 else None
+        r31s = f"{r31:.1f}x" if r31 else "?"
+        verdict = ("?" if r31 is None else
+                   "LINEAR-OK" if r31 <= 3.0 else
+                   "WATCH" if r31 <= 4.5 else "SUPER")
+        lines.append(f"| {key} | {t01} | {t1} | {cold:.2f} | {warm:.2f} "
+                     f"| {r10} | {r31s} | {verdict} |")
+        print(lines[-1], flush=True)
+    out = os.path.join(REPO, "bench_out/scaling_sf3.md")
+    open(out, "w").write("\n".join(lines) + "\n")
+    print(f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()

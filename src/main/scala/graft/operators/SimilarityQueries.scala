@@ -263,7 +263,15 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(wAsgn))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"))
-      graft.sources.Staging.store(e.join(buckets, "vec_id"), idxPath,
+      // repartition BY THE PARTITION COLUMN before the partitioned
+      // write: without it every shuffle task writes a file into every
+      // cid dir it touches — measured 6,598 files across 601 buckets at
+      // sf3 (~11/bucket), and the probe's scans paid ~7× sf1's cost in
+      // file opens alone (the r16 sf3 probe's one real defect). With it
+      // each bucket is ONE file; a 100 TB deployment would widen that
+      // to size-bounded files per bucket, same layout rule.
+      graft.sources.Staging.store(
+        e.join(buckets, "vec_id").repartition(col("cid")), idxPath,
         partitionBy = Seq("cid"))
       e.unpersist() // store() is an action — the build is done
     }
@@ -327,9 +335,13 @@ object SimilarityQueries {
           .select(col("vec_id"), col("cid"))
         part.join(buckets, "vec_id")
       }
-      graft.sources.Staging.store(assigned(epochA), bld,
-        partitionBy = Seq("cid"))
-      graft.sources.Staging.store(assigned(e.filter(col("vec_id") % 10 === 3)),
+      // one file per bucket per epoch (see the ivfIndex layout note) —
+      // epoch B's dynamic-partition append adds its own file only to
+      // the buckets it lands in
+      graft.sources.Staging.store(assigned(epochA).repartition(col("cid")),
+        bld, partitionBy = Seq("cid"))
+      graft.sources.Staging.store(
+        assigned(e.filter(col("vec_id") % 10 === 3)).repartition(col("cid")),
         bld, mode = org.apache.spark.sql.SaveMode.Append,
         partitionBy = Seq("cid"))
       e.unpersist()

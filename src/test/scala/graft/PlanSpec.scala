@@ -884,6 +884,28 @@ class PlanSpec extends SparkSpec {
       s"the top-1 cut must run map-side as a WindowGroupLimit:\n$p")
   }
 
+  test("q199/q212 refine: every index-side join broadcasts the bounded frame, no SMJ") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val idx = s.read.parquet(
+      graft.operators.SimilarityQueries.ivfIndex(s, dir))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid").cast("long").as("cid"))
+    val p = graft.operators.SimilarityQueries.kmeansRefine(idx)
+      .queryExecution.executedPlan.toString
+    // the drift measurement's joins are all k-row bounded (centroids,
+    // per-centroid stats, per-centroid folds) against the linear index
+    // scans — every one must broadcast; a sort-merge join here would
+    // shuffle the corpus for a k-row lookup
+    assert(!p.contains("SortMergeJoin"),
+      s"refine must never sort-merge a k-row frame:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"cent/stats/folds joins must all broadcast:\n$p")
+    // (cid,pos) partial sums combine map-side before the shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"cohesion and per-dim sums must combine map-side:\n$p")
+  }
+
   test("q202 pushes grouped MIN/MAX/COUNT down to the partitioned layout") {
     import graft.operators.ScanQueries
     val stage = ScanQueries.q202Stage(spark, dir)
