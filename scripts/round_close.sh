@@ -157,4 +157,13 @@ cp bench_out/bench_sf01.json bench_out/last_run.json
 echo "--- scaling table" | tee -a "$LOG"
 python3 scripts/scaling_report.py bench_out/bench_sf01.json bench_out/bench_sf1.json \
   > bench_out/scaling_sf1.md || true
+
+# sf3 probe of the LIN-tail keys (r16: it caught the IVF small-file
+# defect) — standing when the gitignored sf3 fixtures exist on this
+# box; raw capture -> scaling_sf3_probe.md, adjudicated verdicts stay
+# in scaling_sf3.md. ROUND_CLOSE_SF3=0 skips.
+if [ -d "$PWD/testdata_sf3" ] && [ "${ROUND_CLOSE_SF3:-1}" = 1 ]; then
+  echo "--- sf3 probe (LIN-tail keys)" | tee -a "$LOG"
+  python3 scripts/scaling_sf3.py 2>&1 | tail -8 | tee -a "$LOG"
+fi
 echo "=== round_close done end_load=$(cut -d' ' -f1 /proc/loadavg)" | tee -a "$LOG"

@@ -82,7 +82,7 @@ def main():
         lines.append(f"| {key} | {t01} | {t1} | {cold:.2f} | {warm:.2f} "
                      f"| {r10} | {r31s} | {verdict} |")
         print(lines[-1], flush=True)
-    out = os.path.join(REPO, "bench_out/scaling_sf3.md")
+    out = os.path.join(REPO, "bench_out/scaling_sf3_probe.md")
     open(out, "w").write("\n".join(lines) + "\n")
     print(f"-> {out}")
 
