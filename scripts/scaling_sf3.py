@@ -83,7 +83,10 @@ def main():
                      f"| {r10} | {r31s} | {verdict} |")
         print(lines[-1], flush=True)
     out = os.path.join(REPO, "bench_out/scaling_sf3_probe.md")
-    open(out, "w").write("\n".join(lines) + "\n")
+    load = open("/proc/loadavg").read().split()[0]
+    with open(out, "a") as f:  # append: each capture is a dated section
+        f.write(f"\n## capture start_load={load} keys={len(keys)}\n\n"
+                + "\n".join(lines[6:]) + "\n")
     print(f"-> {out}")
 
 
