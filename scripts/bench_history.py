@@ -113,9 +113,17 @@ def append(path, label=None):
     r = row_from(d, label or f"live:{os.path.basename(path)}")
     r["captured"] = datetime.datetime.now(datetime.timezone.utc).isoformat(
         timespec="seconds")
+    # Re-running a close re-appends the same capture; dedup on content so
+    # duplicate live rows don't consume recent-window slots.
+    dup = [i for i, p in enumerate(rows)
+           if p["source"] == r["source"] and p["sf"] == r["sf"]
+           and p["queries"] == r["queries"]]
+    for i in reversed(dup):
+        del rows[i]
     rows.append(r)
     save_hist(rows)
-    print(f"history.jsonl: appended {r['source']} sf{r['sf']} "
+    verb = "refreshed" if dup else "appended"
+    print(f"history.jsonl: {verb} {r['source']} sf{r['sf']} "
           f"({len(r['queries'])} keys, start_load={r['start_load']})")
 
 
@@ -133,6 +141,19 @@ def minima_of(rows):
     return m
 
 
+def utc_key(r):
+    """Chronological sort key: committed (%cI, committer-local offset) and
+    captured (UTC) strings must be compared as instants, not lexically."""
+    s = r.get("committed") or r.get("captured")
+    if not s:
+        return datetime.datetime.min.replace(tzinfo=datetime.timezone.utc)
+    try:
+        return datetime.datetime.fromisoformat(s).astimezone(
+            datetime.timezone.utc)
+    except ValueError:
+        return datetime.datetime.min.replace(tzinfo=datetime.timezone.utc)
+
+
 def report(path):
     d = json.load(open(path))
     sf = norm_sf(d)
@@ -140,7 +161,7 @@ def report(path):
     prior = sorted(
         (r for r in load_hist()
          if r["sf"] == sf and r.get("queries") != cur),
-        key=lambda r: r.get("committed") or r.get("captured") or "")
+        key=utc_key)
     recent = prior[-RECENT_WINDOW:]
     m_all, m_recent = minima_of(prior), minima_of(recent)
     mpath = f"bench_out/minima_sf{sf}.json"

@@ -159,11 +159,20 @@ python3 scripts/scaling_report.py bench_out/bench_sf01.json bench_out/bench_sf1.
   > bench_out/scaling_sf1.md || true
 
 # sf3 probe of the LIN-tail keys (r16: it caught the IVF small-file
-# defect) — standing when the gitignored sf3 fixtures exist on this
-# box; raw capture -> scaling_sf3_probe.md, adjudicated verdicts stay
-# in scaling_sf3.md. ROUND_CLOSE_SF3=0 skips.
-if [ -d "$PWD/testdata_sf3" ] && [ "${ROUND_CLOSE_SF3:-1}" = 1 ]; then
-  echo "--- sf3 probe (LIN-tail keys)" | tee -a "$LOG"
+# defect) — STANDING: scaling_sf3.py self-builds the gitignored sf3
+# fixtures when absent (VERDICT r16 item 4 — a fresh checkout must not
+# silently skip the probe), so the only gates are an explicit
+# ROUND_CLOSE_SF3=0 and a loud disk preflight (~0.5 GiB fixtures +
+# derived indexes). Raw capture -> scaling_sf3_probe.md; adjudicated
+# verdicts stay in scaling_sf3.md.
+if [ "${ROUND_CLOSE_SF3:-1}" = 1 ]; then
+  FREE_GB=$(df -BG --output=avail "$PWD" | tail -1 | tr -dc 0-9)
+  if [ ! -d "$PWD/testdata_sf3" ] && [ "$FREE_GB" -lt 4 ]; then
+    echo "FATAL: sf3 fixtures absent and only ${FREE_GB}G free (<4G) —" \
+         "free disk or set ROUND_CLOSE_SF3=0 explicitly" | tee -a "$LOG"
+    exit 1
+  fi
+  echo "--- sf3 probe (LIN-tail keys; self-builds fixtures if absent)" | tee -a "$LOG"
   python3 scripts/scaling_sf3.py 2>&1 | tail -8 | tee -a "$LOG"
 fi
 echo "=== round_close done end_load=$(cut -d' ' -f1 /proc/loadavg)" | tee -a "$LOG"

@@ -19,7 +19,7 @@ reference times come from the committed bench artifacts of record.
 Dev-side tooling like selfcheck.py — NOT part of the shipped library.
 Usage: python3 scripts/scaling_sf3.py [key ...]   (defaults below)
 """
-import json, os, re, subprocess, sys
+import datetime, json, os, re, subprocess, sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF3 = os.path.join(REPO, "testdata_sf3")
@@ -40,7 +40,8 @@ def time_key(key):
     env = dict(os.environ, SPARK_DRIVER_MEM="24g", SPARK_GRAFT_CPUS="32")
     out = subprocess.run(
         ["sbt", "-batch", f"runMain graft.tools.KeyBench {key} 2 {SF3}"],
-        capture_output=True, text=True, env=env, cwd=REPO).stdout
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,  # sbt errors land in the tail
+        text=True, env=env, cwd=REPO).stdout
     runs = [float(m) for m in re.findall(rf"{key} run \d+: ([0-9.]+) s", out)]
     if len(runs) < 2:
         print(out[-2000:])
@@ -73,6 +74,11 @@ def main():
     for key in keys:
         cold, warm = time_key(key)[:2]
         t01, t1 = sf01.get(key), sf1.get(key)
+        # <= 0 values are failure sentinels (minima_of's guard class) — treat as missing
+        if t01 is not None and t01 <= 0:
+            t01 = None
+        if t1 is not None and t1 <= 0:
+            t1 = None
         r10 = f"{t1/t01:.1f}x" if t01 and t1 else "?"
         r31 = warm / t1 if t1 else None
         r31s = f"{r31:.1f}x" if r31 else "?"
@@ -84,8 +90,10 @@ def main():
         print(lines[-1], flush=True)
     out = os.path.join(REPO, "bench_out/scaling_sf3_probe.md")
     load = open("/proc/loadavg").read().split()[0]
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds")
     with open(out, "a") as f:  # append: each capture is a dated section
-        f.write(f"\n## capture start_load={load} keys={len(keys)}\n\n"
+        f.write(f"\n## capture {stamp} start_load={load} keys={len(keys)}\n\n"
                 + "\n".join(lines[6:]) + "\n")
     print(f"-> {out}")
 
