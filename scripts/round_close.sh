@@ -133,7 +133,10 @@ python3 - "$OUT" <<'PY' 2>&1 | tee -a "$LOG"
 import glob, sys, duckdb
 out = sys.argv[1]
 PINNED_SF1 = {"q208_jaccard_slice": 3, "q209_containment_slice": 6,
-              "q210_jaccard_slice_mid": 2, "q211_containment_slice_mid": 4}
+              "q210_jaccard_slice_mid": 2, "q211_containment_slice_mid": 4,
+              # r17: q147's 32-bit envelope — fixture content starts at
+              # sf0.1 (spec-pinned 0/0/14), sf1 carries the replica mass
+              "q147_audio_dedup": 672}
 bad = 0
 for key, want in sorted(PINNED_SF1.items()):
     files = sorted(glob.glob(f"{out}/{key}/*.parquet"))

@@ -389,16 +389,21 @@ object MultimodalOps {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** q147's acoustic fingerprint: REAL `javax.sound.sampled` container
-    * decode, then a 16-bit energy-envelope hash — bit j set iff window
-    * j's summed amplitude exceeds the track mean (16·E_j > E_total,
+    * decode, then a 32-bit energy-envelope hash — bit j set iff window
+    * j's summed amplitude exceeds the track mean (32·E_j > E_total,
     * ALL-INTEGER math so the DuckDB twin replays it exactly; the same
     * loudness-profile banding an audio-dedup service uses, scale-free
-    * in track length). The stream is read in its NATIVE format —
-    * the synth path feeds 8-bit unsigned mono PCM, so decoded bytes ==
-    * sample bytes and amplitude = |byte − 128|. Empty tracks and silent
-    * tracks fingerprint to 0. None when the bytes aren't a readable
-    * audio container (decode failures must be loud in the synth path,
-    * never a silent wrong hash). */
+    * in track length). 32 windows (VERDICT r16 item 2 — widened from
+    * 16): the fp bands as 2×16 bits, so the banded candidate floor is
+    * ~n²/65536 instead of ~n²/256 — the q169 class, pushing the
+    * join-dominates crossover from ~sf10 out past any plausible
+    * corpus while hamming ≤ 1 banding stays lossless (one flipped bit
+    * still leaves a full 16-bit band intact). The stream is read in
+    * its NATIVE format — the synth path feeds 8-bit unsigned mono PCM,
+    * so decoded bytes == sample bytes and amplitude = |byte − 128|.
+    * Empty tracks and silent tracks fingerprint to 0. None when the
+    * bytes aren't a readable audio container (decode failures must be
+    * loud in the synth path, never a silent wrong hash). */
   def audioEnvelopeFp(payload: Array[Byte]): Option[Long] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -406,18 +411,18 @@ object MultimodalOps {
       try {
         val bytes = in.readAllBytes()
         val n = bytes.length
-        val ej = new Array[Long](16)
+        val ej = new Array[Long](32)
         var tot = 0L
         var i = 0
         while (i < n) {
           val a = math.abs((bytes(i) & 0xff) - 128).toLong
-          ej(((i.toLong * 16L) / n).toInt) += a
+          ej(((i.toLong * 32L) / n).toInt) += a
           tot += a
           i += 1
         }
         var fp = 0L
         var j = 0
-        while (j < 16) { if (16L * ej(j) > tot) fp |= 1L << j; j += 1 }
+        while (j < 32) { if (32L * ej(j) > tot) fp |= 1L << j; j += 1 }
         Some(fp)
       } finally in.close()
     } catch {

@@ -143,47 +143,29 @@ object MultimodalQueries {
     // the multimodal dedup family (q115 image, q139 streaming image):
     // each document's bytes become a REAL RIFF/WAVE container
     // (MultimodalOps.wavBytes), go through the real
-    // `javax.sound.sampled` decode, and hash to the 16-bit
+    // `javax.sound.sampled` decode, and hash to the 32-bit
     // energy-envelope fingerprint (all-integer: window amplitude sums
-    // vs track mean). Candidates come from a 2×8-bit band self-join on
-    // the fingerprint — hash-partitionable, never all-pairs; hamming
-    // ≤ 1 keeps a pair (pigeonhole: radius 1 needs only TWO bands — a
-    // single flipped envelope bit leaves ≥ 1 band intact, so banding
-    // loses nothing at this radius). 8-bit keys give 256 buckets per
-    // band vs the 16 the r12 sf1 scale point caught going quadratic
-    // (50k docs × 16 buckets ⇒ ~312M candidate rows; 2×8 cuts
-    // candidates ~32× with the IDENTICAL verified output — the band
-    // scheme is invisible post-filter). A 16-bit fingerprint caps out
-    // regardless once n approaches 2^16 (only that many distinct
-    // codes exist); the at-scale lever beyond this is a LONGER
-    // envelope (more windows), the q169 shape. The
+    // vs track mean). Candidates come from a 2×16-bit band self-join
+    // on the fingerprint — hash-partitionable, never all-pairs;
+    // hamming ≤ 1 keeps a pair (pigeonhole: radius 1 needs only TWO
+    // bands — a single flipped envelope bit leaves ≥ 1 band intact,
+    // so banding loses nothing at this radius). The envelope was 16
+    // bits (2×8 bands) through r16; the sf3 probe's arithmetic put
+    // that band floor's candidates at ~n²/256 — crossing the linear
+    // decode cost ~sf10 — so r17 WIDENED the envelope to 32 windows
+    // (VERDICT r16 item 2): 2×16-bit bands give 65,536 buckets per
+    // band, candidates ~n²/65536 (the q169 class), and the crossover
+    // moves ~256× out. More windows = a finer loudness profile, so
+    // the verified contract changes WITH the fingerprint (it's a new,
+    // sharper instrument, re-gated at all scales — not a band-only
+    // re-cut like r12's, which was output-invariant). The
     // oracle replays sample bytes via ascii() (ASCII fixtures — the
     // q88/q115 trick aimed at the envelope hash): decode stays real,
     // arithmetic stays replayable. Same narrow per-row synth+decode
     // shape as q115: scales as one codec pass + a banded join.
     "q147_audio_dedup" -> { (s, dir) =>
-      val fps = audioFpRows(
-        tWide(s, dir, "documents").select(col("doc_id"), col("text")))
-      // cached: the WAV synth + javax.sound decode upstream would
-      // otherwise run once PER SELF-JOIN SIDE (the q73 discipline;
-      // ~2× the whole decode cost at sf1)
-      val bands = fps.select(col("media_id"), col("fp"),
-          explode(sequence(lit(0), lit(1))).as("b"))
-        .withColumn("bk", expr("shiftright(fp, CAST(8 * b AS INT)) & 255"))
-        .cache()
-      val ba = bands.select(col("media_id").as("id_a"), col("fp").as("f_a"),
-        col("b"), col("bk"))
-      val bb = bands.select(col("media_id").as("id_b"), col("fp").as("f_b"),
-        col("b").as("b2"), col("bk").as("bk2"))
-      ba.join(bb, col("b") === col("b2") &&
-          col("bk") === col("bk2") && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("f_a"), col("f_b"))
-        .distinct()
-        .filter(bit_count(col("f_a").bitwiseXOR(col("f_b"))) <= 1)
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long")
-            .as("ham"))
-        .orderBy("id_a", "id_b")
+      audioDedupPairs(audioFpRows(
+        tWide(s, dir, "documents").select(col("doc_id"), col("text"))))
     },
 
     // VIDEO near-dup — completes the multimodal dedup family (q115
@@ -230,8 +212,36 @@ object MultimodalQueries {
     },
   )
 
+  /** q147's banded pair stage over a fingerprint frame (media_id, fp):
+    * 2×16-bit band self-join → distinct candidates → hamming ≤ 1
+    * verify. Factored from the key so the spec can drive it with
+    * CONSTRUCTED fingerprints (guaranteed hamming-0/1/2 neighbors —
+    * the fixtures' 32-bit pair content starts only at sf0.1). */
+  def audioDedupPairs(fps: DataFrame): DataFrame = {
+    // cached: the WAV synth + javax.sound decode upstream would
+    // otherwise run once PER SELF-JOIN SIDE (the q73 discipline;
+    // ~2× the whole decode cost at sf1)
+    val bands = fps.select(col("media_id"), col("fp"),
+        explode(sequence(lit(0), lit(1))).as("b"))
+      .withColumn("bk", expr("shiftright(fp, CAST(16 * b AS INT)) & 65535"))
+      .cache()
+    val ba = bands.select(col("media_id").as("id_a"), col("fp").as("f_a"),
+      col("b"), col("bk"))
+    val bb = bands.select(col("media_id").as("id_b"), col("fp").as("f_b"),
+      col("b").as("b2"), col("bk").as("bk2"))
+    ba.join(bb, col("b") === col("b2") &&
+        col("bk") === col("bk2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("f_a"), col("f_b"))
+      .distinct()
+      .filter(bit_count(col("f_a").bitwiseXOR(col("f_b"))) <= 1)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("f_a").bitwiseXOR(col("f_b"))).cast("long")
+          .as("ham"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q147's fingerprint stage: text bytes → real WAV container → real
-    * JDK audio decode → 16-bit envelope hash, as (media_id, fp).
+    * JDK audio decode → 32-bit envelope hash, as (media_id, fp).
     * Stateless narrow per-row work (the hashRows shape for audio);
     * mapPartitions is justified as in q88 — a codec call, not an
     * Expression. */
@@ -524,7 +534,8 @@ object MultimodalQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // q147: sample bytes replayed via ascii() (decoded 8-bit PCM ==
-    // text bytes), envelope hash in integer SQL, same 2×8-bit banding.
+    // text bytes), envelope hash in integer SQL, same 2×16-bit banding
+    // (32 windows since r17 — see the key note).
     // NB a zero-length text would fingerprint engine-side as 0 but drop
     // out of the sample CTE here — the fixtures carry none (pinned by
     // FixturesSpec) and a length-0 doc can't pair anyway.
@@ -534,15 +545,15 @@ object MultimodalQueries {
         |  SELECT doc_id, n, i, abs(ascii(text[CAST(i AS INTEGER) + 1]) - 128) AS a
         |  FROM d CROSS JOIN (SELECT unnest(range(0, (SELECT max(n) FROM d))) AS i) ii
         |  WHERE i < n),
-        |w AS (SELECT doc_id, (i * 16) // n AS j, sum(a) AS ej
-        |  FROM s GROUP BY doc_id, (i * 16) // n),
+        |w AS (SELECT doc_id, (i * 32) // n AS j, sum(a) AS ej
+        |  FROM s GROUP BY doc_id, (i * 32) // n),
         |t AS (SELECT doc_id, sum(ej) AS etot FROM w GROUP BY doc_id),
         |fp AS (
-        |  SELECT w.doc_id, CAST(sum(CASE WHEN 16 * ej > etot
+        |  SELECT w.doc_id, CAST(sum(CASE WHEN 32 * ej > etot
         |    THEN 1::BIGINT << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS fp
         |  FROM w JOIN t USING (doc_id) GROUP BY w.doc_id),
         |bands AS (
-        |  SELECT doc_id, fp, b, (fp >> CAST(8 * b AS INTEGER)) & 255 AS bk
+        |  SELECT doc_id, fp, b, (fp >> CAST(16 * b AS INTEGER)) & 65535 AS bk
         |  FROM fp CROSS JOIN (SELECT unnest(range(2)) AS b) bb),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,

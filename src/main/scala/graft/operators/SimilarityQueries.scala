@@ -94,6 +94,14 @@ object SimilarityQueries {
     docs.filter(col("doc_id") % 100 >= 40 && col("doc_id") % 100 < 50)
   private val SliceMidSrc =
     "(SELECT * FROM documents WHERE doc_id % 100 >= 40 AND doc_id % 100 < 50)"
+  /** q214: fixed min-label propagation depth over the FINGERPRINT-level
+    * near-dup graph (the q87/q101 fixed-iteration discipline — both
+    * engines run the identical step count whether or not converged).
+    * 8 steps measured convergent (one more step is a fixed point) at
+    * sf0.001/0.01/0.1/1 — and the fp graph is a function of DISTINCT
+    * corpus content, so replica-grown scales (sf3) see the same graph. */
+  val SurvivorIters = 8
+
   private[graft] def centroidStride(n: Long): Long = {
     val block = MaxCentroids * CentroidBaseStride
     CentroidBaseStride * math.max(1L, (n + block - 1L) / block)
@@ -221,6 +229,67 @@ object SimilarityQueries {
         poly_hash(col("tk"), 131).as("h1"), poly_hash(col("tk"), 137).as("h2"))
       .groupBy("doc_id")
       .agg(simhash_agg(col("h1"), col("h2"), col("cnt")).as("simhash"))
+  }
+
+  /** q214: the scale-safe rendering of q54's contract — near-dup
+    * CLUSTERS with one lowest-id survivor each, instead of the
+    * all-pairs list (which the sf3 probe measured output-quadratic:
+    * 12.8M pairs at sf1 → 115.5M at sf3, exactly 9× on 3× data).
+    *
+    * The quadratic is killed by collapsing EXACT fingerprints first:
+    * hamming distance is a pure function of the two 60-bit SimHashes,
+    * so docs sharing a fingerprint are interchangeable — one
+    * representative (min doc_id) stands for the group in candidate
+    * generation, verification, and component propagation, and the
+    * group expands back only at the final per-doc labeling. Chunk-LSH
+    * candidates, hamming verification, and the min-label loop all run
+    * at DISTINCT-fingerprint granularity: on replica-grown corpora the
+    * fp graph is literally constant (measured: sf0.1 and sf1 both have
+    * 4,946 fps / 122,037 fp-pairs for 5k vs 50k docs) and on any
+    * corpus it is bounded by distinct content, while the per-doc work
+    * (SimHash, group-by, final label join) is one linear shuffle each.
+    * This is exactly how a 100 TB dedup pass is shaped: exact-dup
+    * collapse, then near-dup clustering over representatives.
+    *
+    * Components via [[GraphQueries.minLabel]] ([[SurvivorIters]] fixed
+    * steps); docs whose fingerprint has ≥2 members (hamming-0 pairs)
+    * or ≥1 verified fp-edge are exactly q54's pair-graph vertex set,
+    * so every emitted cluster has n_docs ≥ 2. The survivor is the
+    * cluster's min doc_id computed EXPLICITLY over members (not
+    * assumed equal to the propagated label — equal only at
+    * convergence, which the fixed step count doesn't promise). */
+  def simhashSurvivors(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sh = simhash(docs).cache()
+    // exact-fingerprint collapse: rep + member count per distinct simhash
+    val grp = sh.groupBy("simhash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+      .cache()
+    // q54's 4×15-bit chunk candidates, at fp granularity (grp is cached,
+    // so the alias-renamed self-join sides recompute only the explode)
+    val chunks = grp.select(col("rep"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("ck", expr("shiftright(simhash, c * 15) & 32767"))
+    val ca = chunks.select(col("c").as("c_a"), col("ck").as("ck_a"),
+      col("rep").as("rep_a"), col("simhash").as("sh_a"))
+    val cb = chunks.select(col("c").as("c_b"), col("ck").as("ck_b"),
+      col("rep").as("rep_b"), col("simhash").as("sh_b"))
+    val fpPairs = ca.join(cb,
+        col("c_a") === col("c_b") && col("ck_a") === col("ck_b") &&
+        col("rep_a") < col("rep_b"))
+      .filter(expr("bit_count(sh_a ^ sh_b)") <= 8)
+      .select("rep_a", "rep_b").distinct()
+    val edges = fpPairs
+      .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+      .unionByName(fpPairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
+    val labels = GraphQueries.minLabel(s, edges, SurvivorIters)
+    sh.join(grp.select("simhash", "rep", "n_members"), "simhash")
+      .join(labels, col("node") === col("rep"), "left")
+      .filter(col("n_members") >= 2 || col("node").isNotNull)
+      .select(col("doc_id"), coalesce(col("lbl"), col("rep")).as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("survivor_doc"))
+      .withColumn("n_dropped", col("n_docs") - 1)
+      .orderBy("cluster_id")
   }
 
   /** Build — or REUSE — q57's persisted IVF index: nearest-centroid
@@ -446,6 +515,15 @@ object SimilarityQueries {
         .filter(col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // q54's gated scale twin (VERDICT r16 item 1): SimHash pairs at
+    // hamming ≤ 8 → connected components → lowest-id survivor per
+    // cluster, with the quadratic retired by exact-fingerprint
+    // collapse — see [[simhashSurvivors]]. Output rows ∝ clusters
+    // (≤ docs), never pairs.
+    "q214_simhash_survivors" -> { (s, dir) =>
+      simhashSurvivors(s, tWide(s, dir, "documents"))
     },
 
     // Exact 3-gram Jaccard ≥ 0.5 with PPJoin-style prefix filtering
@@ -1266,6 +1344,29 @@ object SimilarityQueries {
       .orderBy("doc_sub", "doc_sup")
   }
 
+  /** The portable SimHash CTE chain (tokens → char-poly word hashes →
+    * tf-weighted bit votes → 60-bit fingerprint `sh(doc_id, simhash)`),
+    * the exact SQL twin of [[simhash]] — shared by the q54 and q214
+    * oracles so the two gates can never drift apart on the fingerprint
+    * definition. */
+  private val SimhashCtes: String =
+    """wc AS (
+      |  SELECT doc_id, tk, count(*)::BIGINT AS cnt FROM
+      |    (SELECT doc_id, unnest(string_split(text,' ')) AS tk FROM documents) GROUP BY doc_id, tk),
+      |wh AS (
+      |  SELECT doc_id, cnt,
+      |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tk,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*131 + b) % 2147483647) AS h1,
+      |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tk,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*137 + b) % 2147483647) AS h2
+      |  FROM wc),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    sum(cnt * (2 * (CASE WHEN b < 30 THEN (h1 >> b) & 1 ELSE (h2 >> (b - 30)) & 1 END) - 1)) AS w
+      |  FROM wh CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+      |  GROUP BY doc_id, b),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id, sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // all-integer replay: same quantize formula as q83's oracle, exact
     // integer dot, same (dot DESC, nid) ranking
@@ -1289,22 +1390,7 @@ object SimilarityQueries {
         |ORDER BY qid, rnk""".stripMargin,
 
     "q54_simhash" ->
-      """WITH wc AS (
-        |  SELECT doc_id, tk, count(*)::BIGINT AS cnt FROM
-        |    (SELECT doc_id, unnest(string_split(text,' ')) AS tk FROM documents) GROUP BY doc_id, tk),
-        |wh AS (
-        |  SELECT doc_id, cnt,
-        |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tk,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*131 + b) % 2147483647) AS h1,
-        |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(tk,''), ch -> ascii(ch)::BIGINT)), (a,b) -> (a*137 + b) % 2147483647) AS h2
-        |  FROM wc),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |    sum(cnt * (2 * (CASE WHEN b < 30 THEN (h1 >> b) & 1 ELSE (h2 >> (b - 30)) & 1 END) - 1)) AS w
-        |  FROM wh CROSS JOIN (SELECT unnest(range(60)) AS b) bb
-        |  GROUP BY doc_id, b),
-        |sh AS MATERIALIZED (
-        |  SELECT doc_id, sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        |  FROM bits GROUP BY doc_id),
+      s"""WITH $SimhashCtes,
         |chunks AS MATERIALIZED (
         |  SELECT doc_id, c, (simhash >> (c * 15)) & 32767 AS ck
         |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS c) cc),
@@ -1316,6 +1402,38 @@ object SimilarityQueries {
         |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q214: the q54 fingerprint CTEs → exact-fp collapse → chunk-LSH +
+    // hamming verify over DISTINCT fps → unrolled min-label (same
+    // SurvivorIters step count as the engine, same MATERIALIZED
+    // discipline as q87/q89) → expand groups back → one survivor
+    // (min doc_id, computed over members) per cluster.
+    "q214_simhash_survivors" ->
+      s"""WITH $SimhashCtes,
+        |grp AS MATERIALIZED (
+        |  SELECT simhash, min(doc_id) AS rep, count(*)::BIGINT AS n_members
+        |  FROM sh GROUP BY simhash),
+        |chunks AS MATERIALIZED (
+        |  SELECT rep, simhash, c, (simhash >> (c * 15)) & 32767 AS ck
+        |  FROM grp CROSS JOIN (SELECT unnest(range(4)) AS c) cc),
+        |fpp AS MATERIALIZED (
+        |  SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b
+        |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.ck = y.ck AND x.rep < y.rep
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+        |edges AS MATERIALIZED (SELECT rep_a AS src, rep_b AS dst FROM fpp
+        |  UNION ALL SELECT rep_b, rep_a FROM fpp),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        |${GraphQueries.labelSteps(SurvivorIters)},
+        |lab AS (
+        |  SELECT m.doc_id, coalesce(l.lbl, m.rep) AS cluster_id,
+        |    m.n_members, l.node AS lnode
+        |  FROM (SELECT s.doc_id, g.rep, g.n_members
+        |        FROM sh s JOIN grp g ON g.simhash = s.simhash) m
+        |  LEFT JOIN l$SurvivorIters l ON l.node = m.rep)
+        |SELECT cluster_id, count(*)::BIGINT AS n_docs,
+        |  min(doc_id) AS survivor_doc, (count(*) - 1)::BIGINT AS n_dropped
+        |FROM lab WHERE n_members >= 2 OR lnode IS NOT NULL
+        |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q55_ngram_jaccard" -> jaccardOracle("documents"),
 

@@ -212,6 +212,102 @@ class LlmOpsSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(1L)) === 0)
   }
 
+  test("q214: survivor clusters equal a driver-side union-find over q54's exact pairs") {
+    // the house standard: recompute the whole contract independently.
+    // Union-find fully converges, so equality also PROVES the engine's
+    // fixed SurvivorIters step count reaches the fixpoint here — and
+    // that cluster_id (the propagated label) is the component min.
+    val dir = "/root/testdata/sf0.001"
+    val pairs = SimilarityQueries.queries("q54_simhash")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture corpus must contain hamming<=8 pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).values
+      .map(ds => (ds.min, ds.length.toLong, ds.min, ds.length.toLong - 1))
+      .toSet
+    val got = SimilarityQueries.queries("q214_simhash_survivors")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === got.map(_._1).distinct.length, "one row per cluster")
+    assert(got.toSet === expect)
+  }
+
+  test("q214: fingerprint collapse clusters synthetic dup groups, both candidate rules honored") {
+    // brute-force the CONTRACT in the driver: candidate iff some 15-bit
+    // chunk agrees (the recall rule — 8 bits CAN split 2+2+2+2 across
+    // chunks), pair iff additionally hamming <= 8; then union-find.
+    val texts = Seq(
+      1L -> (1 to 40).map(i => s"w$i").mkString(" "),
+      2L -> (1 to 40).map(i => s"w$i").mkString(" "),   // exact dup of 1
+      3L -> (1 to 40).map(i => s"w$i").mkString(" "),   // exact dup of 1
+      4L -> (1 to 40).map(i => s"z$i").mkString(" "),
+      5L -> (1 to 40).map(i => s"z$i").mkString(" "),   // exact dup of 4
+      6L -> (1 to 40).map(i => s"u$i").mkString(" "))   // lone content
+    val sh = SimilarityQueries.simhash(docsDF(texts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = texts.map(_._1)
+    def chunkEq(a: Long, b: Long) =
+      (0 to 3).exists(c => ((a >> (c * 15)) & 32767L) == ((b >> (c * 15)) & 32767L))
+    val expPairs = for {
+      a <- ids; b <- ids
+      if a < b && chunkEq(sh(a), sh(b)) &&
+        java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 8
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    expPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = expPairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).values
+      .map(ds => (ds.min, ds.length.toLong, ds.min, ds.length.toLong - 1))
+      .toSet
+    val got = SimilarityQueries.simhashSurvivors(spark, docsDF(texts))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expect)
+    // the guaranteed core: exact dups share a fingerprint, so {1,2,3}
+    // must cluster with survivor 1 whatever the cross-content hammings
+    assert(got.exists { case (cid, n, surv, _) =>
+      cid == 1L && surv == 1L && n >= 3L })
+  }
+
+  test("q206/q212: the 2^17-1 cluster-width bound TRIPS with its documented message") {
+    // VERDICT r16 item 3: the assert_true at kmeansReassign's partial
+    // sums had never fired. Build a >131,071-member cluster (one cid,
+    // 1-dim vectors) and require the loud throw; 131,071 members must
+    // still pass — the bound is exact, not approximate.
+    val sess = spark
+    import sess.implicits._
+    def cluster(n: Long) = spark.range(n)
+      .select(col("id").as("vec_id"), array(lit(1L)).as("vq"),
+        lit(0L).as("cid"), lit(0L).as("pcid"))
+    val ex = intercept[Throwable] {
+      SimilarityQueries.kmeansReassign(cluster(131072L)).count()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("exactness bound violated"),
+      s"the documented width-bound message must surface, got: $msgs")
+    val ok = SimilarityQueries.kmeansReassign(cluster(131071L))
+    assert(ok.count() === 131071L, "at the bound exactly, reassignment runs")
+  }
+
   test("q134: the grown IVF index equals the one-shot build row-for-row") {
     val dir = "/root/testdata/sf0.001"
     def rows(path: String) = spark.read.parquet(path)

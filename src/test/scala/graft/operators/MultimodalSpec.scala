@@ -62,14 +62,15 @@ class MultimodalSpec extends SparkSpec {
 
   test("q147: wavBytes is a real container and audioEnvelopeFp matches hand-computed bits") {
     import graft.operators.MultimodalOps.{audioEnvelopeFp, wavBytes}
-    // 32 samples: windows 0..7 loud (amplitude 100), 8..15 quiet (1);
-    // E_j = 200 vs 2, E_tot = 1616, 16·200 > 1616 > 16·2 → fp = 0x00ff
+    // 32 samples = one sample per 32-bit-envelope window: 0..15 loud
+    // (amplitude 100), 16..31 quiet (1); E_tot = 1616,
+    // 32·100 > 1616 > 32·1 → exactly bits 0..15 set → fp = 0xffff
     val loudQuiet = new Array[Byte](32)
     for (i <- 0 until 32) {
       val amp = if (i < 16) 100 else 1
       loudQuiet(i) = (128 + amp).toByte
     }
-    assert(audioEnvelopeFp(wavBytes(loudQuiet)) === Some(0x00ffL))
+    assert(audioEnvelopeFp(wavBytes(loudQuiet)) === Some(0xffffL))
     // the JDK audio stack really parses the container (header fields
     // round-trip), and silence/constant amplitude fingerprints to 0
     // (no window STRICTLY above the mean)
@@ -87,13 +88,17 @@ class MultimodalSpec extends SparkSpec {
     assert(audioEnvelopeFp("not audio at all".getBytes("UTF-8")) === None)
   }
 
-  test("q147: 2x8-bit banding is LOSSLESS at hamming <= 1 " +
+  test("q147: 2x16-bit banding is LOSSLESS at hamming <= 1 " +
       "(output equals the brute-force all-pairs recompute)") {
-    // the r12 band re-cut (4x4 -> 2x8, 16x more buckets per band) must
-    // not change the verified output: radius 1 flips at most one 8-bit
-    // band, so every true pair still shares the other band exactly
+    // the banding invariant, re-pinned across both re-cuts (r12:
+    // 4x4 -> 2x8; r17: 16-bit fp widened to 32, bands 2x16): radius 1
+    // flips at most ONE band, so every true pair still shares the
+    // other band exactly — the brute force is the contract. Runs at
+    // sf0.1, the smallest scale where the 32-bit contract has pairs
+    // (the sharper fp removed the 16-bit birthday collisions the old
+    // sf0.001 run leaned on; the pin law below freezes those zeros).
     import org.apache.spark.sql.functions.col
-    val dir = "/root/testdata/sf0.001"
+    val dir = "/root/testdata/sf0.1"
     val got = graft.SparkEntry.queries("q147_audio_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val fps = graft.operators.MultimodalQueries.audioFpRows(
@@ -104,8 +109,53 @@ class MultimodalSpec extends SparkSpec {
       (ia, fa) <- fps; (ib, fb) <- fps
       if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 1
     } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
-    assert(brute.nonEmpty, "fixtures must produce some audio near-dups")
+    assert(brute.size === 14,
+      "sf0.1 must carry the 14 measured 32-bit near-dup pairs")
     assert(got === brute, "banding must be lossless at radius 1")
+    spark.catalog.clearCache()
+  }
+
+  test("q147: constructed hamming-0/1/2 envelope neighbors pair and drop exactly") {
+    // 32-char texts = one sample per envelope window; ' ' decodes to
+    // amplitude 96 (loud), '~' to 2 (quiet), so txt(k) fingerprints to
+    // exactly bits 0..k-1 set (32·96 > E_tot > 32·2 for every mix
+    // here) — adjacent k differ by ONE bit, k±2 by two. Deterministic
+    // pair/drop structure across BOTH bands, with no reliance on
+    // fixture content: (1,2) identical → ham 0; k=15/16/17 chains at
+    // ham 1 (bit 15 = band 0's top bit, bit 16 = band 1's bottom —
+    // the band boundary is exercised on both sides); ham-2 combos
+    // (15↔17, 16↔18) must NOT appear.
+    val sess = spark
+    import sess.implicits._
+    def txt(nLoud: Int) = " " * nLoud + "~" * (32 - nLoud)
+    import graft.operators.MultimodalOps.{audioEnvelopeFp, wavBytes}
+    assert(audioEnvelopeFp(wavBytes(txt(16).getBytes("UTF-8"))) ===
+      Some(0xffffL), "hand-check: 16 loud windows = bits 0..15")
+    val docs = Seq(1L -> txt(16), 2L -> txt(16), 3L -> txt(17),
+      4L -> txt(18), 5L -> txt(15)).toDF("doc_id", "text")
+    val got = graft.operators.MultimodalQueries.audioDedupPairs(
+        graft.operators.MultimodalQueries.audioFpRows(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (1L, 5L, 1L), (2L, 5L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("q147: fixture pair counts per scale are pinned — the 32-bit zeros are intentional") {
+    // the q210 discipline: the cross-engine gate can't catch a shared
+    // hollow contract, so the counts are frozen independently
+    // (measured DuckDB 2026-08-15 at the r17 widening): 0 / 0 pairs at
+    // sf0.001 / sf0.01 — the 16-bit fp's small-scale pairs were
+    // birthday collisions of UNRELATED docs (2^16 codes, 500 docs),
+    // which the 32-bit fp correctly removes; content starts at sf0.1
+    // (14 pairs, pinned in the lossless law above) and grows with the
+    // fixtures' replica families (672 at sf1, asserted at close).
+    for ((dir, want) <- Seq("/root/testdata/sf0.001" -> 0L,
+        "/root/testdata/sf0.01" -> 0L)) {
+      val got = graft.SparkEntry.queries("q147_audio_dedup")(spark, dir).count()
+      assert(got === want, s"q147 at $dir: expected $want pairs")
+    }
+    spark.catalog.clearCache()
   }
 
   test("decodeFeatures: deterministic histogram features + checksum") {
