@@ -27,11 +27,15 @@ which preserves every distributional property the operators see:
 
 Output: /root/repo/testdata_sf1/<table>.parquet (gitignored).
 
-Usage: gen_sf1.py [replicas] [dst_dir]
+Usage: gen_sf1.py [replicas] [dst_dir] [only_tables]
   defaults: 10 replicas -> testdata_sf1. The sf3 probe (VERDICT r15
   item 5) calls it with 30 replicas -> testdata_sf3; STRIDE leaves
   room for up to 900 replicas before int64 key ranges could collide
   with the next replica's shifted block at these row counts.
+  only_tables (comma-separated, VERDICT r16 items 5-6): replicate ONLY
+  the named tables, copying the rest verbatim at sf0.1 scale — the
+  one-side scale points ("documents 10x, everything else flat") that
+  turn crossover extrapolations into measurements.
 """
 import os
 import random
@@ -50,6 +54,7 @@ if not os.path.isabs(DST):
     DST = os.path.join(_REPO, DST)
 STRIDE = 10_000_000
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 # key columns to shift per table (everything else copies verbatim)
 KEYS = {
@@ -108,6 +113,10 @@ def main():
         print(f"{name}: {tab.num_rows} rows (copied)")
     for name in KEYS:
         tab = pq.read_table(f"{SRC}/{name}.parquet")
+        if ONLY is not None and name not in ONLY:
+            pq.write_table(tab, f"{DST}/{name}.parquet")
+            print(f"{name}: {tab.num_rows} rows (copied, not in only_tables)")
+            continue
         out = replicate(name, tab)
         pq.write_table(out, f"{DST}/{name}.parquet")
         print(f"{name}: {tab.num_rows} -> {out.num_rows} rows")

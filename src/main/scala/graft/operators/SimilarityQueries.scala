@@ -282,8 +282,14 @@ object SimilarityQueries {
       .select(col("rep_a").as("src"), col("rep_b").as("dst"))
       .unionByName(fpPairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
     val labels = GraphQueries.minLabel(s, edges, SurvivorIters)
+    // labels is the fp-graph node set — the same bounded-frame contract
+    // the 8-partition minLabel loop already assumes — but it surfaces
+    // from a localCheckpoint, whose unknown stats flip the final
+    // corpus-side join to SMJ (a full corpus sort against a ≤5k-row
+    // frame at every fixture scale). Broadcast keeps the one
+    // corpus-sized pass map-side.
     sh.join(grp.select("simhash", "rep", "n_members"), "simhash")
-      .join(labels, col("node") === col("rep"), "left")
+      .join(broadcast(labels), col("node") === col("rep"), "left")
       .filter(col("n_members") >= 2 || col("node").isNotNull)
       .select(col("doc_id"), coalesce(col("lbl"), col("rep")).as("cluster_id"))
       .groupBy("cluster_id")
@@ -1216,9 +1222,17 @@ object SimilarityQueries {
     // (~131k candidate verifies for 256 survivors — nearly every merge
     // ends early). Survivors carry their exact count; the -1 filter IS
     // the threshold filter.
+    // BROADCAST the doc-array side (r17 — q164's r13 lesson applied
+    // here): past the 10 MB autobroadcast threshold (~sf1) Spark flips
+    // these verify joins to SMJ and SORTS the candidate stream — fine
+    // at 18.6M candidates (sf1), fatal where the t=0.5 stream goes
+    // n² (the 10×-docs probe measured ~2.0G candidates spilling >70 GB
+    // and aborting a 73 GB-free box). Broadcasting keeps verification
+    // map-side at ANY candidate volume; the bound and the past-it
+    // fallback (arrs bucketed by doc_id) are q164's, documented there.
     cand
-      .join(arrs.toDF("doc_a", "arr_a"), "doc_a")
-      .join(arrs.toDF("doc_b", "arr_b"), "doc_b")
+      .join(broadcast(arrs.toDF("doc_a", "arr_a")), "doc_a")
+      .join(broadcast(arrs.toDF("doc_b", "arr_b")), "doc_b")
       .withColumn("inter",
         graft.plans.GraftExpressions.sorted_intersect_min(
           col("arr_a"), col("arr_b"),

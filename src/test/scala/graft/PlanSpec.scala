@@ -857,6 +857,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q55/q214: doc-array and label-frame broadcasts are EXPLICIT " +
+      "(survive a disabled estimator)") {
+    // the r13 q164 lesson generalized in r17: past the 10 MB threshold
+    // (~sf1) the estimator flips these joins to SMJ and SORTS the n²
+    // candidate stream — the 10×-docs probe measured q55 aborting a
+    // 73 GB-free box on spill. Pinned with the estimator OFF, so only
+    // explicit broadcast() calls survive: q55's two verify joins must
+    // stay BHJ (the candidate h-join legitimately shuffles), and
+    // q214's corpus-side label attach must stay a broadcast LeftOuter
+    // (labels surface from a localCheckpoint with unknown stats — the
+    // estimator alone would sort the whole corpus against a ≤5k frame).
+    graft.Tables.withConfs(spark,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p55 = plan("q55_ngram_jaccard")
+      assert("BroadcastHashJoin".r.findAllIn(p55).size >= 2,
+        s"q55's verify joins must broadcast the doc-array side:\n$p55")
+      val p214 = plan("q214_simhash_survivors")
+      assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p214).nonEmpty,
+        s"q214's label attach must broadcast the fp-graph labels:\n$p214")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q206 Lloyd round: broadcast centroids, map-combined sums, no SMJ") {
     import org.apache.spark.sql.functions._
     val s = spark
