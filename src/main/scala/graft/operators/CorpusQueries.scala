@@ -560,32 +560,47 @@ object CorpusQueries {
     // Output is the degree histogram with id-sum pins — the graph's
     // shape signature. Shapes: candidates come from the SAME cached
     // codedBands self-join as q73 (never all-pairs; per-vertex
-    // candidate lists are band-bucket-bounded), ranking is one window
-    // partitioned by source vertex over the directed candidate view,
-    // the mutual check is a (lo, hi) groupBy counting directions, and
-    // degree-0 vectors re-enter via one left join against the id
-    // column. Sim doubles are identical on both engines (exact same
-    // fold), so rank cuts agree; ties break on neighbor id.
+    // candidate lists are band-bucket-bounded); ranking is a bounded
+    // 5-entry heap aggregate (TopKAgg distinctIds — multi-band repeats
+    // of a pair die in the map-side partial) partitioned by source
+    // vertex, NOT a row_number window: the window form shuffled and
+    // disk-sorted the whole O(candidates) stream twice (a distinct,
+    // then the window sort) and aborted the 200k-vector probe on
+    // spill, while the heap consumes the candidate stream as the join
+    // emits it and ships ≤ 5 (sim, dst) pairs per (partition, vertex).
+    // Each candidate occurrence feeds BOTH directed orientations via
+    // one generator, so the join runs once (the old two-branch union
+    // re-executed it per side). The mutual check is a (lo, hi) groupBy
+    // counting directions, and degree-0 vectors re-enter via one left
+    // join against the id column. Sim doubles are identical on both
+    // engines (exact same fold), so rank cuts agree; ties break on
+    // neighbor id — the heap's (value DESC, id ASC) order is exactly
+    // the oracle window's ORDER BY sim DESC, dst.
     "q163_knn_graph" -> { (s, dir) =>
+      import graft.plans.TopKAgg.topk_distinct_agg
       val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
-      val bands = codedBands(emb, embBandBits(s, dir)).cache()
+      // NOT cached: the band rows replicate every vector ×bandCount, so
+      // an on-heap cache costs ~bands × corpus (5.7 GB at the 200k
+      // one-side point — it starved the heap there) to save only a
+      // cheap banding recompute; the self-join's two sides are
+      // canonically identical below the rename, so the band exchange
+      // executes ONCE and the other side is a ReusedExchange anyway.
+      val bands = codedBands(emb, embBandBits(s, dir))
       val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a")
       val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b")
-      val pairs = ba.join(bb,
+      val cand = ba.join(bb,
           col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
         .withColumn("sim", graft.functions.VectorOps.cosinePre(
           graft.operators.LlmQueries.seqDot(col("e_a"), col("e_b")),
           col("n_a"), col("n_b")))
         .filter(col("sim").isNotNull)
-        .select("id_a", "id_b", "sim").distinct()
-      val directed = pairs
-        .select(col("id_a").as("src"), col("id_b").as("dst"), col("sim"))
-        .unionByName(pairs
-          .select(col("id_b").as("src"), col("id_a").as("dst"), col("sim")))
-      val w = Window.partitionBy("src").orderBy(desc("sim"), col("dst"))
-      val kept = directed
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      val directed = cand.select(col("sim"), explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("sim"))
+      val kept = directed.groupBy("src")
+        .agg(topk_distinct_agg(col("sim"), col("dst"), 5).as("top"))
+        .select(col("src"), explode(col("top.id")).as("dst"))
       val mutual = kept.groupBy(
           least(col("src"), col("dst")).as("lo"),
           greatest(col("src"), col("dst")).as("hi"))

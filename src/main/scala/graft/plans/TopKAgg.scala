@@ -25,9 +25,29 @@ import org.apache.spark.sql.types._
   * the tiebreak — `eval` emits the final array strongest-first, so
   * `posexplode` yields the dense rank directly. Values are only
   * COMPARED, never combined, so float nondeterminism cannot arise.
+  *
+  * `distinctIds = true` (q163): the input stream may repeat an id
+  * within a group — an LSH candidate pair surfaces once per colliding
+  * band — under the CONTRACT that the value is a pure function of the
+  * id inside its group (a cosine recomputed per occurrence from the
+  * same two vectors). Each repeat would otherwise occupy its own heap
+  * slot and crowd out true neighbors, so `offer` first scans the ≤ k
+  * live entries for the id (k is small by construction; the scan is
+  * cheaper than any hash set at k ≤ 5) and drops known ids. The dedup
+  * is EXACT without remembering evictions: an id is evicted only while
+  * it is the heap root, i.e. strictly weakest of the k live entries
+  * (ties split by id, so the order is strict across distinct ids), and
+  * entries only ever get stronger — a re-arrival of an evicted id
+  * compares weaker than the current root and is rejected by the
+  * ordinary `offer` path. This replaces the
+  * `.distinct()` + row_number window over the candidate stream, whose
+  * two full shuffles of O(candidates) rows are exactly what aborted the
+  * 200k-vector probe on spill: here duplicates die in the map-side
+  * partial and the shuffle carries ≤ k entries per (partition, group).
   */
 case class TopKAgg(
     value: Expression, id: Expression, k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKAgg.Heap] {
@@ -57,14 +77,17 @@ case class TopKAgg(
     val v = value.eval(input)
     val i = id.eval(input)
     if (v != null && i != null) {
-      buf.offer(v.asInstanceOf[Number].doubleValue(),
-        i.asInstanceOf[Number].longValue())
+      val vd = v.asInstanceOf[Number].doubleValue()
+      val il = i.asInstanceOf[Number].longValue()
+      if (!(distinctIds && buf.containsId(il))) buf.offer(vd, il)
     }
     buf
   }
 
   override def merge(buf: TopKAgg.Heap, other: TopKAgg.Heap): TopKAgg.Heap = {
-    other.foreach((v, i) => buf.offer(v, i))
+    other.foreach { (v, i) =>
+      if (!(distinctIds && buf.containsId(i))) buf.offer(v, i)
+    }
     buf
   }
 
@@ -156,6 +179,13 @@ object TopKAgg {
     def entries: Array[(Double, Long)] =
       Array.tabulate(n)(j => (vs(j), ids(j)))
 
+    /** Linear scan of the ≤ k live entries (distinctIds dedup). */
+    def containsId(i: Long): Boolean = {
+      var j = 0
+      while (j < n) { if (ids(j) == i) return true; j += 1 }
+      false
+    }
+
     /** Contents strongest-first: value DESC, id ASC. */
     def sortedDesc(): Array[(Double, Long)] =
       entries.sortWith { case ((v1, i1), (v2, i2)) => weaker(v2, i2, v1, i1) }
@@ -164,4 +194,11 @@ object TopKAgg {
   def topk_agg(value: Column, id: Column, k: Int): Column =
     toColumn(TopKAgg(toExpression(value), toExpression(id), k)
       .toAggregateExpression())
+
+  /** Top-k with per-group id dedup — for candidate streams where the
+    * same (group, id) pair recurs with an identical value (multi-band
+    * LSH collisions). See the distinctIds paragraph on [[TopKAgg]]. */
+  def topk_distinct_agg(value: Column, id: Column, k: Int): Column =
+    toColumn(TopKAgg(toExpression(value), toExpression(id), k,
+      distinctIds = true).toAggregateExpression())
 }

@@ -715,6 +715,21 @@ class PlanSpec extends SparkSpec {
       s"partial + final heap aggregation is the map-side-combine guarantee:\n$p")
   }
 
+  test("q163 kNN ranking is a bounded heap over the candidate stream — " +
+      "no Window, one band join") {
+    // the 200k-vector probe abort class: a distinct + row_number window
+    // over O(candidates) rows disk-sorts the stream twice; the
+    // distinctIds heap consumes it as the band join emits it and ships
+    // <= 5 (sim, dst) pairs per (partition, vertex). The old two-branch
+    // union also re-executed the band join per direction — the
+    // generator form must keep it to ONE join.
+    val p = plan("q163_knn_graph")
+    assert(!p.contains("Window"), s"kNN rank must not plan a window:\n$p")
+    assert(p.contains("graft_topk"), s"expected the TopKAgg kernel:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      s"exactly one band self-join may shuffle-join:\n$p")
+  }
+
   test("q158 sessionization reuses ONE user_id exchange for both windows and the agg") {
     // lag, the running-sum session counter and the per-session groupBy
     // all partition on user_id — the scd2 exchange-reuse shape

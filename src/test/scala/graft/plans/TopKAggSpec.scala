@@ -42,6 +42,51 @@ class TopKAggSpec extends SparkSpec {
       "bounded-heap top-k must equal the window formulation exactly")
   }
 
+  test("distinctIds: multi-band repeats equal the window over the distinct stream") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new Random(11)
+    // q163's input shape: (group, id) pairs whose value is a pure
+    // function of the pair, each surfacing 1..4 times (multi-band LSH
+    // collisions), scattered across partitions so dedup has to hold on
+    // BOTH the update path and the partial-merge path
+    val base = (0 until 120).flatMap { g =>
+      (0 until (1 + rnd.nextInt(40))).map { j =>
+        (g.toLong, (j * 31 % 9).toDouble, rnd.nextLong().abs)
+      }
+    }.distinct
+    val repeated = base.flatMap(r => Seq.fill(1 + rnd.nextInt(4))(r))
+    val df = new Random(3).shuffle(repeated).toDF("g", "v", "id").repartition(17)
+
+    val viaAgg = df.groupBy("g")
+      .agg(TopKAgg.topk_distinct_agg(col("v"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("id"), col("col.value").as("v"))
+
+    val w = Window.partitionBy("g").orderBy(desc("v"), col("id"))
+    val viaWindow = df.distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("g", "rn", "id", "v")
+
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
+      "distinctIds heap must equal distinct() + window exactly")
+  }
+
+  test("distinctIds: a re-arrival of an evicted id cannot re-enter the heap") {
+    val sess = spark
+    import sess.implicits._
+    // one group, k=2: id 7 (v=1.0) enters, is evicted by 8 and 9
+    // (v=3.0, 2.0), then arrives again — the heap must stay {9, 8}
+    val df = Seq((1L, 1.0, 7L), (1L, 3.0, 8L), (1L, 2.0, 9L), (1L, 1.0, 7L))
+      .toDF("g", "v", "id").coalesce(1)
+    val out = df.groupBy("g")
+      .agg(TopKAgg.topk_distinct_agg(col("v"), col("id"), 2).as("top"))
+      .select(explode(col("top.id"))).as[Long].collect()
+    assert(out.toSeq === Seq(8L, 9L))
+  }
+
   test("groups smaller than k emit all their rows, strongest first") {
     val sess = spark
     import sess.implicits._
