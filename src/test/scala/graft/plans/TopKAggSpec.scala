@@ -87,6 +87,37 @@ class TopKAggSpec extends SparkSpec {
     assert(out.toSeq === Seq(8L, 9L))
   }
 
+  test("sort-based fallback (groups over the capacity) equals the hash path") {
+    // Tables.ObjectAggGroupCapacity raises the fallback threshold to
+    // 2^18; beyond it Spark sorts the remaining input in-partition and
+    // aggregates sorted runs — the designed degradation for oversized
+    // partitions (the q163 200k point's safety net). Exercise that
+    // path: the same adversarial frame under thresholds that force
+    // fallback IMMEDIATELY (1) and MID-STREAM (16, so both paths mix
+    // and partials from each merge) must match the unconstrained run.
+    val sess = spark
+    import sess.implicits._
+    val rnd = new Random(23)
+    val rows = (0 until 300).flatMap { g =>
+      (0 until (1 + rnd.nextInt(30))).map { _ =>
+        (g.toLong, rnd.nextInt(6).toDouble, rnd.nextLong().abs)
+      }
+    }
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    def run() = df.groupBy("g")
+      .agg(topk_agg(col("v"), col("id"), 3).as("top"),
+        TopKAgg.topk_distinct_agg(col("v"), col("id"), 3).as("topd"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Any](1), r.getSeq[Any](2)))
+      .sortBy(_._1).toSeq
+    val hash = run()
+    val thr = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    for (t <- Seq("1", "16")) {
+      val viaSort = graft.Tables.withConfs(spark, thr -> t)(run())
+      assert(viaSort === hash,
+        s"fallbackThreshold=$t must not change any heap result")
+    }
+  }
+
   test("groups smaller than k emit all their rows, strongest first") {
     val sess = spark
     import sess.implicits._
