@@ -10,8 +10,6 @@ object Bench {
       // UTC like every other driver (Verify/specs pin it too): events
       // instants must not shift with the box's zone — see Tables.loadEvents
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        Tables.ObjectAggGroupCapacity)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -39,35 +39,20 @@ object Tables {
     t(spark, sfDir, name)
       .repartition(spark.sparkContext.defaultParallelism)
 
-  /** Group capacity for ObjectHashAggregateExec before it falls back to
-    * sort-based aggregation, applied by every session builder (Verify,
-    * Bench, KeyBench, the test harness). Spark's default is 128 — a
-    * conservative guard because object-agg buffers are opaque to the
-    * memory manager — which silently re-introduces a full in-partition
-    * sort of the INPUT stream for any object aggregate with more than
-    * 128 groups per partition: q163's bounded-heap kNN ranking would
-    * sort the whole O(candidates) stream it exists to avoid sorting,
-    * and q99's per-customer top-k would sort the orders table.
-    *
-    * The cap is sized from the UNTRACKED-heap arithmetic the default
-    * exists to guard (object-agg hash maps live outside the unified
-    * memory manager): the repo's object aggs that meet HIGH group
-    * cardinality all carry tiny contract-bounded buffers (TopKAgg:
-    * k ≤ 5 ⇒ two 5-slot primitive arrays, ~300 B/group with map-entry
-    * overhead), so the 2^18 cap is ≈ 80 MB per task ≈ 2.5 GB at 32
-    * concurrent local tasks worst case — sized to the 8 GB
-    * forked-driver default alongside the ~60%-of-heap unified pool,
-    * and measured at the cap's own design point (q163's 200k-vector
-    * one-side probe runs ~200k live heaps per task on the hash path).
-    * Beyond the cap, Spark's sort-based fallback IS the designed spill
-    * path — bounded memory, an in-partition disk sort of the remaining
-    * input, partial output still ≤ k entries per group — so oversized
-    * partitions degrade to disk instead of OOM. The gated fixture
-    * scales sit far below it (sf3's 60k vectors ≪ 2^18); the KB-scale
-    * buffers (CountMinAgg, MisraGriesAgg, SimHashAgg, MinHashAgg)
-    * aggregate into O(1)–O(docs-per-partition) groups by construction
-    * and never approach the cap. */
-  val ObjectAggGroupCapacity: String = (1 << 18).toString
+  /** NOTE on `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`:
+    * leave it at Spark's default (128 groups). Raising it session-wide
+    * was tried in r17 for q163's bounded-heap ranking and MEASURED
+    * harmful: ObjectHashAggregateExec also serves Spark's own object
+    * aggregates (collect_list/collect_set, HLL, percentile_approx)
+    * whose buffers are UNBOUNDED per group, so a raised cap lets any
+    * such aggregation hold GBs of untracked heap — across a 228-key
+    * bench session the heap bloat compounded until memory-heavy keys
+    * GC-thrashed (q55: 4.8 s at default → 21–71 s at 2^18, fully
+    * recovered on revert; totals 284 → 372/412 → 292 s). The sort-based
+    * fallback the default forces on >128-group object aggs is the
+    * memory-safe path and measured CHEAP for the repo's bounded-buffer
+    * aggregates (q163's per-partition candidate sort costs ~0 next to
+    * its kernel; sf1 4.3 s, better than the r16 window form's 7.9). */
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the caller's value after — the shared conf-swap

@@ -1167,7 +1167,15 @@ object SimilarityQueries {
     * equivalent cleanup; unpersisting inside the function is not an
     * option because the returned frame is lazy — both caches are
     * consumed by whatever action the CALLER runs. */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+  /** Docs-count cutover for q55's verify-join shape (see the ladder
+    * note at the verify joins): below it the planner's SMJ is measured
+    * faster in-session; above it the explicit broadcast is what
+    * survives the n² candidate stream. Between the measured 50k/250k
+    * points. */
+  private[graft] val BroadcastVerifyDocs = 100000L
+
+  def ngramJaccardPairs(docs: DataFrame,
+      broadcastVerifyOver: Long = BroadcastVerifyDocs): DataFrame = {
     val h62 = (c: Column) =>
       poly_hash(c, 131) * 2147483648L + poly_hash(c, 137)
     // same shingle definition as q44 (incl. its short-doc guard);
@@ -1222,17 +1230,36 @@ object SimilarityQueries {
     // (~131k candidate verifies for 256 survivors — nearly every merge
     // ends early). Survivors carry their exact count; the -1 filter IS
     // the threshold filter.
-    // BROADCAST the doc-array side (r17 — q164's r13 lesson applied
-    // here): past the 10 MB autobroadcast threshold (~sf1) Spark flips
-    // these verify joins to SMJ and SORTS the candidate stream — fine
-    // at 18.6M candidates (sf1), fatal where the t=0.5 stream goes
-    // n² (the 10×-docs probe measured ~2.0G candidates spilling >70 GB
-    // and aborting a 73 GB-free box). Broadcasting keeps verification
-    // map-side at ANY candidate volume; the bound and the past-it
-    // fallback (arrs bucketed by doc_id) are q164's, documented there.
+    // VERIFY-JOIN SHAPE LADDER (r17, both branches measured): the
+    // planner's choice flips at the autobroadcast threshold, and
+    // NEITHER branch is right on both sides of the candidate curve —
+    //  - ≤ [[BroadcastVerifyDocs]] docs: leave the joins to the
+    //    planner (SMJ at sf1). The candidate sort is 18.6M×16 B ≈
+    //    300 MB — in-memory — and measured CHEAPER in a long-lived
+    //    session than collecting + hashing the doc-array frame twice
+    //    per run (full sf1 bench, same conf, only the branch flipped:
+    //    SMJ 5.2 s vs forced broadcast 15.9 s — the broadcast build's
+    //    driver collect and GC churn compound across a 228-key
+    //    session; isolated KeyBench can't see this cost, which is how
+    //    the unconditional form shipped).
+    //  - past it: broadcast EXPLICITLY. The t=0.5 candidate stream is
+    //    n² (measured 499M at 250k docs, 2.0G at 500k), so the SMJ
+    //    sort goes disk-quadratic — the 10×-docs probe measured a
+    //    >70 GB spill ABORT on a 73 GB-free box; the broadcast keeps
+    //    verification map-side at any candidate volume (500k docs
+    //    completes at 71.5 s warm). The broadcast's own memory bound
+    //    and the past-it fallback (arrs bucketed by doc_id) are
+    //    q164's, documented there.
+    // The cutover sits between the measured points (50k SMJ-faster,
+    // 250k broadcast-required); `broadcastVerifyOver` is injectable so
+    // PlanSpec pins BOTH branches, and the one extra docs.count() is a
+    // column-pruned parquet footer scan.
+    val aA = arrs.toDF("doc_a", "arr_a")
+    val aB = arrs.toDF("doc_b", "arr_b")
+    val big = docs.count() > broadcastVerifyOver
     cand
-      .join(broadcast(arrs.toDF("doc_a", "arr_a")), "doc_a")
-      .join(broadcast(arrs.toDF("doc_b", "arr_b")), "doc_b")
+      .join(if (big) broadcast(aA) else aA, "doc_a")
+      .join(if (big) broadcast(aB) else aB, "doc_b")
       .withColumn("inter",
         graft.plans.GraftExpressions.sorted_intersect_min(
           col("arr_a"), col("arr_b"),

@@ -885,9 +885,24 @@ class PlanSpec extends SparkSpec {
     // estimator alone would sort the whole corpus against a ≤5k frame).
     graft.Tables.withConfs(spark,
         "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // q55's verify-join ladder (r17): ABOVE the docs cutover the
+      // broadcasts must be explicit (inject cutover 0 to force that
+      // branch at fixture scale); AT fixture scale the default branch
+      // leaves the joins to the planner — pin that no explicit
+      // broadcast sneaks back in (the unconditional form cost the sf1
+      // bench-of-record 4.8 -> 21.5 s).
+      import org.apache.spark.sql.functions.col
+      val docs = graft.Tables.tWide(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val pBig = graft.operators.SimilarityQueries
+        .ngramJaccardPairs(docs, broadcastVerifyOver = 0L)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(pBig).size >= 2,
+        s"q55's past-cutover verify joins must broadcast the doc-array side:\n$pBig")
       val p55 = plan("q55_ngram_jaccard")
-      assert("BroadcastHashJoin".r.findAllIn(p55).size >= 2,
-        s"q55's verify joins must broadcast the doc-array side:\n$p55")
+      assert(!p55.contains("BroadcastHashJoin"),
+        s"q55's below-cutover verify joins must stay planner-chosen " +
+          s"(no explicit broadcast with the estimator off):\n$p55")
       val p214 = plan("q214_simhash_survivors")
       assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p214).nonEmpty,
         s"q214's label attach must broadcast the fp-graph labels:\n$p214")

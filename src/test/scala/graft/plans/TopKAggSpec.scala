@@ -87,14 +87,15 @@ class TopKAggSpec extends SparkSpec {
     assert(out.toSeq === Seq(8L, 9L))
   }
 
-  test("sort-based fallback (groups over the capacity) equals the hash path") {
-    // Tables.ObjectAggGroupCapacity raises the fallback threshold to
-    // 2^18; beyond it Spark sorts the remaining input in-partition and
-    // aggregates sorted runs — the designed degradation for oversized
-    // partitions (the q163 200k point's safety net). Exercise that
-    // path: the same adversarial frame under thresholds that force
-    // fallback IMMEDIATELY (1) and MID-STREAM (16, so both paths mix
-    // and partials from each merge) must match the unconstrained run.
+  test("sort-based fallback (groups over the threshold) equals the hash path") {
+    // Past spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    // (default 128 — kept at default, see the Tables.scala note) Spark
+    // sorts the remaining input in-partition and aggregates sorted
+    // runs — the memory-safe path q163's >128-group partials actually
+    // take. Exercise it: the same adversarial frame under thresholds
+    // that force fallback IMMEDIATELY (1) and MID-STREAM (16, so both
+    // paths mix and partials from each merge) must match the default
+    // run.
     val sess = spark
     import sess.implicits._
     val rnd = new Random(23)
