@@ -36,8 +36,35 @@ def ensure_sf3():
                     "30", SF3], check=True)
 
 
+# Heavy probe keys have a MEASURED heap floor for back-to-back
+# same-JVM KeyBench runs (scaling_sf3.md memory notes): q214 needs
+# >= 16 GB at the 500k-doc one-side point (completes once at 8 GB,
+# OOMs on the second same-JVM run), and the q55 broadcast-verify
+# branch was only ever proven at >= 16 GB past 200k docs. The probe
+# pins 24g below; this preflight makes the floor LOUD so a future
+# edit to the probe heap (or an ad-hoc `KeyBench q214 2 <big-fixture>`
+# under build.sbt's 8g default) can't trip it silently.
+HEAP_FLOOR_GB = {"q214_simhash_survivors": 16, "q55_ngram_jaccard": 16}
+PROBE_HEAP = "24g"
+
+
+def check_heap(keys):
+    gb = int(re.sub(r"[^0-9]", "", PROBE_HEAP))
+    for key in keys:
+        floor = HEAP_FLOOR_GB.get(key)
+        if floor:
+            print(f"[heap-preflight] {key}: needs >= {floor} GB for "
+                  f"back-to-back same-JVM runs at one-side scale; probe "
+                  f"heap = {PROBE_HEAP}", flush=True)
+            if gb < floor:
+                raise SystemExit(
+                    f"FATAL: probe heap {PROBE_HEAP} < {key}'s measured "
+                    f"{floor} GB floor (scaling_sf3.md memory note) — "
+                    f"raise PROBE_HEAP or drop the key explicitly")
+
+
 def time_key(key):
-    env = dict(os.environ, SPARK_DRIVER_MEM="24g", SPARK_GRAFT_CPUS="32")
+    env = dict(os.environ, SPARK_DRIVER_MEM=PROBE_HEAP, SPARK_GRAFT_CPUS="32")
     out = subprocess.run(
         ["sbt", "-batch", f"runMain graft.tools.KeyBench {key} 2 {SF3}"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,  # sbt errors land in the tail
@@ -58,6 +85,7 @@ def ref_times(path):
 
 def main():
     keys = sys.argv[1:] or DEFAULT_KEYS
+    check_heap(keys)
     ensure_sf3()
     sf01 = ref_times(os.path.join(REPO, "bench_out/bench_sf01.json"))
     sf1 = ref_times(os.path.join(REPO, "bench_out/bench_sf1.json"))

@@ -582,9 +582,14 @@ object CorpusQueries {
       // NOT cached: the band rows replicate every vector ×bandCount, so
       // an on-heap cache costs ~bands × corpus (5.7 GB at the 200k
       // one-side point — it starved the heap there) to save only a
-      // cheap banding recompute; the self-join's two sides are
-      // canonically identical below the rename, so the band exchange
-      // executes ONCE and the other side is a ReusedExchange anyway.
+      // cheap banding recompute. Exchange reuse is scale-dependent: at
+      // SMJ scale the two sides are canonically identical below the
+      // rename and the band exchange executes once (ReusedExchange);
+      // below the autobroadcast threshold the planner picks BHJ and the
+      // broadcast build side re-executes the scan+banding pipeline —
+      // acceptable, since at that scale the recompute is trivially
+      // cheap. (Same trade as q55's prefix-frame note in
+      // SimilarityQueries: small-scale recompute, large-scale reuse.)
       val bands = codedBands(emb, embBandBits(s, dir))
       val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a")
       val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b")

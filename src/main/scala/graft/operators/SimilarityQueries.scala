@@ -1252,8 +1252,14 @@ object SimilarityQueries {
     //    q164's, documented there.
     // The cutover sits between the measured points (50k SMJ-faster,
     // 250k broadcast-required); `broadcastVerifyOver` is injectable so
-    // PlanSpec pins BOTH branches, and the one extra docs.count() is a
-    // column-pruned parquet footer scan.
+    // PlanSpec pins BOTH branches. NOTE the branch pick runs an EAGER
+    // docs.count() Spark job at DataFrame-construction time (plan-only
+    // contexts — explain dumps, plan tests — trigger it too), and for
+    // the q208/q210 slice callers the input is a filtered,
+    // repartitioned frame, so the job is a scan+filter+shuffle, not a
+    // footer read. Priced acceptable at every measured point; if it
+    // ever shows in bench timings, count before tWide's repartition or
+    // cache the count per (sf, dir).
     val aA = arrs.toDF("doc_a", "arr_a")
     val aB = arrs.toDF("doc_b", "arr_b")
     val big = docs.count() > broadcastVerifyOver
