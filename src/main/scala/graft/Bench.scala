@@ -36,10 +36,16 @@ object Bench {
     // artifact; q117's COLD first run measured 11.0-13.8 s against a
     // 2.5 s warm minimum (5 localCheckpoint jobs, each paying plan
     // compilation), so a 10 s window recorded the cold number — the
-    // exact phantom the rerun exists to prevent. 15 s covers every
-    // key's observed cold run while still bounding a genuinely-slow
-    // key to one execution.
-    val RerunBelowSecs = 15.0
+    // exact phantom the rerun exists to prevent. The window was 15 s
+    // through r17; the r18 close caught q55 at sf1 crossing it — cold
+    // 17 s fresh-JVM (25-31 s in-session under the box's slow phase),
+    // warm 5.9-6.7 s — so the single-run rule recorded the COLD number
+    // and the capture of record read as a 7× phantom regression on
+    // unchanged code. 45 s covers every observed cold run at sf1
+    // (q55's in-session ~31 s is the worst); only genuinely
+    // multi-minute keys stay single-run, and the reruns it adds are
+    // exactly the keys whose cold/warm gap is large enough to matter.
+    val RerunBelowSecs = 45.0
     def timed(work: () => Unit): Double = {
       def run(): Double = {
         val t0 = System.nanoTime()
