@@ -25,7 +25,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF3 = os.path.join(REPO, "testdata_sf3")
 DEFAULT_KEYS = ["q54_simhash", "q55_ngram_jaccard", "q134_ann_grow_reprobe",
                 "q147_audio_dedup", "q150_stream_interval_join",
-                "q163_knn_graph", "q214_simhash_survivors"]
+                "q163_knn_graph", "q214_simhash_survivors",
+                "q215_minhash_survivors"]
 
 
 def ensure_sf3():

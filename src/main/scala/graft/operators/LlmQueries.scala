@@ -384,6 +384,76 @@ object LlmQueries {
       .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
   }
 
+  /** q215: the scale-safe rendering of q44's contract — near-dup
+    * CLUSTERS with one lowest-id survivor each, instead of the
+    * all-pairs list (the r17 sf10docs probe measured q44's pair output
+    * growing 73× on 10× docs, 5,468 → 401,735 pairs, while q214's
+    * survivor output stayed content-constant: pair frames are
+    * inspection instruments, survivor frames are the curation output).
+    * This gives the MinHash family the collapse-then-survivors shape
+    * q214 gave SimHash (VERDICT r17 item 3). It differs from q89's
+    * cluster assignment in both input and granularity: q89 probes the
+    * PERSISTED doc-level pair frame (output-quadratic at scale); this
+    * key never materializes doc pairs at all.
+    *
+    * The pair-quadratic is killed by collapsing EXACT signatures
+    * first: band keys and signature agreement are pure functions of
+    * the 32-perm signature, so docs sharing a signature are
+    * interchangeable — one representative (min doc_id) stands for the
+    * group in candidate generation, estimated-Jaccard verification
+    * (match_cnt ≥ [[NearDupMinMatches]], the q44 gate), and min-label
+    * propagation, and the corpus expands back only at the final
+    * labeling. Replica-heavy near-dup families collapse to their
+    * distinct signatures, so the band self-join runs on
+    * content-bounded sides. Docs whose signature group has ≥ 2
+    * members (identical sigs share every band and agree in all 32
+    * slots — guaranteed q44 pairs) or whose rep has ≥ 1 verified
+    * sig-edge are exactly q44's pair-graph vertex set, so clusters
+    * here ARE q44's connected components (the union-find law in
+    * LlmOpsSpec proves it, and that the fixed step count reaches the
+    * fixpoint). Components via [[GraphQueries.minLabel]]
+    * ([[SimilarityQueries.SurvivorIters]] fixed steps, mirrored by
+    * the oracle's unrolled labelSteps); the survivor is the min
+    * doc_id computed over MEMBERS, not the propagated label (equal
+    * only at convergence, which the fixed step count doesn't
+    * promise). The label attach broadcasts (labels surface from a
+    * localCheckpoint with unknown stats — the q214 lesson, pinned in
+    * PlanSpec with the estimator off); verification runs per
+    * band-collision occurrence with the codegen'd
+    * [[graft.plans.ZipEqualCount]] and dedups AFTER (the q44 shape —
+    * no pre-verify shuffle, no window anywhere). */
+  def minhashSurvivors(s: SparkSession, docs: DataFrame): DataFrame = {
+    // sig consumed twice (collapse + final expand), grp three times
+    // (bands + both attach joins) — cache both, q214's discipline
+    val sig = minhashSignatures(docs).cache()
+    val grp = sig.groupBy("sig")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+      .cache()
+    val bands = bandKeys(grp.select(col("rep").as("doc_id"), col("sig")))
+    val ba = bands.toDF("rep_a", "sig_a", "bk_a")
+    val bb = bands.toDF("rep_b", "sig_b", "bk_b")
+    val fpPairs = ba.join(bb,
+        col("bk_a") === col("bk_b") && col("rep_a") < col("rep_b"))
+      .filter(graft.plans.GraftExpressions.zip_equal(
+        col("sig_a"), col("sig_b")) >= NearDupMinMatches)
+      .select("rep_a", "rep_b").distinct()
+    val edges = fpPairs
+      .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+      .unionByName(
+        fpPairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
+    val labels = GraphQueries.minLabel(s, edges,
+      SimilarityQueries.SurvivorIters)
+    sig.join(grp, "sig")
+      .join(broadcast(labels), col("node") === col("rep"), "left")
+      .filter(col("n_members") >= 2 || col("node").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("rep")).as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("survivor_doc"))
+      .withColumn("n_dropped", col("n_docs") - 1)
+      .orderBy("cluster_id")
+  }
+
   /** Sequential-fold dot product of two float arrays (contract D7: float32
     * products, left-to-right double accumulation — identical op order to
     * the DuckDB list_reduce twin). Codegen'd: [[graft.plans.SeqDotProduct]]. */
@@ -546,6 +616,15 @@ object LlmQueries {
       nearDupPairs(s, dir)
         .filter(col("match_cnt") >= NearDupMinMatches)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // q44's gated scale twin (VERDICT r17 item 3): MinHash near-dup
+    // pairs → connected components → lowest-id survivor per cluster,
+    // with the pair-quadratic retired by exact-signature collapse —
+    // see [[minhashSurvivors]]. Output rows ∝ clusters (≤ docs),
+    // never pairs.
+    "q215_minhash_survivors" -> { (s, dir) =>
+      minhashSurvivors(s, tWide(s, dir, "documents"))
     },
 
     // DEDUP FUNNEL telemetry — the per-stage survivor report every
@@ -1008,8 +1087,14 @@ object LlmQueries {
     * hashes → 32 permutations → 8×4 bands → candidates → match counts),
     * exposed so q151's twin can splice source attribution after the
     * SAME pair replay — one DuckDB source of truth for the pair set. */
-  private[graft] val pairEstCtes: String =
-    """WITH sh AS (
+  /** The portable MinHash SIGNATURE CTE chain (shingles → char-fold
+    * hashes → 32 permutations → `sig(doc_id, sig)`), the exact SQL
+    * twin of [[minhashSignatures]] — factored from [[pairEstCtes]] so
+    * the q215 survivor oracle composes the same signature definition
+    * (the r17 `SimhashCtes` discipline: one SQL source of truth per
+    * fingerprint, shared by every gate that uses it). */
+  private[graft] val sigCtes: String =
+    """sh AS (
       |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
       |    range(0, len(string_split(text,' ')) - 2),
       |    i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS s
@@ -1024,7 +1109,10 @@ object LlmQueries {
       |    min((h * (1103515245 + 2*i) + (12345 + 7*i)) % 4294967296) AS mh
       |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) p
       |  GROUP BY doc_id, i),
-      |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+      |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id)""".stripMargin
+
+  private[graft] val pairEstCtes: String =
+    s"""WITH $sigCtes,
       |bands AS MATERIALIZED (
       |  SELECT doc_id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
       |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
@@ -1092,6 +1180,38 @@ object LlmQueries {
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q44_dedup_near" -> nearDupSql,
+
+    // q215: the shared sig CTEs → exact-signature collapse → banded
+    // candidates + match-count verify over DISTINCT sigs → unrolled
+    // min-label (same SurvivorIters step count as the engine, same
+    // MATERIALIZED discipline as q87/q214) → expand groups back → one
+    // survivor (min doc_id, computed over members) per cluster.
+    "q215_minhash_survivors" ->
+      s"""WITH $sigCtes,
+        |grp AS MATERIALIZED (
+        |  SELECT sig, min(doc_id) AS rep, count(*)::BIGINT AS n_members
+        |  FROM sig GROUP BY sig),
+        |gb AS MATERIALIZED (
+        |  SELECT rep, sig, b, array_to_string(sig[b*4+1:b*4+4], ',') AS bkey
+        |  FROM grp CROSS JOIN (SELECT unnest(range(8)) AS b) bb),
+        |fpp AS MATERIALIZED (
+        |  SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b
+        |  FROM gb x JOIN gb y ON x.b = y.b AND x.bkey = y.bkey AND x.rep < y.rep
+        |  WHERE len(list_filter(list_zip(x.sig, y.sig), z -> z[1] = z[2])) >= $NearDupMinMatches),
+        |edges AS MATERIALIZED (SELECT rep_a AS src, rep_b AS dst FROM fpp
+        |  UNION ALL SELECT rep_b, rep_a FROM fpp),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        |${GraphQueries.labelSteps(SimilarityQueries.SurvivorIters)},
+        |lab AS (
+        |  SELECT m.doc_id, coalesce(l.lbl, m.rep) AS cluster_id,
+        |    m.n_members, l.node AS lnode
+        |  FROM (SELECT s.doc_id, g.rep, g.n_members
+        |        FROM sig s JOIN grp g ON g.sig = s.sig) m
+        |  LEFT JOIN l${SimilarityQueries.SurvivorIters} l ON l.node = m.rep)
+        |SELECT cluster_id, count(*)::BIGINT AS n_docs,
+        |  min(doc_id) AS survivor_doc, (count(*) - 1)::BIGINT AS n_dropped
+        |FROM lab WHERE n_members >= 2 OR lnode IS NOT NULL
+        |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // q152: md5 exact-survivor CTE + the SAME pair replay — equality
     // proves every stage count, including the zero exact-drop path at

@@ -910,6 +910,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q215: label attach broadcasts the sig-graph labels; no window over the pair stream") {
+    // the q214 discipline carried to the MinHash composition (VERDICT
+    // r17 item 3): labels surface from a localCheckpoint with unknown
+    // stats, so only an EXPLICIT broadcast survives a disabled
+    // estimator — and ranking/dedup must never be a Window over the
+    // candidate stream (the q163 lesson).
+    graft.Tables.withConfs(spark,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q215_minhash_survivors")
+      assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).nonEmpty,
+        s"q215's label attach must broadcast the sig-graph labels:\n$p")
+      assert(!p.contains("Window"),
+        s"q215 must not window over the pair stream:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q206 Lloyd round: broadcast centroids, map-combined sums, no SMJ") {
     import org.apache.spark.sql.functions._
     val s = spark

@@ -287,6 +287,91 @@ class LlmOpsSpec extends SparkSpec {
       cid == 1L && surv == 1L && n >= 3L })
   }
 
+  test("q215: survivor clusters equal a driver-side union-find over q44's gate-proven pairs") {
+    // the q214 law applied to the MinHash family: recompute the whole
+    // contract independently. Union-find fully converges, so equality
+    // also PROVES the fixed SurvivorIters step count reaches the
+    // fixpoint here — and that cluster_id (the propagated label) is
+    // the component min. q44's pair set is the doc-granularity graph;
+    // q215 computes its components at distinct-signature granularity,
+    // so equality is exactly the interchangeability argument.
+    val dir = "/root/testdata/sf0.001"
+    val pairs = LlmQueries.queries("q44_dedup_near")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture corpus must contain gate-proven pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).values
+      .map(ds => (ds.min, ds.length.toLong, ds.min, ds.length.toLong - 1))
+      .toSet
+    val got = LlmQueries.queries("q215_minhash_survivors")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === got.map(_._1).distinct.length, "one row per cluster")
+    assert(got.toSet === expect)
+    spark.catalog.clearCache()
+  }
+
+  test("q215: signature collapse clusters synthetic dup groups, band-candidate rule honored") {
+    // brute-force the CONTRACT in the driver: candidate iff some
+    // 4-perm band agrees (the recall rule), pair iff additionally
+    // >= NearDupMinMatches of 32 signature slots agree; then
+    // union-find. Exact dups share the whole signature, so they MUST
+    // cluster whatever the cross-content band collisions do.
+    val texts = Seq(
+      1L -> (1 to 40).map(i => s"w$i").mkString(" "),
+      2L -> (1 to 40).map(i => s"w$i").mkString(" "),   // exact dup of 1
+      3L -> (1 to 40).map(i => s"w$i").mkString(" "),   // exact dup of 1
+      4L -> (1 to 40).map(i => s"z$i").mkString(" "),
+      5L -> (1 to 40).map(i => s"z$i").mkString(" "),   // exact dup of 4
+      6L -> (1 to 40).map(i => s"u$i").mkString(" "))   // lone content
+    val sigs = LlmQueries.minhashSignatures(docsDF(texts))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ids = texts.map(_._1)
+    def bandEq(a: Seq[Long], b: Seq[Long]) =
+      (0 to 7).exists(bd =>
+        a.slice(bd * 4, bd * 4 + 4) == b.slice(bd * 4, bd * 4 + 4))
+    def matchCnt(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }
+    val expPairs = for {
+      a <- ids; b <- ids
+      if a < b && bandEq(sigs(a), sigs(b)) &&
+        matchCnt(sigs(a), sigs(b)) >= LlmQueries.NearDupMinMatches
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    expPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = expPairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).values
+      .map(ds => (ds.min, ds.length.toLong, ds.min, ds.length.toLong - 1))
+      .toSet
+    val got = LlmQueries.minhashSurvivors(spark, docsDF(texts))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expect)
+    // the guaranteed core: exact dups share a signature, so {1,2,3}
+    // must cluster with survivor 1 whatever cross-content collisions do
+    assert(got.exists { case (cid, n, surv, _) =>
+      cid == 1L && surv == 1L && n >= 3L })
+    spark.catalog.clearCache()
+  }
+
   test("q206/q212: the 2^17-1 cluster-width bound TRIPS with its documented message") {
     // VERDICT r16 item 3: the assert_true at kmeansReassign's partial
     // sums had never fired. Build a >131,071-member cluster (one cid,

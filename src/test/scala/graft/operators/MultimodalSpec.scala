@@ -141,6 +141,34 @@ class MultimodalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q147: band form is 2x16-bit and the upper band discriminates on fixture content") {
+    // VERDICT r17 item 7: the widened 32-bit envelope's band shape,
+    // pinned mechanically. A regression to the 16-bit floor would
+    // leave bits 16..31 empty on every doc — the upper band collapses
+    // to ONE all-zero bucket and candidates go ~n²/256 again. Two
+    // tripwires: (1) the plan's band explode emits exactly bands
+    // {0,1} with 16-bit masks; (2) on sf0.1 content the upper band is
+    // populated AND discriminates (multiple distinct keys).
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.1"
+    val p = graft.SparkEntry.queries("q147_audio_dedup")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(p.contains("sequence(0, 1"),
+      s"band explode must emit exactly 2 bands:\n${p.take(4000)}")
+    // the mask renders as `& cast(65535 as bigint)` in the analyzed plan
+    assert(p.contains("65535"),
+      s"band keys must be 16-bit:\n${p.take(4000)}")
+    val upper = graft.operators.MultimodalQueries.audioFpRows(
+        graft.Tables.tWide(spark, dir, "documents")
+          .select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(1) >> 16) & 0xffffL)
+    assert(upper.exists(_ != 0L),
+      "upper band empty on fixture content => envelope regressed to 16 bits")
+    assert(upper.distinct.length > 2,
+      "upper band must discriminate (multiple distinct keys)")
+    spark.catalog.clearCache()
+  }
+
   test("q147: fixture pair counts per scale are pinned — the 32-bit zeros are intentional") {
     // the q210 discipline: the cross-engine gate can't catch a shared
     // hollow contract, so the counts are frozen independently
