@@ -127,8 +127,9 @@ echo "sf1 verify dumped: $(ls "$OUT" | wc -l) entries" | tee -a "$LOG"
 echo "--- sf1 slice-key oracle replay + count pins" | tee -a "$LOG"
 python3 scripts/selfcheck.py "$SF1_DIR" "$OUT" \
   q208_jaccard_slice q209_containment_slice \
-  q210_jaccard_slice_mid q211_containment_slice_mid 2>&1 \
-  | tail -5 | tee -a "$LOG"
+  q210_jaccard_slice_mid q211_containment_slice_mid \
+  q215_minhash_survivors 2>&1 \
+  | tail -6 | tee -a "$LOG"
 python3 - "$OUT" <<'PY' 2>&1 | tee -a "$LOG"
 import glob, sys, duckdb
 out = sys.argv[1]
@@ -136,7 +137,11 @@ PINNED_SF1 = {"q208_jaccard_slice": 3, "q209_containment_slice": 6,
               "q210_jaccard_slice_mid": 2, "q211_containment_slice_mid": 4,
               # r17: q147's 32-bit envelope — fixture content starts at
               # sf0.1 (spec-pinned 0/0/14), sf1 carries the replica mass
-              "q147_audio_dedup": 672}
+              "q147_audio_dedup": 672,
+              # r18: q215's survivor contract is content-bounded — the
+              # cluster count is the independent tripwire (233 at sf1;
+              # 233/235/240 measured at 50k/500k/1M docs)
+              "q215_minhash_survivors": 233}
 bad = 0
 for key, want in sorted(PINNED_SF1.items()):
     files = sorted(glob.glob(f"{out}/{key}/*.parquet"))
