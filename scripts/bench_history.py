@@ -56,6 +56,11 @@ def row_from(d, source):
         "sf": norm_sf(d),
         "start_load": d.get("start_load"),
         "load_avg": d.get("load_avg"),
+        # multi-core box-phase stamps (VERDICT r18 item 3): the
+        # load-invisible ~1.7x throughput phase is only adjudicable if
+        # every capture records which phase it ran in
+        "phase_canary": d.get("phase_canary"),
+        "phase_canary_end": d.get("phase_canary_end"),
         "failed": d.get("failed"),
         "value": d.get("value"),
         "queries": d.get("queries", {}),
@@ -175,15 +180,25 @@ def report(path):
         m, src = m_recent[k]
         if v > 1.5 * m and v - m > 0.2:
             flagged.append((k, m, v, src))
+    # phase context (VERDICT r18 item 3): the capture's own canary plus
+    # each flag's minimum-source canary — a flag whose capture ran in a
+    # slower phase than its minimum's capture is phase, not code
+    def canary_str(row):
+        c, ce = row.get("phase_canary"), row.get("phase_canary_end")
+        if c is None:
+            return "canary=?"
+        return f"canary={c}" + (f"/{ce}" if ce is not None else "")
+    src_canary = {r["source"]: canary_str(r) for r in prior}
     print(f"[bench-history] sf{sf}: {len(cur)} keys vs per-key minima "
           f"of the {len(recent)} most recent prior captures "
-          f"(of {len(prior)} total) -> {mpath}")
+          f"(of {len(prior)} total) -> {mpath} [{canary_str(d)}]")
     if flagged:
         print(f"[bench-history] {len(flagged)} keys >1.5x their "
               f"recent-window minimum (minima rule — re-capture idle "
               f"before calling any of these a regression):")
         for k, m, v, src in flagged:
-            print(f"  {k}: {v} s vs min {m} s ({v/m:.2f}x, min from {src})")
+            print(f"  {k}: {v} s vs min {m} s ({v/m:.2f}x, min from "
+                  f"{src} [{src_canary.get(src, 'canary=?')}])")
     else:
         print("[bench-history] zero keys above 1.5x their "
               "recent-window cross-round minimum")

@@ -27,7 +27,7 @@ which preserves every distributional property the operators see:
 
 Output: /root/repo/testdata_sf1/<table>.parquet (gitignored).
 
-Usage: gen_sf1.py [replicas] [dst_dir] [only_tables]
+Usage: gen_sf1.py [replicas] [dst_dir] [only_tables] [exact_text]
   defaults: 10 replicas -> testdata_sf1. The sf3 probe (VERDICT r15
   item 5) calls it with 30 replicas -> testdata_sf3; STRIDE leaves
   room for up to 900 replicas before int64 key ranges could collide
@@ -36,6 +36,12 @@ Usage: gen_sf1.py [replicas] [dst_dir] [only_tables]
   the named tables, copying the rest verbatim at sf0.1 scale — the
   one-side scale points ("documents 10x, everything else flat") that
   turn crossover extrapolations into measurements.
+  exact_text (literal "exact_text", VERDICT r18 item 4): document
+  replicas keep their text BYTE-IDENTICAL (no per-replica token
+  shuffle) — the exact-dup-heavy corpus shape that exercises q215's
+  signature collapse (token-shuffled replicas are near- but not
+  exact-dups at signature level, so the default fixtures never let
+  the collapse shrink the join sides).
 """
 import os
 import random
@@ -55,6 +61,9 @@ if not os.path.isabs(DST):
 STRIDE = 10_000_000
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+EXACT_TEXT = len(sys.argv) > 4 and sys.argv[4] == "exact_text"
+if len(sys.argv) > 4 and not EXACT_TEXT:
+    sys.exit(f"unknown 4th arg {sys.argv[4]!r} (expected 'exact_text')")
 
 # key columns to shift per table (everything else copies verbatim)
 KEYS = {
@@ -87,7 +96,8 @@ def replicate(name, tab):
         for c in tab.column_names:
             if c in KEYS[name]:
                 rep[c] = pc.add(cols[c], pa.scalar(k * STRIDE, pa.int64()))
-            elif name == "documents" and c == "text" and k > 0:
+            elif (name == "documents" and c == "text" and k > 0
+                  and not EXACT_TEXT):
                 rep[c] = pa.array(
                     shuffled_texts(cols["doc_id"].to_pylist(),
                                    cols["text"].to_pylist(), k),

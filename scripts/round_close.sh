@@ -152,6 +152,15 @@ for key, want in sorted(PINNED_SF1.items()):
 sys.exit(1 if bad else 0)
 PY
 
+# q215 convergence tripwire (ADVICE r18): the oracle unrolls the same
+# fixed label-step count as the engine, so cross-engine comparison
+# cannot see non-convergence — Probe215 independently asserts one
+# extra minLabel step is a fixpoint and cluster_id == member-min
+# doc_id at sf1. Exits nonzero (failing the close) on violation.
+echo "--- q215 convergence tripwire (sf1)" | tee -a "$LOG"
+SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Probe215 $SF1_DIR" 2>&1 \
+  | grep '\[probe215\]' | tee -a "$LOG"
+
 echo "--- bench sf1" | tee -a "$LOG"
 BLOAD=$(cut -d' ' -f1 /proc/loadavg)
 SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \

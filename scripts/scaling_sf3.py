@@ -49,8 +49,21 @@ HEAP_FLOOR_GB = {"q214_simhash_survivors": 16, "q55_ngram_jaccard": 16}
 PROBE_HEAP = "24g"
 
 
+def heap_gb(spec):
+    """Parse a JVM -Xmx-style size into GB, unit-explicit (ADVICE r18:
+    stripping non-digits parsed '24576m' as 24576 GB and silently
+    passed the preflight). Only 'g' and 'm' suffixes are meaningful
+    here; anything else fails fast."""
+    m = re.fullmatch(r"(\d+)([gGmM])", spec.strip())
+    if not m:
+        raise SystemExit(f"FATAL: PROBE_HEAP {spec!r} is not <N>g or <N>m "
+                         f"— the heap preflight needs an explicit unit")
+    n, unit = int(m.group(1)), m.group(2).lower()
+    return n if unit == "g" else n / 1024
+
+
 def check_heap(keys):
-    gb = int(re.sub(r"[^0-9]", "", PROBE_HEAP))
+    gb = heap_gb(PROBE_HEAP)
     for key in keys:
         floor = HEAP_FLOOR_GB.get(key)
         if floor:
@@ -74,7 +87,9 @@ def time_key(key):
     if len(runs) < 2:
         print(out[-2000:])
         raise RuntimeError(f"KeyBench produced no timings for {key}")
-    return runs
+    # KeyBench's pre/post multi-core phase stamps (VERDICT r18 item 3)
+    canaries = re.findall(r"\[canary\] (?:pre|post): ([0-9.]+) s", out)
+    return runs, "/".join(canaries) or "?"
 
 
 def ref_times(path):
@@ -97,11 +112,12 @@ def main():
         "persisted-index build; `sf3` is the warm second run (Bench's",
         "warm-key semantics). Linear on 3x data = 3.0x.",
         "",
-        "| key | sf0.1 s | sf1 s | sf3 cold s | sf3 s | sf1/sf0.1 | sf3/sf1 | verdict |",
-        "|---|---|---|---|---|---|---|---|",
+        "| key | sf0.1 s | sf1 s | sf3 cold s | sf3 s | sf1/sf0.1 | sf3/sf1 | verdict | canary pre/post |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for key in keys:
-        cold, warm = time_key(key)[:2]
+        runs, canary = time_key(key)
+        cold, warm = runs[:2]
         t01, t1 = sf01.get(key), sf1.get(key)
         # <= 0 values are failure sentinels (minima_of's guard class) — treat as missing
         if t01 is not None and t01 <= 0:
@@ -115,7 +131,7 @@ def main():
                    "LINEAR-OK" if r31 <= 3.0 else
                    "WATCH" if r31 <= 4.5 else "SUPER")
         lines.append(f"| {key} | {t01} | {t1} | {cold:.2f} | {warm:.2f} "
-                     f"| {r10} | {r31s} | {verdict} |")
+                     f"| {r10} | {r31s} | {verdict} | {canary} |")
         print(lines[-1], flush=True)
     out = os.path.join(REPO, "bench_out/scaling_sf3_probe.md")
     load = open("/proc/loadavg").read().split()[0]

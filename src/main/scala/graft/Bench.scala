@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Box-phase stamp (VERDICT r18 item 3): fixed multi-core work,
+    // measured BEFORE the session exists and again after the last
+    // timed key — the load-invisible ~1.7x throughput phase (SURVEY
+    // §6b r18 bisect) is only legible with a stamp in the capture.
+    val canaryStart = tools.PhaseCanary.measure()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -143,6 +148,10 @@ object Bench {
         name -> timed(() => { fn(spark, sfDir).count(); () })
       }
     ).toMap
+    // second phase stamp: a 150-450 s sweep can cross a phase boundary,
+    // and a capture that STARTED fast but ENDED slow (or vice versa)
+    // explains exactly the per-key flags the minima rule raises
+    val canaryEnd = tools.PhaseCanary.measure()
     // ms precision: full doubles overflowed the driver's captured tail in
     // round 3 (22 of 87 per-query numbers lost); %.3f halves the line.
     // Sorted keys so any residual truncation is at least deterministic.
@@ -167,12 +176,13 @@ object Bench {
     // every byte saved here is a query number the byte-bounded capture
     // window keeps
     val sfTag = sfDir.split('/').last
-    val big = s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"load_avg":${ms(load)},"queries":$qs,"sf":"$sfTag"}"""
+    val canaries = s""""phase_canary":${ms(canaryStart)},"phase_canary_end":${ms(canaryEnd)}"""
+    val big = s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"load_avg":${ms(load)},$canaries,"queries":$qs,"sf":"$sfTag"}"""
     println(big)
     // A tail capture always keeps the LAST line, so repeat the summary
     // fields on a short second line — redundant on a clean capture,
     // load-bearing on a truncated one.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"load_avg":${ms(load)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"load_avg":${ms(load)},$canaries,"sf":"$sfDir"}""")
     // Lossless copy for humans/judges reading the repo: the full line,
     // pretty-printed one query per row, immune to any capture window.
     try {
@@ -183,7 +193,7 @@ object Bench {
       val body =
         s"""{
            |"metric":"total","value":${ms(total)},"unit":"sec",
-           |"failed":$failed,"load_avg":${ms(load)},"sf":"$sfDir",
+           |"failed":$failed,"load_avg":${ms(load)},$canaries,"sf":"$sfDir",
            |"agg":"min of 2 runs when first run < ${RerunBelowSecs.toInt}s",
            |"queries":{
            |$perQuery

@@ -208,42 +208,7 @@ object JoinQueries {
     // reproduce the one-shot batch answer bit-for-bit (the q135/q138
     // twin-sharing discipline).
     "q150_stream_interval_join" -> { (s, dir) =>
-      import graft.streaming.EventQueries.{freshBase, stageBatches}
-      val ev = loadEvents(s, dir)
-        .select(col("event_id"), unix_micros(col("ts")).as("us"),
-          col("user_id"))
-      val iv = ev.filter(col("event_id") % 199 === 0)
-        .select(col("event_id").as("window_id"), col("us").as("s_us"),
-          (col("us") + (col("event_id") % 7 + 1) * lit(HourUs)).as("e_us"))
-      val base = freshBase(s, dir, "q150")
-      val outDir = s"$base/out"
-      val src = stageBatches(s, base, Seq(
-        ev.filter(col("event_id") % 2 === 0),
-        ev.filter(col("event_id") % 2 === 1)))
-      graft.Tables.withShufflePartitions(s, 8) {
-        val stream = s.readStream
-          .schema("event_id BIGINT, us BIGINT, user_id BIGINT")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(src)
-        val hits = binnedIntervalHits(iv, stream, HourUs)
-          .select(col("window_id"), col("event_id"), col("user_id"))
-        val q = graft.streaming.StreamPipelines
-          .writeParquetStream(hits, outDir, s"$base/ckpt")
-        try q.processAllAvailable() finally q.stop()
-      }
-      val agg = s.read
-        .schema("window_id BIGINT, event_id BIGINT, user_id BIGINT")
-        .parquet(outDir)
-        .distinct() // exactly-once on replayed files
-        .groupBy("window_id")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"))
-      iv.select("window_id")
-        .join(agg, Seq("window_id"), "left_outer")
-        .select(col("window_id"),
-          coalesce(col("n_events"), lit(0L)).as("n_events"),
-          coalesce(col("n_users"), lit(0L)).as("n_users"))
-        .orderBy("window_id")
+      streamIntervalAttribution(s, dir, windowIdCap = None)
     },
 
     // As-of join: each purchase event matched to the latest click by the
@@ -386,6 +351,58 @@ object JoinQueries {
         ivBins("bin") === evBins("bin") &&
         col("us") >= col("s_us") && col("us") < col("e_us"))
       .drop("bin")
+  }
+
+  /** q150's full streamed attribution pipeline, factored so the
+    * one-side counter-probe ([[graft.tools.Probe150]], VERDICT r18
+    * item 5) can run the IDENTICAL dataflow with the window side held
+    * FIXED while the streamed fact side scales. `windowIdCap = None`
+    * is the q150 correctness key (windows from the whole stream —
+    * both sides scale together, the adjudicated q10/q76 pair-space
+    * class); `Some(cap)` keeps only windows with `event_id < cap`, so
+    * cap = one replica stride pins exactly the sf0.1 window set at
+    * any replica-scaled fixture — the q193 discipline (fixed dim
+    * side, scaling facts) applied to the streamed shape. */
+  private[graft] def streamIntervalAttribution(s: SparkSession, dir: String,
+      windowIdCap: Option[Long]): DataFrame = {
+    import graft.streaming.EventQueries.{freshBase, stageBatches}
+    val ev = loadEvents(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"))
+    val ivAll = ev.filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("window_id"), col("us").as("s_us"),
+        (col("us") + (col("event_id") % 7 + 1) * lit(HourUs)).as("e_us"))
+    val iv = windowIdCap.fold(ivAll)(c => ivAll.filter(col("window_id") < c))
+    val base = freshBase(s, dir,
+      if (windowIdCap.isEmpty) "q150" else "q150probe")
+    val outDir = s"$base/out"
+    val src = stageBatches(s, base, Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1)))
+    graft.Tables.withShufflePartitions(s, 8) {
+      val stream = s.readStream
+        .schema("event_id BIGINT, us BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val hits = binnedIntervalHits(iv, stream, HourUs)
+        .select(col("window_id"), col("event_id"), col("user_id"))
+      val q = graft.streaming.StreamPipelines
+        .writeParquetStream(hits, outDir, s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    val agg = s.read
+      .schema("window_id BIGINT, event_id BIGINT, user_id BIGINT")
+      .parquet(outDir)
+      .distinct() // exactly-once on replayed files
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    iv.select("window_id")
+      .join(agg, Seq("window_id"), "left_outer")
+      .select(col("window_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy("window_id")
   }
 
   /** DuckDB twin of the interval attribution — shared by q149 (batch

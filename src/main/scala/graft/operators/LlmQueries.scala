@@ -422,13 +422,15 @@ object LlmQueries {
     * band-collision occurrence with the codegen'd
     * [[graft.plans.ZipEqualCount]] and dedups AFTER (the q44 shape —
     * no pre-verify shuffle, no window anywhere). */
-  def minhashSurvivors(s: SparkSession, docs: DataFrame): DataFrame = {
-    // sig consumed twice (collapse + final expand), grp three times
-    // (bands + both attach joins) — cache both, q214's discipline
-    val sig = minhashSignatures(docs).cache()
-    val grp = sig.groupBy("sig")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
-      .cache()
+  /** q215's symmetrized sig-graph edge list at distinct-signature
+    * granularity (`grp` = one row per distinct signature with its min
+    * doc_id `rep`): banded candidates on the reps, match_cnt ≥
+    * [[NearDupMinMatches]] verify, dedup after — the q44 shape.
+    * Factored out of [[minhashSurvivors]] so [[graft.tools.Probe215]]'s
+    * convergence tripwire (ADVICE r18) can run
+    * [[GraphQueries.minLabel]] at SurvivorIters AND SurvivorIters+1
+    * over the SAME edges and assert the fixpoint. */
+  private[graft] def minhashSigEdges(grp: DataFrame): DataFrame = {
     val bands = bandKeys(grp.select(col("rep").as("doc_id"), col("sig")))
     val ba = bands.toDF("rep_a", "sig_a", "bk_a")
     val bb = bands.toDF("rep_b", "sig_b", "bk_b")
@@ -437,11 +439,20 @@ object LlmQueries {
       .filter(graft.plans.GraftExpressions.zip_equal(
         col("sig_a"), col("sig_b")) >= NearDupMinMatches)
       .select("rep_a", "rep_b").distinct()
-    val edges = fpPairs
+    fpPairs
       .select(col("rep_a").as("src"), col("rep_b").as("dst"))
       .unionByName(
         fpPairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
-    val labels = GraphQueries.minLabel(s, edges,
+  }
+
+  def minhashSurvivors(s: SparkSession, docs: DataFrame): DataFrame = {
+    // sig consumed twice (collapse + final expand), grp three times
+    // (bands + both attach joins) — cache both, q214's discipline
+    val sig = minhashSignatures(docs).cache()
+    val grp = sig.groupBy("sig")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+      .cache()
+    val labels = GraphQueries.minLabel(s, minhashSigEdges(grp),
       SimilarityQueries.SurvivorIters)
     sig.join(grp, "sig")
       .join(broadcast(labels), col("node") === col("rep"), "left")
