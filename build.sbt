@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev instrumentation hook (r19 q163 adjudication): extra JVM flags,
+  // e.g. SPARK_GRAFT_JVMFLAGS="-Xlog:gc:file=/tmp/gc.log" to correlate
+  // fresh-JVM KeyBench timings with GC time. Empty by default.
+  sys.env.get("SPARK_GRAFT_JVMFLAGS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -287,6 +287,63 @@ object CorpusQueries {
     }
   }
 
+  /** q163's scoped ObjectHashAggregate fallback threshold: one hash
+    * entry per source vertex per task, each a BOUNDED ≤ k-entry TopKAgg
+    * heap (~100 MB at this cap — memory is keys × O(k), threshold-
+    * independent), vs Spark's default 128 built for unbounded buffers.
+    * 262144 covers the 60k-vertex sf3 point 4× over; a 100 TB
+    * deployment sizes it to vertices-per-task the same way. */
+  private[graft] val TopKFallbackKeys = 262144
+
+  /** q163's LAZY plan (the shape PlanSpec pins: bounded heap, no
+    * Window, one band self-join). The registered key materializes this
+    * inside a scoped fallback-threshold raise — see the q163 entry. */
+  private[graft] def knnGraphPlan(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopKAgg.topk_distinct_agg
+    val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
+    // NOT cached: the band rows replicate every vector ×bandCount, so
+    // an on-heap cache costs ~bands × corpus (5.7 GB at the 200k
+    // one-side point — it starved the heap there) to save only a
+    // cheap banding recompute. Exchange reuse is scale-dependent: at
+    // SMJ scale the two sides are canonically identical below the
+    // rename and the band exchange executes once (ReusedExchange);
+    // below the autobroadcast threshold the planner picks BHJ and the
+    // broadcast build side re-executes the scan+banding pipeline —
+    // acceptable, since at that scale the recompute is trivially
+    // cheap. (Same trade as q55's prefix-frame note in
+    // SimilarityQueries: small-scale recompute, large-scale reuse.)
+    val bands = codedBands(emb, embBandBits(s, dir))
+    val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a")
+    val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b")
+    val cand = ba.join(bb,
+        col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      .withColumn("sim", graft.functions.VectorOps.cosinePre(
+        graft.operators.LlmQueries.seqDot(col("e_a"), col("e_b")),
+        col("n_a"), col("n_b")))
+      .filter(col("sim").isNotNull)
+    val directed = cand.select(col("sim"), explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("sim"))
+    val kept = directed.groupBy("src")
+      .agg(topk_distinct_agg(col("sim"), col("dst"), 5).as("top"))
+      .select(col("src"), explode(col("top.id")).as("dst"))
+    val mutual = kept.groupBy(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") === 2)
+    val deg = mutual
+      .select(explode(array(col("lo"), col("hi"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("d"))
+    emb.select("vec_id").join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("vec_id").cast("long").as("id_sum"))
+      .orderBy("degree")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 10% corpus sample.
     "q70_sample_hash" -> { (s, dir) =>
@@ -577,49 +634,27 @@ object CorpusQueries {
     // neighbor id — the heap's (value DESC, id ASC) order is exactly
     // the oracle window's ORDER BY sim DESC, dst.
     "q163_knn_graph" -> { (s, dir) =>
-      import graft.plans.TopKAgg.topk_distinct_agg
-      val emb = tWide(s, dir, "embeddings").select("vec_id", "embedding")
-      // NOT cached: the band rows replicate every vector ×bandCount, so
-      // an on-heap cache costs ~bands × corpus (5.7 GB at the 200k
-      // one-side point — it starved the heap there) to save only a
-      // cheap banding recompute. Exchange reuse is scale-dependent: at
-      // SMJ scale the two sides are canonically identical below the
-      // rename and the band exchange executes once (ReusedExchange);
-      // below the autobroadcast threshold the planner picks BHJ and the
-      // broadcast build side re-executes the scan+banding pipeline —
-      // acceptable, since at that scale the recompute is trivially
-      // cheap. (Same trade as q55's prefix-frame note in
-      // SimilarityQueries: small-scale recompute, large-scale reuse.)
-      val bands = codedBands(emb, embBandBits(s, dir))
-      val ba = bands.toDF("id_a", "e_a", "n_a", "bk_a")
-      val bb = bands.toDF("id_b", "e_b", "n_b", "bk_b")
-      val cand = ba.join(bb,
-          col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
-        .withColumn("sim", graft.functions.VectorOps.cosinePre(
-          graft.operators.LlmQueries.seqDot(col("e_a"), col("e_b")),
-          col("n_a"), col("n_b")))
-        .filter(col("sim").isNotNull)
-      val directed = cand.select(col("sim"), explode(array(
-          struct(col("id_a").as("src"), col("id_b").as("dst")),
-          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("sim"))
-      val kept = directed.groupBy("src")
-        .agg(topk_distinct_agg(col("sim"), col("dst"), 5).as("top"))
-        .select(col("src"), explode(col("top.id")).as("dst"))
-      val mutual = kept.groupBy(
-          least(col("src"), col("dst")).as("lo"),
-          greatest(col("src"), col("dst")).as("hi"))
-        .agg(count(lit(1)).as("nd"))
-        .filter(col("nd") === 2)
-      val deg = mutual
-        .select(explode(array(col("lo"), col("hi"))).as("vec_id"))
-        .groupBy("vec_id").agg(count(lit(1)).as("d"))
-      emb.select("vec_id").join(deg, Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("degree"))
-        .groupBy("degree")
-        .agg(count(lit(1)).as("n_vecs"),
-          sum("vec_id").cast("long").as("id_sum"))
-        .orderBy("degree")
+      // Materialize inside a SCOPED object-agg fallback raise (the
+      // q200/q202 conf-swap discipline; output is ≤ 6 rows by contract
+      // — degrees 0..5). WHY (r19 item-1 adjudication, the 8.5 ↔ 90 s
+      // sf3 mystery): every task of the TopKAgg partial holds one hash
+      // entry per source vertex (60k at sf3), far past Spark's default
+      // 128-key ObjectHashAggregate fallback, so under the default
+      // conf EVERY task abandoned the hash map and externally SORTED
+      // its ~8M-row candidate slice — slow, and I/O-state-dependent
+      // (interleaved fresh-JVM A/B, canary-stable minutes: default
+      // threshold 21–49 s warm, raised 7.6–9.6 s, round-tripped).
+      // The raise is safe HERE because TopKAgg buffers are bounded
+      // (≤ k entries each): memory is keys/task × O(k), ~100 MB at
+      // 262144 keys — unlike the session-wide raise r17 reverted,
+      // which let UNBOUNDED collect_list/HLL buffers ride it.
+      graft.Tables.withConfs(s,
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+            TopKFallbackKeys.toString) {
+        val df = knnGraphPlan(s, dir)
+        val rows = java.util.Arrays.asList(df.collect(): _*)
+        s.createDataFrame(rows, df.schema).orderBy("degree")
+      }
     },
 
     // LSH-WIDTH candidate recall — the band-scheme member of the

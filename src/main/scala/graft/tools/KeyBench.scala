@@ -14,10 +14,21 @@ object KeyBench {
     // phase stamps (VERDICT r18 item 3): every fresh-JVM adjudication
     // run carries its own multi-core phase context, pre and post
     println(f"[canary] pre: ${PhaseCanary.measure()}%.3f s")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    // bisect knob (r19 q163 adjudication): extra session confs as
+    // "k=v;k=v" — lets an A/B run flip ONE conf per fresh JVM without
+    // touching the key's code
+    val spark = sys.env.get("SPARK_GRAFT_CONF")
+      .map(_.split(';').filter(_.contains('=')))
+      .getOrElse(Array.empty[String])
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        println(s"[keybench] conf $k=$v")
+        b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(key)

@@ -722,12 +722,22 @@ class PlanSpec extends SparkSpec {
     // distinctIds heap consumes it as the band join emits it and ships
     // <= 5 (sim, dst) pairs per (partition, vertex). The old two-branch
     // union also re-executed the band join per direction — the
-    // generator form must keep it to ONE join.
-    val p = plan("q163_knn_graph")
+    // generator form must keep it to ONE join. Pinned on the LAZY plan
+    // (knnGraphPlan): the registered key materializes it inside a
+    // scoped object-agg fallback raise (r19) and returns a ≤ 6-row
+    // local frame, so the key's own plan is a LocalTableScan.
+    val p = graft.operators.CorpusQueries
+      .knnGraphPlan(spark, dir).queryExecution.executedPlan.toString
     assert(!p.contains("Window"), s"kNN rank must not plan a window:\n$p")
     assert(p.contains("graft_topk"), s"expected the TopKAgg kernel:\n$p")
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
       s"exactly one band self-join may shuffle-join:\n$p")
+    // and the key itself must hand back the pre-materialized frame
+    // (execution under RESTORED confs would re-run the heavy plan
+    // under the 128-key fallback — the withConfs contract)
+    val keyPlan = plan("q163_knn_graph")
+    assert(keyPlan.contains("LocalTableScan") && !keyPlan.contains("graft_topk"),
+      s"q163 key must return the frame materialized inside the conf swap:\n$keyPlan")
   }
 
   test("q158 sessionization reuses ONE user_id exchange for both windows and the agg") {
