@@ -60,7 +60,12 @@ if not os.path.isabs(DST):
     DST = os.path.join(_REPO, DST)
 STRIDE = 10_000_000
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+# ADVICE r19: an empty arg 3 (the placeholder for "all tables" when
+# only exact_text is wanted) must mean None, not ONLY == {""} — which
+# silently copied every table verbatim, a fixture that looks built but
+# has no scale
+ONLY = (set(sys.argv[3].split(","))
+        if len(sys.argv) > 3 and sys.argv[3].strip() else None)
 EXACT_TEXT = len(sys.argv) > 4 and sys.argv[4] == "exact_text"
 if len(sys.argv) > 4 and not EXACT_TEXT:
     sys.exit(f"unknown 4th arg {sys.argv[4]!r} (expected 'exact_text')")
@@ -77,6 +82,14 @@ KEYS = {
     "embeddings": ["vec_id"],
 }
 FIXED = ["region", "nation"]  # dimensions: copy once, never replicated
+
+# same hazard class as the empty-arg fix above: a typo'd table name in
+# only_tables would silently copy the intended table verbatim
+if ONLY is not None:
+    unknown = ONLY - set(KEYS) - set(FIXED)
+    if unknown:
+        sys.exit(f"unknown only_tables entries {sorted(unknown)} "
+                 f"(known: {sorted(KEYS)} + {FIXED})")
 
 
 def shuffled_texts(doc_ids, texts, k):

@@ -28,7 +28,10 @@ def run_keybench(key, n, sf, heap):
         ["sbt", "-batch", f"runMain graft.tools.KeyBench {key} {n} {sf}"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, env=env, cwd=REPO).stdout
-    runs = [float(m) for m in re.findall(rf"{key} run \d+: ([0-9.]+) s", out)]
+    # re.escape (ADVICE r19): key names are interpolated into the
+    # pattern — a key with regex metacharacters must not mis-parse
+    runs = [float(m) for m in
+            re.findall(rf"{re.escape(key)} run \d+: ([0-9.]+) s", out)]
     canaries = re.findall(r"\[canary\] (?:pre|post): ([0-9.]+) s", out)
     if len(runs) < n:
         print(out[-2000:])
@@ -54,18 +57,22 @@ def main():
            "",
            "| round | key | runs s | canary pre/post s |",
            "|---|---|---|---|"]
-    rows = []
-    for r in range(1, a.rounds + 1):
-        for key in a.keys:
-            runs, canaries = run_keybench(key, a.n, a.sf, a.heap)
-            row = (f"| {r} | {key} | "
-                   f"{' / '.join(f'{t:.2f}' for t in runs)} | "
-                   f"{' / '.join(canaries) or '?'} |")
-            rows.append(row)
-            print(row, flush=True)
+    # ADVICE r19: write the header up front and flush each row as it
+    # lands — a run_keybench failure in a late round must not discard
+    # every completed row from the artifact
     out = os.path.join(REPO, "bench_out/scaling_sf3_probe.md")
     with open(out, "a") as f:
-        f.write("\n".join(hdr + rows) + "\n")
+        f.write("\n".join(hdr) + "\n")
+        f.flush()
+        for r in range(1, a.rounds + 1):
+            for key in a.keys:
+                runs, canaries = run_keybench(key, a.n, a.sf, a.heap)
+                row = (f"| {r} | {key} | "
+                       f"{' / '.join(f'{t:.2f}' for t in runs)} | "
+                       f"{' / '.join(canaries) or '?'} |")
+                f.write(row + "\n")
+                f.flush()
+                print(row, flush=True)
     print(f"-> {out}")
 
 

@@ -59,6 +59,32 @@ open(p, 'w').write('{\n' + head + ',\n"queries":{\n' + rows + '\n}\n}')
 PY
 }
 
+# Box-phase gate for the record capture (VERDICT r19 item 5): the box
+# swings ~1.7x on multi-core throughput over tens of minutes at idle
+# load (SURVEY §6b r18), and r19's record landed entirely in the slow
+# phase by accident. Run the canary first; if it reads slow (> 2.5 s),
+# wait boundedly for the fast phase — up to CANARY_WAITS x 300 s,
+# NEVER blocking the close: after the budget we bench anyway, and the
+# phase stamps in the capture JSON tell the story. PhaseCanary is pure
+# JVM (no Spark session), so invoking the compiled class directly
+# avoids a 20 s sbt launch per poll; classes exist because the Verify
+# sweeps above already compiled.
+canary() {
+  java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.tools.PhaseCanary 1 2>/dev/null \
+    | sed -n 's/.*run 1: \([0-9.]*\) s/\1/p'
+}
+CANARY=$(canary)
+echo "phase canary pre-bench: $CANARY s" | tee -a "$LOG"
+for i in $(seq 1 "${CANARY_WAITS:-3}"); do
+  awk "BEGIN{exit !($CANARY > 2.5)}" || break
+  echo "canary $CANARY > 2.5 (slow phase) — waiting 300 s for the fast" \
+       "phase ($i/${CANARY_WAITS:-3})" | tee -a "$LOG"
+  sleep 300
+  CANARY=$(canary)
+  echo "phase canary retry $i: $CANARY s" | tee -a "$LOG"
+done
+
 echo "--- bench sf0.1 (artifact of record)" | tee -a "$LOG"
 BLOAD=$(cut -d' ' -f1 /proc/loadavg)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
@@ -162,6 +188,9 @@ SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.tools.Probe215 $SF1_DIR" 2>&1 \
   | grep '\[probe215\]' | tee -a "$LOG"
 
 echo "--- bench sf1" | tee -a "$LOG"
+# record (not gate) the phase before the sf1 bench — the sf0.1 gate
+# above already spent the bounded wait budget for this close
+echo "phase canary pre-sf1-bench: $(canary) s" | tee -a "$LOG"
 BLOAD=$(cut -d' ' -f1 /proc/loadavg)
 SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1 | tee -a "$LOG"

@@ -83,7 +83,10 @@ def time_key(key):
         ["sbt", "-batch", f"runMain graft.tools.KeyBench {key} 2 {SF3}"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,  # sbt errors land in the tail
         text=True, env=env, cwd=REPO).stdout
-    runs = [float(m) for m in re.findall(rf"{key} run \d+: ([0-9.]+) s", out)]
+    # re.escape (ADVICE r19): don't let a key name with regex
+    # metacharacters mis-parse the timing lines
+    runs = [float(m) for m in
+            re.findall(rf"{re.escape(key)} run \d+: ([0-9.]+) s", out)]
     if len(runs) < 2:
         print(out[-2000:])
         raise RuntimeError(f"KeyBench produced no timings for {key}")
