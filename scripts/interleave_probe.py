@@ -22,8 +22,12 @@ import argparse, datetime, os, re, subprocess, sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_keybench(key, n, sf, heap):
+def run_keybench(key, n, sf, heap, conf=None):
     env = dict(os.environ, SPARK_DRIVER_MEM=heap, SPARK_GRAFT_CPUS="32")
+    if conf:
+        env["SPARK_GRAFT_CONF"] = conf
+    else:
+        env.pop("SPARK_GRAFT_CONF", None)
     out = subprocess.run(
         ["sbt", "-batch", f"runMain graft.tools.KeyBench {key} {n} {sf}"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -47,13 +51,20 @@ def main():
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--heap", default="24g")
     ap.add_argument("--label", default="interleaved adjudication")
+    ap.add_argument("--ab", default=None, metavar="CONF",
+                    help="conf A/B mode (r19 q163 instrument, mechanized "
+                    "r20): each key runs TWICE per round — fresh JVM with "
+                    "the default conf, then fresh JVM with "
+                    "SPARK_GRAFT_CONF=CONF — so a conf effect separates "
+                    "from the box phase in the same minutes")
     a = ap.parse_args()
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
         timespec="seconds")
     load = open("/proc/loadavg").read().split()[0]
+    ab = f" ab={a.ab}" if a.ab else ""
     hdr = [f"\n## {a.label} {stamp} sf={os.path.basename(a.sf)} "
-           f"heap={a.heap} n={a.n} rounds={a.rounds} start_load={load}",
+           f"heap={a.heap} n={a.n} rounds={a.rounds} start_load={load}{ab}",
            "",
            "| round | key | runs s | canary pre/post s |",
            "|---|---|---|---|"]
@@ -64,15 +75,18 @@ def main():
     with open(out, "a") as f:
         f.write("\n".join(hdr) + "\n")
         f.flush()
+        variants = [("", None)] + ([(" [AB]", a.ab)] if a.ab else [])
         for r in range(1, a.rounds + 1):
             for key in a.keys:
-                runs, canaries = run_keybench(key, a.n, a.sf, a.heap)
-                row = (f"| {r} | {key} | "
-                       f"{' / '.join(f'{t:.2f}' for t in runs)} | "
-                       f"{' / '.join(canaries) or '?'} |")
-                f.write(row + "\n")
-                f.flush()
-                print(row, flush=True)
+                for tag, conf in variants:
+                    runs, canaries = run_keybench(key, a.n, a.sf, a.heap,
+                                                  conf)
+                    row = (f"| {r} | {key}{tag} | "
+                           f"{' / '.join(f'{t:.2f}' for t in runs)} | "
+                           f"{' / '.join(canaries) or '?'} |")
+                    f.write(row + "\n")
+                    f.flush()
+                    print(row, flush=True)
     print(f"-> {out}")
 
 
