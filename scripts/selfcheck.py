@@ -37,6 +37,12 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # Let blocking operators spill (r20): the q215 replay at the 500k-doc
+    # exact fixture runs a 832M-row minhash aggregate (26M shingles x 32
+    # perms) that OOM'd DuckDB's in-memory default; with a temp_directory
+    # and a bounded memory_limit it goes out-of-core and completes.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='48GB'")
     # NB: events is exposed RAW (ts = TIMESTAMP_NS), like the driver does;
     # oracle SQL must CAST(ts AS TIMESTAMP) itself to match Spark's loader.
     for t in TABLES:
