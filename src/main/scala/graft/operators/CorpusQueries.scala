@@ -600,9 +600,12 @@ object CorpusQueries {
           graft.operators.LlmQueries.seqDot(col("qv"), col("nv")).as("m"))
         .withColumn("rnk", row_number().over(wTop))
         .filter(col("rnk") <= 5).select("qid", "nid")
-      val hits = exact.join(rp, Seq("qid", "nid"), "left_semi")
+      // rp ≤ |Q|·5 rows, hits ≤ |Q| rows — bounded by contract,
+      // invisible to the estimator: broadcast explicitly (the
+      // quantRecall discipline; statically these planned as SMJs)
+      val hits = exact.join(broadcast(rp), Seq("qid", "nid"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-      qe.select("qid").join(hits, Seq("qid"), "left_outer")
+      qe.select("qid").join(broadcast(hits), Seq("qid"), "left_outer")
         .na.fill(0L, Seq("n_hit"))
         .select(col("qid"), col("n_hit").cast("long").as("n_hit"),
           round(col("n_hit") / lit(5.0), 6).as("recall"))
@@ -700,11 +703,17 @@ object CorpusQueries {
             col("qn"), col("nn")).as("sim"))
         .filter(col("sim") >= 0.4)
         .select("qid", "nid")
+      // cand is band-bounded (|Q| × per-band occupancy, which the
+      // bandBits ladder caps at ~128/bucket), nTrue/nHit ≤ |Q| rows —
+      // all bounded by contract, invisible to the estimator: broadcast
+      // explicitly (the quantRecall discipline; statically these
+      // planned as SMJs — 6 of them, the most of any key)
       val nTrue = exact.groupBy("qid").agg(count(lit(1)).as("n_true"))
-      val nHit = exact.join(cand, Seq("qid", "nid"), "left_semi")
+      val nHit = exact.join(broadcast(cand), Seq("qid", "nid"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as("n_hit"))
       qe.select("qid")
-        .join(nTrue, Seq("qid"), "left").join(nHit, Seq("qid"), "left")
+        .join(broadcast(nTrue), Seq("qid"), "left")
+        .join(broadcast(nHit), Seq("qid"), "left")
         .na.fill(0L, Seq("n_true", "n_hit"))
         .select(col("qid"),
           col("n_true").cast("long").as("n_true"),

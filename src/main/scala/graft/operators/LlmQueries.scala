@@ -566,9 +566,13 @@ object LlmQueries {
       .filter(col("inter") * 5 >=
         (size(col("arr_a")) + size(col("arr_b")) - col("inter")) * 4)
       .select("doc_a", "doc_b")
+    // tru is bounded by the doc_id < 300 contract (≤ C(300,2) pairs,
+    // far fewer after the J ≥ 0.8 cut) but surfaces from the
+    // crossJoin+filter whose stats the estimator can't size — broadcast
+    // explicitly (statically this planned as an SMJ, r21)
     val marked = cand
       .select(col("doc_a"), col("doc_b"), col("match_cnt"))
-      .join(tru.withColumn("is_true", lit(1L)),
+      .join(broadcast(tru.withColumn("is_true", lit(1L))),
         Seq("doc_a", "doc_b"), "left_outer")
       .na.fill(0L, Seq("is_true"))
     val th = docs.sparkSession.range(1).select(
@@ -656,8 +660,17 @@ object LlmQueries {
         .select(col("doc_id"), md5(col("text")).as("m"))
       val keep1 = docs.groupBy("m").agg(min("doc_id").as("doc_id"))
         .select("doc_id").cache()
-      val n0 = docs.count()
-      val n1 = keep1.count()
+      // n0 (pruned parquet row count) and n1 (the md5+groupBy pass that
+      // also populates the keep1 cache) are independent jobs — overlap
+      // them (guide §2.6); d2 then probes the populated cache
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val (n0, n1) = try {
+        val f0 = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call() = docs.count() })
+        val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call() = keep1.count() })
+        (f0.get(), f1.get())
+      } finally pool.shutdown()
       val d2 = nearDupPairs(s, dir)
         .filter(col("match_cnt") >= NearDupMinMatches)
         .select("doc_a", "doc_b")

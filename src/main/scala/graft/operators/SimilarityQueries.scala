@@ -1029,9 +1029,11 @@ object SimilarityQueries {
       .filter(col("r") <= 5).select("qid", "nid")
     val trunc = p.withColumn("r", row_number().over(wT))
       .filter(col("r") <= 5).select("qid", "nid")
-    val hits = full.join(trunc, Seq("qid", "nid"), "left_semi")
+    // trunc ≤ |Q|·5 rows, hits ≤ |Q| rows — bounded by contract,
+    // invisible to the estimator: broadcast explicitly (see quantRecall)
+    val hits = full.join(broadcast(trunc), Seq("qid", "nid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-    q.select("qid").join(hits, Seq("qid"), "left_outer")
+    q.select("qid").join(broadcast(hits), Seq("qid"), "left_outer")
       .na.fill(0L, Seq("n_hit"))
       .select(col("qid"), col("n_hit").cast("long").as("n_hit"),
         round(col("n_hit") / lit(5.0), 6).as("recall"))
@@ -1068,9 +1070,14 @@ object SimilarityQueries {
         graft.operators.LlmQueries.seqDot(col("qv"), col("nv")).as("m"))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 5).select("qid", "nid")
-    val hits = exact.join(quant, Seq("qid", "nid"), "left_semi")
+    // both attach frames are ABSOLUTELY bounded (quant ≤ |Q|·5 rows,
+    // hits ≤ |Q| rows) but surface from windows/aggs whose stats the
+    // estimator sizes from the corpus scans beneath — broadcast
+    // explicitly (the q45/q201 discipline; statically these planned as
+    // SortMergeJoins, 2 Exchanges + 2 Sorts each, r21)
+    val hits = exact.join(broadcast(quant), Seq("qid", "nid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-    qe.select("qid").join(hits, Seq("qid"), "left_outer")
+    qe.select("qid").join(broadcast(hits), Seq("qid"), "left_outer")
       .na.fill(0L, Seq("n_hit"))
       .select(col("qid"), col("n_hit").cast("long").as("n_hit"),
         round(col("n_hit") / lit(5.0), 6).as("recall"))
@@ -1107,9 +1114,11 @@ object SimilarityQueries {
           seqDot(col("qe"), col("ve")), col("qn"), col("vn")).as("sim_raw"))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 3).select("qid", "nid")
-    val hits = exact.join(approx, Seq("qid", "nid"), "left_semi")
+    // approx ≤ |Q|·3 rows, hits ≤ |Q| rows — bounded by contract,
+    // invisible to the estimator: broadcast explicitly (see quantRecall)
+    val hits = exact.join(broadcast(approx), Seq("qid", "nid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-    q.select("qid").join(hits, Seq("qid"), "left_outer")
+    q.select("qid").join(broadcast(hits), Seq("qid"), "left_outer")
       .na.fill(0L, Seq("n_hit"))
       .select(col("qid"), col("n_hit").cast("long").as("n_hit"),
         round(col("n_hit") / lit(3.0), 6).as("recall"))

@@ -29,7 +29,16 @@ object EventQueries {
   /** Stage each part as ONE parquet file under `base`/src with
     * explicitly increasing modification times: the file source replays
     * the initial listing oldest-first, so with maxFilesPerTrigger=1
-    * this is a deterministic micro-batch replay of `parts` in order. */
+    * this is a deterministic micro-batch replay of `parts` in order.
+    *
+    * The per-part single-file writes are INDEPENDENT Spark jobs (each
+    * writes its own tmp dir), so they are submitted concurrently from a
+    * small driver thread pool (guide §2.6 — overlap independent jobs so
+    * the next part's tasks back-fill the slots the previous part's tail
+    * leaves idle; each part is a coalesce(1) write whose single task
+    * would otherwise serialize the whole staging step). File CONTENTS
+    * and the mtime ordering are unchanged: batch order is fixed by the
+    * explicit per-index setTimes below, not by write completion order. */
   private[graft] def stageBatches(s: SparkSession, base: String,
       parts: Seq[DataFrame]): String = {
     import org.apache.hadoop.fs.Path
@@ -38,9 +47,23 @@ object EventQueries {
     hfs.mkdirs(new Path(src))
     val now = System.currentTimeMillis()
     val n = parts.size
-    parts.zipWithIndex.foreach { case (part, i) =>
+    if (n > 1) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 4))
+      try {
+        parts.zipWithIndex.map { case (part, i) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit =
+              part.coalesce(1).write.mode("overwrite").parquet(s"$base/tmp$i")
+          })
+        }.foreach(_.get()) // rethrows the first part failure
+      } finally pool.shutdown()
+    } else parts.zipWithIndex.foreach { case (part, i) =>
+      part.coalesce(1).write.mode("overwrite").parquet(s"$base/tmp$i")
+    }
+    // sequential driver-side publish: rename each part's single file into
+    // place and stamp its deterministic mtime (ordering source of truth)
+    (0 until n).foreach { i =>
       val tmpDir = s"$base/tmp$i"
-      part.coalesce(1).write.mode("overwrite").parquet(tmpDir)
       val f = hfs.listStatus(new Path(tmpDir)).map(_.getPath)
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
@@ -106,27 +129,50 @@ object EventQueries {
       lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
       lit(0.0).as("value"), lit(null).cast("string").as("props"))
 
-  /** q207/q213's shared table build: events split on event_id % 3 (the
-    * same user recurs across batches with interleaved timestamps — see
-    * the q207 key note), run through the real
+  /** q207/q213's SHARED serving-table build: events split on event_id
+    * % 3 (the same user recurs across batches with interleaved
+    * timestamps — see the q207 key note), run through the real
     * [[StreamPipelines.upsertLoadStream]] with every version retained.
-    * Each caller builds under its own fresh base so the keys stay
-    * independently runnable; returns the serving-table dir. */
-  private def timeTravelServe(s: SparkSession, dir: String,
-      tag: String): String = {
-    val base = freshBase(s, dir, tag)
+    *
+    * Built ONCE per (session, sf) and REUSED by both consumers — the
+    * q106/q57 build-once discipline applied to the versioned serving
+    * table (r21: the two keys each paid an identical full build+stream,
+    * the one place the inventory still rebuilt a shared artifact per
+    * consumer). Bench times the build separately as q207_index_build
+    * (rebuild = true), so the gated keys are probe-priced: q207 is the
+    * pinned batch READ, q213 the pinned streamed read. The content is a
+    * pure function of the input events, so reuse cannot change results
+    * (both keys gate against the same oracle as before). A
+    * `_GRAFT_SERVE_DONE` marker written only after the stream completes
+    * guards the reuse: a crash mid-build leaves no marker and the next
+    * caller rebuilds instead of serving a torn table (the
+    * freshBase/always-rebuild concern, answered the corpusBandIndex
+    * way). Returns the serving-table dir. */
+  private[graft] def timeTravelServe(s: SparkSession, dir: String,
+      rebuild: Boolean = false): String = {
+    import org.apache.hadoop.fs.Path
+    val tmp = System.getProperty("java.io.tmpdir")
+    graft.sources.Staging.vacuumStale(s, tmp, "graft_ttserve_")
+    val base = s"$tmp/graft_ttserve_" +
+      graft.sources.Staging.sessionSuffix(s, dir)
     val tableDir = s"$base/serve"
-    val ckpt = s"$base/ckpt"
-    val ev = loadEvents(s, dir)
-    val src = stageBatches(s, base,
-      (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
-    withFewShufflePartitions(s) {
-      val stream = StreamPipelines.readEventsStream(s, src,
-        maxFilesPerTrigger = Some(1))
-      val q = StreamPipelines.upsertLoadStream(
-        stream, Seq("user_id"), "ts", tableDir, ckpt,
-        retainVersions = Int.MaxValue)
-      try q.processAllAvailable() finally q.stop()
+    val done = new Path(base, "_GRAFT_SERVE_DONE")
+    val hfs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (rebuild || !hfs.exists(done)) {
+      graft.sources.Staging.vacuum(s, base)
+      val ckpt = s"$base/ckpt"
+      val ev = loadEvents(s, dir)
+      val src = stageBatches(s, base,
+        (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      withFewShufflePartitions(s) {
+        val stream = StreamPipelines.readEventsStream(s, src,
+          maxFilesPerTrigger = Some(1))
+        val q = StreamPipelines.upsertLoadStream(
+          stream, Seq("user_id"), "ts", tableDir, ckpt,
+          retainVersions = Int.MaxValue)
+        try q.processAllAvailable() finally q.stop()
+      }
+      hfs.create(done, true).close()
     }
     tableDir
   }
@@ -227,7 +273,7 @@ object EventQueries {
     // so time-travel reads are plain pruned scans of one version dir —
     // no log replay, no delta reconstruction.
     "q207_time_travel" -> { (s, dir) =>
-      val tableDir = timeTravelServe(s, dir, "q207")
+      val tableDir = timeTravelServe(s, dir)
       StreamPipelines.readServingTableAt(s, tableDir, "v1")
         .select("user_id", "event_id", "ts", "event_type", "value", "props")
         .orderBy("user_id")
@@ -250,11 +296,15 @@ object EventQueries {
     // Oracle: q207's batch-prefix window VERBATIM — streamed-pinned ≡
     // batch-pinned ≡ driver-side prefix merge.
     "q213_stream_time_travel" -> { (s, dir) =>
-      val tableDir = timeTravelServe(s, dir, "q213")
+      val tableDir = timeTravelServe(s, dir)
       // loud pin first: resolves v1 or throws naming the retained set
       val pinned = StreamPipelines.readServingTableAt(s, tableDir, "v1")
-      val outDir = s"$tableDir/../stream_out"
-      val ckpt2 = s"$tableDir/../stream_ckpt"
+      // the key's OWN stream output lives under its own fresh base (not
+      // the shared serve dir): a reused sink checkpoint would skip the
+      // replay and measure only the read-back
+      val own = freshBase(s, dir, "q213")
+      val outDir = s"$own/stream_out"
+      val ckpt2 = s"$own/stream_ckpt"
       withFewShufflePartitions(s) {
         val stream = s.readStream
           .schema(pinned.schema)
