@@ -566,13 +566,17 @@ object LlmQueries {
       .filter(col("inter") * 5 >=
         (size(col("arr_a")) + size(col("arr_b")) - col("inter")) * 4)
       .select("doc_a", "doc_b")
-    // tru is bounded by the doc_id < 300 contract (≤ C(300,2) pairs,
-    // far fewer after the J ≥ 0.8 cut) but surfaces from the
-    // crossJoin+filter whose stats the estimator can't size — broadcast
-    // explicitly (statically this planned as an SMJ, r21)
+    // NB: tru is bounded by the doc_id < 300 contract, but do NOT
+    // broadcast it (tried r21, REVERTED on measurement: fresh-JVM warm
+    // 0.57–0.69 → 0.92–1.37 s, same canary band). Unlike the recall
+    // arms, tru is EXPENSIVE to produce (bounded crossJoin + intersect
+    // kernel) — an explicit broadcast serializes its full build ahead
+    // of the probe side, where the planner's exchange lets both sides'
+    // map stages run concurrently and AQE still picks the cheap join
+    // from real sizes at this scale.
     val marked = cand
       .select(col("doc_a"), col("doc_b"), col("match_cnt"))
-      .join(broadcast(tru.withColumn("is_true", lit(1L))),
+      .join(tru.withColumn("is_true", lit(1L)),
         Seq("doc_a", "doc_b"), "left_outer")
       .na.fill(0L, Seq("is_true"))
     val th = docs.sparkSession.range(1).select(
