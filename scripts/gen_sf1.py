@@ -86,10 +86,21 @@ FIXED = ["region", "nation"]  # dimensions: copy once, never replicated
 # same hazard class as the empty-arg fix above: a typo'd table name in
 # only_tables would silently copy the intended table verbatim
 if ONLY is not None:
-    unknown = ONLY - set(KEYS) - set(FIXED)
+    unknown = ONLY - set(KEYS)
+    fixed_named = sorted(unknown & set(FIXED))
+    unknown -= set(FIXED)
     if unknown:
         sys.exit(f"unknown only_tables entries {sorted(unknown)} "
                  f"(known: {sorted(KEYS)} + {FIXED})")
+    # FIXED dimensions are copied once and never replicated, so
+    # only_tables=region "passes" yet produces an unscaled fixture —
+    # the exact silent-no-scale hazard this check exists to close
+    # (ADVICE r20). Reject unless that is ALL the caller asked for.
+    if fixed_named:
+        sys.exit(f"only_tables names FIXED dimension(s) {fixed_named}: "
+                 "dimensions are copied verbatim, never replicated — "
+                 "naming them here cannot produce a scaled fixture "
+                 f"(replicable tables: {sorted(KEYS)})")
 
 
 def shuffled_texts(doc_ids, texts, k):

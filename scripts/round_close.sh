@@ -70,13 +70,22 @@ PY
 # avoids a 20 s sbt launch per poll; classes exist because the Verify
 # sweeps above already compiled.
 canary() {
+  # `|| true`: under set -e a failed java invocation (stale/absent
+  # classes dir, moved spark jars) must degrade to an EMPTY reading —
+  # the gate below logs and skips — not silently abort the whole close
+  # (ADVICE r20; the comment above promises the gate NEVER blocks).
   java -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.tools.PhaseCanary 1 2>/dev/null \
-    | sed -n 's/.*run 1: \([0-9.]*\) s/\1/p'
+    | sed -n 's/.*run 1: \([0-9.]*\) s/\1/p' || true
 }
 CANARY=$(canary)
 echo "phase canary pre-bench: $CANARY s" | tee -a "$LOG"
+if [ -z "$CANARY" ]; then
+  echo "canary unavailable (PhaseCanary invocation failed) — skipping" \
+       "the phase gate, benching now" | tee -a "$LOG"
+fi
 for i in $(seq 1 "${CANARY_WAITS:-3}"); do
+  [ -n "$CANARY" ] || break
   awk "BEGIN{exit !($CANARY > 2.5)}" || break
   echo "canary $CANARY > 2.5 (slow phase) — waiting 300 s for the fast" \
        "phase ($i/${CANARY_WAITS:-3})" | tee -a "$LOG"

@@ -8,7 +8,7 @@ matching SQL from <outDir>/oracle_sql.json in DuckDB over the same fixture
 parquet tables, sorts columns by name, and compares row-by-row values.
 Dev-only tooling — not part of the shipped library.
 """
-import sys, json, glob, math, datetime, decimal
+import os, sys, json, glob, math, datetime, decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -42,7 +42,22 @@ def main():
     # perms) that OOM'd DuckDB's in-memory default; with a temp_directory
     # and a bounded memory_limit it goes out-of-core and completes.
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET memory_limit='48GB'")
+    # ~75% of physical RAM, not a hard-coded 48GB (ADVICE r20): DuckDB
+    # accepts limits above physical memory, so on a smaller box the
+    # out-of-core guard would stop guarding and the big replays (the
+    # 832M-row q215 500k fixture) could OOM/swap-thrash. Env override
+    # for deliberate experiments; this box derives to ~96GB of 128GiB.
+    def _mem_limit():
+        env = os.environ.get("SELFCHECK_MEM_LIMIT")
+        if env:
+            return env
+        try:
+            kb = int(next(l for l in open("/proc/meminfo")
+                          if l.startswith("MemTotal")).split()[1])
+            return f"{max(1, kb * 3 // 4 // (1024 * 1024))}GB"
+        except Exception:
+            return "48GB"
+    con.execute(f"SET memory_limit='{_mem_limit()}'")
     # NB: events is exposed RAW (ts = TIMESTAMP_NS), like the driver does;
     # oracle SQL must CAST(ts AS TIMESTAMP) itself to match Spark's loader.
     for t in TABLES:

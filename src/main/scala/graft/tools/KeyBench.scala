@@ -17,6 +17,11 @@ object KeyBench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Bench (whose flags this tool adjudicates): index-build
+      // pseudo-keys reading timestamp-bearing tables must compute the
+      // same partition/bucket contents in a fresh-JVM pin as in the
+      // flagged capture on a non-UTC box (ADVICE r20)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // bisect knob (r19 q163 adjudication): extra session confs as
     // "k=v;k=v" — lets an A/B run flip ONE conf per fresh JVM without
