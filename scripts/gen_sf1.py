@@ -95,7 +95,11 @@ if ONLY is not None:
     # FIXED dimensions are copied once and never replicated, so
     # only_tables=region "passes" yet produces an unscaled fixture —
     # the exact silent-no-scale hazard this check exists to close
-    # (ADVICE r20). Reject unless that is ALL the caller asked for.
+    # (ADVICE r20). Reject whenever a FIXED name appears at all (even
+    # mixed with replicable tables, e.g. only_tables=customer,region):
+    # FIXED tables are always copied regardless of ONLY, so naming one
+    # is at best a no-op and at worst the silent-no-scale confusion —
+    # fail loudly either way (ADVICE r21 clarified the comment).
     if fixed_named:
         sys.exit(f"only_tables names FIXED dimension(s) {fixed_named}: "
                  "dimensions are copied verbatim, never replicated — "

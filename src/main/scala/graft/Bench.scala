@@ -174,16 +174,11 @@ object Bench {
       // concurrently (guide §2.6) so the second build's tasks back-fill
       // the first's tail instead of waiting for it
       "q190_index_build" -> (() => {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-        try Seq(
-          pool.submit(new java.util.concurrent.Callable[String] {
-            def call() = operators.CurationQueries
-              .admissionUrlIndex(spark, sfDir, rebuild = true) }),
-          pool.submit(new java.util.concurrent.Callable[String] {
-            def call() = operators.CurationQueries
-              .admissionMd5Index(spark, sfDir, rebuild = true) })
-        ).foreach(_.get())
-        finally pool.shutdown()
+        graft.Par.run(2)(Seq(
+          () => { operators.CurationQueries
+            .admissionUrlIndex(spark, sfDir, rebuild = true); () },
+          () => { operators.CurationQueries
+            .admissionMd5Index(spark, sfDir, rebuild = true); () }))
         () }),
       "q139_index_build" -> (() => {
         operators.MultimodalQueries.imageHashIndex(spark, sfDir,

@@ -707,7 +707,13 @@ object CorpusQueries {
       // bandBits ladder caps at ~128/bucket), nTrue/nHit ≤ |Q| rows —
       // all bounded by contract, invisible to the estimator: broadcast
       // explicitly (the quantRecall discipline; statically these
-      // planned as SMJs — 6 of them, the most of any key)
+      // planned as SMJs — 6 of them, the most of any key).
+      // Scaling assumption (ADVICE r21): broadcast(cand) collects
+      // |Q| × occupancy rows to the driver — bounded by the |Q| ≤ 100
+      // contract and the bandBits ladder TODAY; if sf10+ fixtures ever
+      // widen |Q| or per-band occupancy, gate this hint on a cheap
+      // count (the previous SMJ degraded gracefully where a forced
+      // broadcast would OOM the driver).
       val nTrue = exact.groupBy("qid").agg(count(lit(1)).as("n_true"))
       val nHit = exact.join(broadcast(cand), Seq("qid", "nid"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as("n_hit"))

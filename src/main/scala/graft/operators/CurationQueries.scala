@@ -501,11 +501,32 @@ object CurationQueries {
     * int→double rounding is IEEE-identical. ZipfLargeVocabSpec pins
     * the >600-vocab case the fixtures (31 tokens) never exercise. */
   def zipfFit(docs: DataFrame): DataFrame = {
-    val w = Window.orderBy(desc("c"), col("tok"))
-    val pts = docs
+    // TWO-PHASE RANK (r22): the old row_number over
+    // Window.orderBy(desc(c), tok) ranked the FULL vocabulary in one
+    // partition — the last softly-bounded global window in a declared
+    // path (vocab can reach 10⁸+ tokens at corpus scale). rank(tok)
+    // decomposes exactly: rank = (# tokens with a strictly higher
+    // count) + row_number among the SAME count ordered by tok. The
+    // offset table has one row per DISTINCT count value — a multiset of
+    // V positive counts summing to N tokens has ≤ √(2N) distinct values
+    // (distinct values sum ≥ 1+2+…+k), so the one remaining
+    // single-partition window runs over an O(√N)-bounded two-long frame
+    // instead of the vocabulary; the per-token work is a c-partitioned
+    // window sharing its exchange with the offset attach join. Ranks —
+    // and therefore x, y and the fit — are bit-identical: the (desc c,
+    // asc tok) order is total (tok is distinct post-groupBy) and the
+    // decomposition re-derives the same positions.
+    val freq = docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    val wOff = Window.orderBy(desc("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = freq.groupBy("c").agg(count(lit(1)).as("nc"))
+      .withColumn("off", coalesce(sum("nc").over(wOff), lit(0L)))
+      .select("c", "off")
+    val pts = freq.join(off, "c")
+      .withColumn("rank", (col("off") + row_number()
+        .over(Window.partitionBy("c").orderBy("tok"))).cast("long"))
       .select(
         floor(log(col("rank").cast("double")) * 1e6 + lit(1e-6))
           .cast("long").as("x"),
@@ -780,7 +801,18 @@ object CurationQueries {
         .withColumn("r_vec", row_number()
           .over(Window.orderBy(desc("sim"), col("doc_id"))).cast("long"))
         .select("doc_id", "r_vec")
-      txt.join(vec, Seq("doc_id"), "full_outer")
+      // full-outer as union + groupBy (r22): each doc_id appears at most
+      // ONCE per arm (both arms are row_number'd LIMIT frames), so
+      // max() recovers exactly the full-outer's per-side value-or-null —
+      // identical rows, but the plan is one hash agg over ≤100 rows
+      // instead of the last SortMergeJoin in the inventory (BHJ cannot
+      // do full-outer, so the join form always sorted both arms).
+      txt.select(col("doc_id"), col("r_txt"),
+          lit(null).cast("long").as("r_vec"))
+        .unionByName(vec.select(col("doc_id"),
+          lit(null).cast("long").as("r_txt"), col("r_vec")))
+        .groupBy("doc_id")
+        .agg(max("r_txt").as("r_txt"), max("r_vec").as("r_vec"))
         .withColumn("rrf",
           coalesce(lit(1.0) / (lit(k) + col("r_txt")), lit(0.0))
             + coalesce(lit(1.0) / (lit(k) + col("r_vec")), lit(0.0)))

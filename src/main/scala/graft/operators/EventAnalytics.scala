@@ -361,14 +361,27 @@ object EventAnalytics {
         .select(col("user_id"),
           floor((unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
             / lit(1000000L)).as("lat_s"))
-      val w = Window.orderBy("lat_s", "user_id")
-      lat
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      // VALUE-LEVEL rank cuts (r22): the old row_number over
+      // Window.orderBy(lat_s, user_id) sorted ALL converted users in
+      // one partition (plus a second single-partition count() window for
+      // n). The cuts only ever read the VALUE at the crossing rank, and
+      // ties share a value, so the user_id tie-break never affects the
+      // output: with C(v) = # users with lat_s ≤ v (nondecreasing),
+      // min{lat_s : rn·2 ≥ n} = value at rank ⌈n/2⌉ = min{v : 2·C(v) ≥ n}
+      // — and likewise for p90. So rank per-VALUE, not per-user: one
+      // groupBy on lat_s (map-side combinable), then the cumulative
+      // window runs over the distinct-latency frame, bounded by the
+      // event-time span in seconds, not by the user count.
+      val perVal = lat.groupBy("lat_s").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy("lat_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perVal
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy()))
         .agg(max("n").cast("long").as("n_converted"),
-          min(when(col("rn") * 2 >= col("n"), col("lat_s")))
+          min(when(col("cum") * 2 >= col("n"), col("lat_s")))
             .cast("long").as("p50_s"),
-          min(when(col("rn") * 10 >= col("n") * 9, col("lat_s")))
+          min(when(col("cum") * 10 >= col("n") * 9, col("lat_s")))
             .cast("long").as("p90_s"),
           max("lat_s").cast("long").as("max_s"))
     },

@@ -51,6 +51,20 @@ object GraphQueries {
       .repartition(LoopShufflePartitions, col("src")).cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
+    // r22 NEGATIVE RESULT, measured and reverted (the q132 discipline):
+    // a 2-step unroll (step∘step per localCheckpoint — halve the
+    // checkpoint/job count, the VERDICT r21 item-2 candidate) was
+    // implemented and A/B'd with a loop-isolating fresh-JVM probe
+    // (8 iters over the fixed bipartite edge frame, n=5 × 2 interleaved
+    // rounds, canaries 2.2–2.7 both sides): warm minima 2.26/2.23 s
+    // before vs 2.40/2.03 s after — NEUTRAL — and cold first runs
+    // CONSISTENTLY worse (5.4/5.8 → 6.8/6.4 s; the unrolled plan is 2×
+    // per materialization, so codegen/plan compilation doubles). The
+    // mechanism: the loop's serial chain is its EXCHANGE count, which
+    // an unroll cannot change — it only removes job-submission rounds
+    // (sub-noise here) while the inner step's reduce-side agg runs
+    // twice per pair. Do not re-try without a cluster where job
+    // round-trips are expensive relative to stages.
     graft.Tables.withShufflePartitions(s, LoopShufflePartitions) {
       for (_ <- 1 to iters) {
         val prop = edges.join(labels, col("src") === col("node"))
@@ -212,13 +226,21 @@ object GraphQueries {
       var ranks = edgesDeg.select(col("src").as("node")).distinct()
         .withColumn("pr", lit(1000000L))
       graft.Tables.withShufflePartitions(s, LoopShufflePartitions) {
+        // ranks is referenced ONCE per step (join side only — no union),
+        // so the lineage is LINEAR: chaining all RankIters steps lazily
+        // embeds each subtree once, and a single materialization at the
+        // end truncates everything in one job (r22 — was one
+        // localCheckpoint per step, each paying a job round; the
+        // checkpoint-per-step guard matters only for the doubling shape
+        // minLabel has). The one checkpoint stays INSIDE the conf scope
+        // so the loop's exchanges execute at LoopShufflePartitions.
         for (_ <- 1 to RankIters) {
           ranks = edgesDeg.join(ranks, col("src") === col("node"))
             .select(col("dst"), expr("pr div outdeg").as("c"))
             .groupBy("dst").agg(sum("c").as("sc"))
             .selectExpr("dst AS node", "150000 + (85 * sc) div 100 AS pr")
-            .localCheckpoint(true)
         }
+        ranks = ranks.localCheckpoint(true)
       }
       edgesDeg.unpersist()
       ranks.orderBy(desc("pr"), col("node")).limit(20)

@@ -305,12 +305,17 @@ object JoinQueries {
     val oTab = s"graft_orders_bkt_$sfx"
     if (rebuild || !s.catalog.tableExists(lTab)
         || !s.catalog.tableExists(oTab)) {
-      graft.sources.Staging.storeBucketed(
-        t(s, dir, "lineitem").repartition(B, col("l_orderkey")),
-        lTab, Seq("l_orderkey"), B)
-      graft.sources.Staging.storeBucketed(
-        t(s, dir, "orders").repartition(B, col("o_orderkey")),
-        oTab, Seq("o_orderkey"), B)
+      // the two bucketed fact tables are INDEPENDENT pipelines into
+      // distinct catalog tables — submitted concurrently (guide §2.6,
+      // the q190_index_build shape) so the second build's tasks
+      // back-fill the first's write tail (r22)
+      graft.Par.run(2)(Seq(
+        () => graft.sources.Staging.storeBucketed(
+          t(s, dir, "lineitem").repartition(B, col("l_orderkey")),
+          lTab, Seq("l_orderkey"), B),
+        () => graft.sources.Staging.storeBucketed(
+          t(s, dir, "orders").repartition(B, col("o_orderkey")),
+          oTab, Seq("o_orderkey"), B)))
     }
     (lTab, oTab)
   }

@@ -327,9 +327,16 @@ object LlmQueries {
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (rebuild || !fs.exists(done)) {
       val bld = path + "__build_tmp"
+      val bldDelta = path + "__delta_tmp"
       fs.delete(new Path(bld), true)
+      fs.delete(new Path(bldDelta), true)
       val sig = minhashSignatures(
         graft.Tables.tWide(s, dir, "documents")).cache()
+      // materialize the shared signature cache ONCE before the two
+      // epoch jobs fan out (r22): launched concurrently against a cold
+      // cache, both jobs would schedule the shingle pipeline's tasks
+      // and duplicate the compute — one cheap count pins the blocks
+      sig.count()
       val bands = bandKeys(sig)
       val zipEq = graft.plans.GraftExpressions.zip_equal _
       // epoch A: the one-shot pair shape restricted to A
@@ -341,7 +348,6 @@ object LlmQueries {
           zipEq(col("sig_a"), col("sig_b")).as("match_cnt"))
         .distinct()
         .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
-      graft.sources.Staging.store(pairsA, bld)
       // epoch B delta: every pair with >= 1 endpoint in B. B rides the
       // small side; the full-band side is what the persisted band index
       // serves at scale. least/greatest normalizes pair order so the
@@ -357,7 +363,18 @@ object LlmQueries {
           zipEq(col("sig_a"), col("sig_b")).as("match_cnt"))
         .distinct()
         .withColumn("est_jaccard", col("match_cnt") / NumPerms.toDouble)
-      graft.sources.Staging.store(delta, bld, mode = SaveMode.Append)
+      // The two epoch band joins are INDEPENDENT jobs over the pinned
+      // signature cache — run them concurrently into SIBLING dirs
+      // (guide §2.6) and merge by file move: a SaveMode.Append into bld
+      // serialized epoch B behind epoch A's commit for no reason (the
+      // committer's shared _temporary staging forbids concurrent jobs
+      // on one directory), while the absorbed layout is byte-for-byte
+      // what the append produced — the same job-unique part files, in
+      // one directory (r22; A/B'd fresh-JVM).
+      graft.Par.run(2)(Seq(
+        () => graft.sources.Staging.store(pairsA, bld),
+        () => graft.sources.Staging.store(delta, bldDelta)))
+      graft.sources.Staging.absorb(s, bldDelta, bld)
       sig.unpersist()
       fs.delete(new Path(path), true)
       require(fs.rename(new Path(bld), new Path(path)),
@@ -667,14 +684,10 @@ object LlmQueries {
       // n0 (pruned parquet row count) and n1 (the md5+groupBy pass that
       // also populates the keep1 cache) are independent jobs — overlap
       // them (guide §2.6); d2 then probes the populated cache
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-      val (n0, n1) = try {
-        val f0 = pool.submit(new java.util.concurrent.Callable[Long] {
-          def call() = docs.count() })
-        val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
-          def call() = keep1.count() })
-        (f0.get(), f1.get())
-      } finally pool.shutdown()
+      var n0 = 0L; var n1 = 0L // visibility via Par.run's Future.get
+      graft.Par.run(2)(Seq(
+        () => { n0 = docs.count() },
+        () => { n1 = keep1.count() }))
       val d2 = nearDupPairs(s, dir)
         .filter(col("match_cnt") >= NearDupMinMatches)
         .select("doc_a", "doc_b")

@@ -412,13 +412,25 @@ object SimilarityQueries {
       }
       // one file per bucket per epoch (see the ivfIndex layout note) —
       // epoch B's dynamic-partition append adds its own file only to
-      // the buckets it lands in
-      graft.sources.Staging.store(assigned(epochA).repartition(col("cid")),
-        bld, partitionBy = Seq("cid"))
-      graft.sources.Staging.store(
-        assigned(e.filter(col("vec_id") % 10 === 3)).repartition(col("cid")),
-        bld, mode = org.apache.spark.sql.SaveMode.Append,
-        partitionBy = Seq("cid"))
+      // the buckets it lands in. The two epoch assignments are
+      // INDEPENDENT jobs over the persisted embedding frame (already
+      // materialized by the stride count) — run them concurrently into
+      // SIBLING dirs (guide §2.6) and merge epoch B by per-partition
+      // file move: the absorbed layout is exactly what the
+      // dynamic-partition SaveMode.Append produced (same job-unique
+      // part files under the same cid= dirs), without serializing
+      // epoch B behind epoch A's commit (r22; A/B'd fresh-JVM).
+      val bldB = bld + "_epochB"
+      fs.delete(new Path(bldB), true)
+      graft.Par.run(2)(Seq(
+        () => graft.sources.Staging.store(
+          assigned(epochA).repartition(col("cid")),
+          bld, partitionBy = Seq("cid")),
+        () => graft.sources.Staging.store(
+          assigned(e.filter(col("vec_id") % 10 === 3))
+            .repartition(col("cid")),
+          bldB, partitionBy = Seq("cid"))))
+      graft.sources.Staging.absorb(s, bldB, bld)
       e.unpersist()
       fs.delete(new Path(idxPath), true)
       // a silently-failed rename (dest recreated concurrently, cross-FS

@@ -81,6 +81,39 @@ object Staging {
     f.exists(p) && f.delete(p, true)
   }
 
+  /** Move every DATA file written under `src` into `dst`, preserving
+    * one level of hive `key=value` partition subdirectories — the
+    * append-by-file-move that lets two INDEPENDENT epoch writes run
+    * concurrently into sibling directories (guide §2.6) and then merge,
+    * where a SaveMode.Append into the same directory would have to wait
+    * for the first write's commit (two concurrent jobs writing one
+    * output directory collide in the committer's shared `_temporary`
+    * staging). Parquet part files carry job-unique names, so a move is
+    * exactly what a dynamic-partition append leaves behind; underscore
+    * files (`_SUCCESS`) are skipped — the destination keeps its own.
+    * On HDFS/local rename is a metadata operation; on object stores use
+    * a manifest-committing table format instead (same note as
+    * [[compact]]). Deletes `src` when done. */
+  def absorb(spark: SparkSession, src: String, dst: String): Unit = {
+    val f = fs(spark, dst)
+    val srcP = new Path(src)
+    require(f.exists(srcP), s"absorb: no such staging prefix: $src")
+    def moveInto(from: Path, to: Path): Unit = {
+      if (!f.exists(to)) f.mkdirs(to)
+      f.listStatus(from).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          require(f.rename(st.getPath, new Path(to, name)),
+            s"absorb: rename ${st.getPath} -> $to/$name failed")
+        } else if (st.isDirectory && name.contains("=")) {
+          moveInto(st.getPath, new Path(to, name))
+        }
+      }
+    }
+    moveInto(srcP, new Path(dst))
+    f.delete(srcP, true)
+  }
+
   /** Key-based upsert — the load-stage analog of the reference's
     * declared Redshift target (`README.md:2`): rows from `updates`
     * replace same-key rows in `existing`; new keys append. Pure

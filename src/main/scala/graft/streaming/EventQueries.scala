@@ -47,19 +47,9 @@ object EventQueries {
     hfs.mkdirs(new Path(src))
     val now = System.currentTimeMillis()
     val n = parts.size
-    if (n > 1) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 4))
-      try {
-        parts.zipWithIndex.map { case (part, i) =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit =
-              part.coalesce(1).write.mode("overwrite").parquet(s"$base/tmp$i")
-          })
-        }.foreach(_.get()) // rethrows the first part failure
-      } finally pool.shutdown()
-    } else parts.zipWithIndex.foreach { case (part, i) =>
-      part.coalesce(1).write.mode("overwrite").parquet(s"$base/tmp$i")
-    }
+    graft.Par.run(4)(parts.zipWithIndex.map { case (part, i) =>
+      () => part.coalesce(1).write.mode("overwrite").parquet(s"$base/tmp$i")
+    })
     // sequential driver-side publish: rename each part's single file into
     // place and stamp its deterministic mtime (ordering source of truth)
     (0 until n).foreach { i =>
