@@ -160,17 +160,32 @@ object LlmQueries {
     if (rebuild || !s.catalog.tableExists(tab)) {
       val B = 8
       val tmp = tab + "__build_tmp"
+      val tmpB = tab + "__epochb_tmp"
       val docs = graft.Tables.tWide(s, dir, "documents")
-      graft.sources.Staging.storeBucketed(
-        bandKeys(minhashSignatures(
-            docs.filter(col("doc_id") % 10 =!= 7 &&
-              col("doc_id") % 10 =!= 3)))
-          .repartition(B, col("bk")),
-        tmp, Seq("bk"), B)
-      graft.sources.Staging.appendBucketed(
-        bandKeys(minhashSignatures(docs.filter(col("doc_id") % 10 === 3)))
-          .repartition(B, col("bk")),
-        tmp, Seq("bk"), B)
+      // The two epoch band pipelines are INDEPENDENT jobs — build them
+      // concurrently as two same-spec bucketed tables (guide §2.6, the
+      // q134/q136 shape) and merge epoch B by file move: bucket
+      // membership lives in the `_NNNNN` part-file names, which the
+      // move preserves, so the merged table is file-for-file what
+      // appendBucketed produced without serializing epoch B behind
+      // epoch A's commit (r22; A/B'd fresh-JVM). Catalog entry and
+      // bucket spec stay on the epoch-A table; epoch B's entry is
+      // dropped AFTER its files move out (a managed-table drop deletes
+      // the then-empty location only).
+      graft.Par.run(2)(Seq(
+        () => graft.sources.Staging.storeBucketed(
+          bandKeys(minhashSignatures(
+              docs.filter(col("doc_id") % 10 =!= 7 &&
+                col("doc_id") % 10 =!= 3)))
+            .repartition(B, col("bk")),
+          tmp, Seq("bk"), B),
+        () => graft.sources.Staging.storeBucketed(
+          bandKeys(minhashSignatures(docs.filter(col("doc_id") % 10 === 3)))
+            .repartition(B, col("bk")),
+          tmpB, Seq("bk"), B)))
+      graft.sources.Staging.absorb(s, s"$wh/${tmpB.toLowerCase}",
+        s"$wh/${tmp.toLowerCase}")
+      s.sql(s"DROP TABLE IF EXISTS `$tmpB`")
       s.sql(s"DROP TABLE IF EXISTS `$tab`")
       graft.sources.Staging.vacuum(s, s"$wh/${tab.toLowerCase}")
       s.sql(s"ALTER TABLE `$tmp` RENAME TO `$tab`")
